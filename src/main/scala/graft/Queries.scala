@@ -1,0 +1,354 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{AsOf, Dedup, Resample, Sessionize}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** One named query per operator of SURVEY.md §2 (+ the LLM-pipeline
+  * extensions), each paired with ANSI SQL the DuckDB oracle replays on the
+  * same parquet tables.
+  *
+  * Oracle-parity rules used throughout (SURVEY.md §7 risks):
+  *   - every output column aliased identically on both sides;
+  *   - timestamps leave the query as epoch-micros longs (`unix_micros` /
+  *     DuckDB `epoch_us`) — sidesteps tz-aware-vs-naive hashing drift;
+  *   - double SUMs are either cast to DECIMAL before summing (exact,
+  *     associative) or rounded after; integer sums in DuckDB are cast back to
+  *     BIGINT (DuckDB widens to HUGEINT, which pandas would coerce to float);
+  *   - every query ends in a total-order ORDER BY; ascending sorts put nulls
+  *     first on both engines (Spark default; DuckDB needs NULLS FIRST).
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  /** epoch micros from a (possibly NTZ) timestamp column; session tz is UTC. */
+  private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private val dec38_6 = DecimalType(38, 6)
+  private val dec18_6 = DecimalType(18, 6)
+  private val dec12_6 = DecimalType(12, 6)
+
+  /** Exact revenue term: decimal-cast both factors, multiply, sum — fully
+    * associative, so plan shape / partitioning can't change the answer.
+    */
+  private def revenue(price: Column, discount: Column): Column =
+    sum(price.cast(dec18_6) * (lit(1.0) - discount).cast(dec12_6))
+
+  private val revenueSql =
+    "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)))"
+
+  val all: Seq[QDef] = Seq(
+
+    // ---- 1. scan + projection + aggregation (A2/A5, P1, F-family) ----
+    QDef("q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" <= lit("2001-06-01").cast("timestamp_ntz"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity".cast(dec38_6)).as("sum_qty"),
+            sum($"l_extendedprice".cast(dec38_6)).as("sum_base_price"),
+            revenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+        | $revenueSql AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- 2. filter + projection pushdown (P1/P3, F11) ----
+    QDef("q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+                  $"l_shipdate" <  lit("1997-01-01").cast("timestamp_ntz") &&
+                  $"l_quantity" > 45)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_extendedprice", epochUs($"l_shipdate").as("shipdate_us"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | epoch_us(l_shipdate) AS shipdate_us
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- 3. top-k (O3; Spark plans TakeOrderedAndProject — no full sort) ----
+    QDef("q03_topk_orders",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            epochUs($"o_orderdate").as("orderdate_us"))
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+        | epoch_us(o_orderdate) AS orderdate_us
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ---- 4. dimension join (J3: broadcast hash, star schema) ----
+    QDef("q04_dim_join_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)),
+            $"o_custkey" === $"c_custkey", "inner")
+          .groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast(dec38_6)).as("sum_price"),
+            countDistinct($"o_custkey").as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        | count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price,
+        | count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- 5. fact-fact join + agg (J3 shuffle side) ----
+    QDef("q05_fact_join_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+              .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz")),
+            $"l_orderkey" === $"o_orderkey", "inner")
+          .groupBy($"o_orderpriority")
+          .agg(
+            revenue($"l_extendedprice", $"l_discount").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+        | $revenueSql AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- 6. left-semi join (J1: dimension-driven fetch set) ----
+    QDef("q06_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter($"o_totalprice" > 300000.0),
+            $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- 7. left-anti join (J2/P7: checkpoint set-difference — the
+    //         "symbols not yet completed this window" pattern) ----
+    QDef("q07_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+              .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp_ntz")),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- 8. keep-last dedup (A3/A4: the ReplacingMergeTree analog) ----
+    QDef("q08_dedup_keeplast",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.keepLast(Tables.events(s, dir),
+            keys = Seq("user_id", "event_type"),
+            version = Seq("ts_us", "event_id"))
+          .select($"user_id", $"event_type", $"ts_us", $"event_id", $"value")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- 9. month-bucket aggregation (F3: toYYYYMM partition key) ----
+    QDef("q09_month_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy(date_format($"l_shipdate", "yyyyMM").as("ym"))
+          .agg(
+            sum($"l_quantity".cast(dec38_6)).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"ym")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y%m') AS ym,
+        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
+
+    // ---- 10. ranking window: top-N per group (§2.6) ----
+    QDef("q10_top_per_group",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        Tables.customer(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"c_mktsegment", $"rn", $"c_custkey", $"c_acctbal")
+          .orderBy($"c_mktsegment", $"rn")
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (
+        |        PARTITION BY c_mktsegment
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    // ---- 11. analytic window: lag / bar-to-bar delta (§2.6) ----
+    QDef("q11_window_lag",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        Tables.events(s, dir)
+          .withColumn("delta", $"value" - lag($"value", 1).over(w))
+          .select($"user_id", $"event_id", $"ts_us", $"value", $"delta")
+          .orderBy($"user_id", $"ts_us", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        | value - lag(value) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS delta
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    // ---- 12. frame-spec window: moving average (§2.6) ----
+    QDef("q12_moving_avg",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+          .rowsBetween(-3, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("mavg", round(avg($"value").over(w), 6))
+          .select($"user_id", $"event_id", $"ts_us", $"value", $"mavg")
+          .orderBy($"user_id", $"ts_us", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        | round(avg(value) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    // ---- 13. tumbling-window OHLCV resample (A5: the kline producer) ----
+    QDef("q13_ohlcv_resample",
+      (s, dir) => {
+        import s.implicits._
+        Resample.ohlcv(Tables.events(s, dir),
+            keyCols = Seq("event_type"), tsCol = "tstamp",
+            tieBreak = Seq("ts_us", "event_id"),
+            valueCol = "value", interval = "1 hour")
+          .select($"event_type", unix_micros($"bucket_start").as("bucket_us"),
+            $"open", $"high", $"low", $"close",
+            round($"volume", 4).as("volume"), $"n_ticks")
+          .orderBy($"event_type", $"bucket_us")
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY epoch_us(ts), event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, epoch_us(h) AS bucket_us,
+        | max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        | max(value) AS high, min(value) AS low,
+        | max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        | round(sum(value), 4) AS volume,
+        | count(*) AS n_ticks
+        |FROM r GROUP BY event_type, h ORDER BY event_type, bucket_us""".stripMargin)),
+
+    // ---- 14. sessionization (T-family batch analog) ----
+    QDef("q14_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        Sessionize.aggregate(Tables.events(s, dir),
+            keys = Seq("user_id"), tsUsCol = "ts_us",
+            tieBreak = Seq("event_id"), gapUs = 1800L * 1000000L,
+            valueCol = "value")
+          .select($"user_id", $"session_seq", $"session_start_us",
+            $"session_end_us", $"n_events", round($"sum_value", 4).as("sum_value"))
+          .orderBy($"user_id", $"session_seq")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS st
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |      FROM m)
+        |SELECT user_id, session_seq, min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ---- 15. as-of join (J3: funding-rate → kline temporal alignment) ----
+    QDef("q15_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts_us", $"value")
+        val views = Dedup.keepLast(
+            ev.filter($"event_type" === "view")
+              .select($"user_id", $"ts_us", $"event_id", $"value"),
+            keys = Seq("user_id", "ts_us"), version = Seq("event_id"))
+          .select($"user_id", $"ts_us",
+            $"ts_us".as("view_ts_us"), $"value".as("view_value"))
+        AsOf.joinBackward(purchases, views,
+            keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+            valueCols = Seq("view_ts_us", "view_value"))
+          .orderBy($"user_id", $"ts_us", $"event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |v0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |       FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts_us, value FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM v0) t WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts_us, p.value,
+        |  v.ts_us AS view_ts_us, v.value AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin))
+  )
+
+  lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
+}

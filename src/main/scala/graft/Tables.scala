@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Explicit-schema readers for the harness tables (FIXTURES.md).
+  *
+  * Schemas are declared, never inferred — the reference hard-codes its column
+  * layouts the same way (`app/src/crypto_data_pipeline_clickhouse.py:238-242,
+  * 383-387,444-518`). At 100 TB an explicit schema also skips the driver-side
+  * parquet footer-merge step entirely (no `mergeSchemasInParallel` job) and
+  * guards against silent schema drift between ingest batches.
+  *
+  * All timestamps are UTC (`spark.sql.session.timeZone=UTC`), mirroring the
+  * reference's DateTime-in-UTC discipline
+  * (`crypto_data_pipeline_clickhouse.py:181-182`).
+  */
+object Tables {
+
+  private def path(dir: String, name: String) = s"$dir/$name.parquet"
+
+  // ---- star schema (dimension side ≈ bn_spot_symbols / bn_perp_symbols) ----
+
+  val regionSchema = StructType(Seq(
+    StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+
+  val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType), StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+
+  val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType), StructField("p_name", StringType),
+    StructField("p_brand", StringType), StructField("p_type", StringType),
+    StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+
+  // ---- fact side ≈ kline time-series tables ----
+
+  val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampNTZType)))
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; we read the raw int64 nanos (legacy nanosAsLong) and expose both
+    * the raw `ts` (nanos, long) and a derived `ts_us` (micros, long — exactly
+    * what DuckDB's µs TIMESTAMP truncates to, so the oracle agrees bit-for-bit).
+    */
+  val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(regionSchema).parquet(path(dir, "region"))
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(nationSchema).parquet(path(dir, "nation"))
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(customerSchema).parquet(path(dir, "customer"))
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(supplierSchema).parquet(path(dir, "supplier"))
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(partSchema).parquet(path(dir, "part"))
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(ordersSchema).parquet(path(dir, "orders"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(lineitemSchema).parquet(path(dir, "lineitem"))
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(documentsSchema).parquet(path(dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(embeddingsSchema).parquet(path(dir, "embeddings"))
+
+  /** Events with `ts` = raw nanos (long), `ts_us` = micros (long), and
+    * `tstamp` = TimestampType at micro precision for window/date functions.
+    * Always order/compare on `ts_us` (not raw nanos) so results align with
+    * µs-precision consumers — sub-µs ordering ties are broken by `event_id`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsRawSchema).parquet(path(dir, "events"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (BASELINE.json north star). All are pure `org.apache.spark.sql.functions`
+  * compositions — codegen'd, no UDFs, fully pushdown/prune-friendly — and
+  * each has an exact ANSI-SQL equivalent so the DuckDB oracle can replay the
+  * same arithmetic bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed (split on single space — the
+    * corpus is single-space separated; empty filter handles edge runs).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Deterministic 60-bit token hash: first 15 hex chars of MD5, as a long.
+    * MD5 is identical in every engine, so oracle SQL can reproduce this with
+    * `('0x' || substring(md5(t),1,15))::BIGINT`. 60 bits keeps all downstream
+    * modular arithmetic inside signed-64 range.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Type-token ratio (distinct/total tokens) — the lexical-diversity half of
+    * a quality score. Null-safe: empty text → null.
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 6))
+  }
+
+  /** Mean token length in characters (spaces excluded). */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      round(length(regexp_replace(text, " ", "")).cast("double") / n.cast("double"), 6))
+  }
+
+  /** Tiny deterministic language-ID heuristic: stopword hit-rate against an
+    * English function-word list. Real pipelines plug a model here; the engine
+    * contract is the column shape + determinism, not linguistic accuracy.
+    */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def langGuess(text: Column): Column = {
+    val t = tokens(text)
+    val hits = size(array_intersect(t, array(enStopwords.map(lit): _*)))
+    when(size(t) === 0, lit("und"))
+      .when(hits > 0, lit("en"))
+      .otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 128-bit MD5 of the exact text (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Sliding word n-gram shingles ("a b c", window w): the unit set for
+    * Jaccard/MinHash near-dup detection. Sequence-sensitive where raw token
+    * sets are not — crucial for a small-vocabulary corpus.
+    */
+  def shingles(text: Column, w: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= w,
+      array_distinct(transform(sequence(lit(0), size(t) - w), i =>
+        array_join(slice(t, i + 1, lit(w)), " "))))
+      .otherwise(array(array_join(t, " ")))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of (temporal-alignment) join.
+  *
+  * The reference's funding-rate series aligns to kline bars on
+  * `(symbol, nearest-prior fundingTime)` by construction (SURVEY.md §2.4 J3:
+  * schemas at `app/src/crypto_data_pipeline_clickhouse.py:502-509` vs
+  * `:444-460`) — every consumer of those tables performs this join. Spark has
+  * no built-in as-of join, so we use the union-sort technique: tag both sides,
+  * union, and carry the latest right-side payload forward with
+  * `last(ignoreNulls)` over an ordered window.
+  *
+  * Cost model at 100 TB: one shuffle of (left ∪ right) on `keys` plus a
+  * per-key sort — O(n log n) per key, no row-pair blowup. A naive range join
+  * (`l.ts >= r.ts` + keep max) is O(|L|·|R|) per key and explodes; never do
+  * that. Keys must be the high-cardinality entity (symbol/user), keeping each
+  * sorted run small and the shuffle well spread.
+  */
+object AsOf {
+
+  /** For each left row, attach `valueCols` from the latest right row with
+    * `right(rightTs) <= left(leftTs)` within the same `keys` group (backward
+    * join, inclusive). Left rows with no prior right row get nulls.
+    *
+    * `rightVersion` breaks ties among right rows sharing (keys, rightTs) —
+    * last one wins, mirroring keep-last dedup semantics.
+    */
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      rightVersion: Seq[String] = Seq.empty): DataFrame = {
+
+    val rv = struct(valueCols.map(col): _*)
+    val rightTagged = right.select(
+      (keys.map(col) :+ col(rightTs).as("__t") :+ rv.as("__rv")): _*)
+    val rvType = rightTagged.schema("__rv").dataType
+
+    // __side: right=0 sorts before left=1 at equal time → inclusive backward.
+    val r = rightTagged.withColumn("__side", lit(0))
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__rv", lit(null).cast(rvType))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) ++ Seq(col("__t"), col("__rv"), col("__side"))): _*)
+
+    // Align right's columns to left's shape (missing left cols → null).
+    val rAligned = r.select(
+      (leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
+        ++ Seq(col("__t"), col("__rv"), col("__side"))): _*)
+
+    val ordCols: Seq[Column] =
+      col("__t") +: col("__side") +: rightVersion.map(col)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(rAligned)
+      .withColumn("__filled", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"__filled.$c").as(c))): _*)
+  }
+}
