@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{AsOf, Dedup, Resample, Sessionize}
+import graft.ops.{AsOf, Dedup, Knn, MinHashLSH, Resample, Sessionize, SimHash}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** One named query per operator of SURVEY.md §2 (+ the LLM-pipeline
@@ -347,7 +347,389 @@ object Queries {
         |  v.ts_us AS view_ts_us, v.value AS view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
-        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin))
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)),
+
+    // ---- 16. union-all of pages (U1: pd.concat of fetched pages) ----
+    QDef("q16_union_all",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val y95 = o.filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+                           $"o_orderdate" <  lit("1996-01-01").cast("timestamp_ntz"))
+        val y00 = o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp_ntz") &&
+                           $"o_orderdate" <  lit("2001-01-01").cast("timestamp_ntz"))
+        y95.unionByName(y00)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast(dec38_6)).as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        | sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |FROM (SELECT * FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |      UNION ALL
+        |      SELECT * FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00') t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- 17. intersect (set semantics) ----
+    QDef("q17_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val a = o.filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+                         $"o_orderdate" <  lit("1996-01-01").cast("timestamp_ntz"))
+          .select($"o_custkey")
+        val b = o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp_ntz") &&
+                         $"o_orderdate" <  lit("2001-01-01").cast("timestamp_ntz"))
+          .select($"o_custkey")
+        a.intersect(b).orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- 18. except (U2: completed-set difference) ----
+    QDef("q18_except",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val a = o.filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+                         $"o_orderdate" <  lit("1996-01-01").cast("timestamp_ntz"))
+          .select($"o_custkey")
+        val b = o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp_ntz") &&
+                         $"o_orderdate" <  lit("2001-01-01").cast("timestamp_ntz"))
+          .select($"o_custkey")
+        a.except(b).orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |   AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- 19. rollup / grouping sets ----
+    QDef("q19_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity".cast(dec38_6)).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---- 20. distinct (A1) ----
+    QDef("q20_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .select($"c_mktsegment", $"c_nationkey")
+          .distinct()
+          .orderBy($"c_mktsegment", $"c_nationkey")
+      },
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ---- 21. scalar-function family (F7/F8/F11-F14, P4) ----
+    QDef("q21_scalar_funcs",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .filter($"o_orderstatus".isin("F", "O"))
+          .select(
+            $"o_orderkey",
+            regexp_extract($"o_orderpriority", "^(\\d+)", 1).cast("int").as("prio_num"),
+            $"o_orderpriority".contains("URGENT").as("is_urgent"),
+            least($"o_totalprice", lit(100000.0)).as("clamped_price"),
+            coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_norm"),
+            ($"o_orderkey" % 97).as("key_mod"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        | CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INTEGER) AS prio_num,
+        | (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+        | least(o_totalprice, 100000.0) AS clamped_price,
+        | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+        | o_orderkey % 97 AS key_mod
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- 22. JSON extraction (F15) ----
+    QDef("q22_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+          .groupBy($"event_type")
+          .agg(sum($"k").as("sum_k"),
+            round(avg($"k"), 4).as("avg_k"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 23. string/array functions on part (F6/F9/F10/F16) ----
+    QDef("q23_string_funcs",
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .filter($"p_type".isin("ECONOMY", "SMALL", "STANDARD"))
+          .select(
+            $"p_partkey",
+            element_at(split($"p_name", " "), 1).as("first_word"),
+            regexp_extract($"p_brand", "(\\d+)", 1).cast("int").as("brand_num"),
+            upper($"p_type").as("type_upper"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        | string_split(p_name, ' ')[1] AS first_word,
+        | CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+        | upper(p_type) AS type_upper,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part WHERE p_type IN ('ECONOMY', 'SMALL', 'STANDARD')
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- 24. per-key incremental cursor (T3: resume-from-last_ts+1) ----
+    QDef("q24_cursor_watermark",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(max($"ts_us").as("watermark_us"),
+            count(lit(1)).as("n_events"),
+            countDistinct($"event_type").as("n_types"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, max(epoch_us(ts)) AS watermark_us,
+        | count(*) AS n_events, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- 25. pivot (conditional aggregation matrix) ----
+    QDef("q25_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy(date_format($"l_shipdate", "yyyyMM").as("ym"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum($"l_quantity".cast(dec38_6)))
+          .orderBy($"ym")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y%m') AS ym,
+        | sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "A",
+        | sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "N",
+        | sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
+
+    // ---- 30. text statistics per language (north star: text analysis) ----
+    QDef("q30_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"lang", TF.tokenCount($"text").as("n_tok"),
+            TF.typeTokenRatio($"text").as("ttr"),
+            TF.meanTokenLength($"text").as("mtl"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("sum_tokens"),
+            round(avg($"ttr"), 6).as("avg_ttr"),
+            round(avg($"mtl"), 6).as("avg_token_len"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    length(replace(text, ' ', '')) AS n_char
+        |  FROM documents),
+        |m AS (SELECT lang, n_tok,
+        |  CASE WHEN n_tok > 0 THEN round(len(list_distinct(toks)) * 1.0 / n_tok, 6) END AS ttr,
+        |  CASE WHEN n_tok > 0 THEN round(n_char * 1.0 / n_tok, 6) END AS mtl
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        | round(avg(ttr), 6) AS avg_ttr,
+        | round(avg(mtl), 6) AS avg_token_len
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- 31. language-ID heuristic distribution ----
+    QDef("q31_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy(TF.langGuess($"text").as("lang_guess"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"lang_guess")
+      },
+      Some(s"""SELECT CASE
+        | WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 'und'
+        | WHEN list_has_any(list_filter(string_split(text, ' '), x -> x <> ''),
+        |        ['the', 'a', 'of', 'and', 'to', 'in', 'is']) THEN 'en'
+        | ELSE 'und' END AS lang_guess, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
+
+    // ---- 32. n-gram Jaccard near-dup pairs (brute force, the oracle shape) ----
+    QDef("q32_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", TF.shingles($"text", 3).as("sh"))
+        val e = sh.select($"doc_id", explode($"sh").as("shingle"))
+        val sz = sh.select($"doc_id", size($"sh").as("n"))
+        val pairs = e.as("a").join(e.as("b"),
+            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+          .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+          .withColumn("jaccard", round($"common".cast("double") /
+            ($"na" + $"nb" - $"common").cast("double"), 6))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- 33. MinHash-LSH near-dup (scale path; oracle = brute force) ----
+    QDef("q33_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        MinHashLSH.nearDuplicates(Tables.documents(s, dir),
+            idCol = "doc_id", textCol = "text",
+            w = 3, k = 64, rowsPerBand = 2, threshold = 0.5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      // Oracle is the exact-Jaccard brute force (q32's SQL): LSH recall at
+      // the observed J>=0.9 pairs is 1-1e-23, and every candidate is
+      // re-verified exactly, so the outputs are identical.
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- 34. SimHash near-dup (exact chunk-blocked Hamming join) ----
+    QDef("q34_simhash",
+      (s, dir) => {
+        import s.implicits._
+        SimHash.nearDuplicates(Tables.documents(s, dir),
+            idCol = "doc_id", textCol = "text", maxHamming = 3)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |    list_transform(toks, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM tok),
+        |fp AS (SELECT doc_id, CAST(list_sum(
+        |    [CASE WHEN CAST(list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) AS BIGINT) > 0
+        |          THEN (1::BIGINT << j) ELSE 0 END for j in range(60)]) AS BIGINT) AS f
+        |  FROM th)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- 35. exact cosine top-k similarity search ----
+    QDef("q35_knn_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val query = Tables.embeddings(s, dir).filter($"vec_id" === 0)
+          .select($"embedding").head.getSeq[Float](0).map(_.toDouble)
+        Knn.topKByCosine(Tables.embeddings(s, dir),
+          idCol = "vec_id", vecCol = "embedding", query = query, k = 20)
+      },
+      Some("""SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ---- 36. exact-after-normalization dedup (content fingerprint, A3/A4) ----
+    QDef("q36_norm_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy(md5(array_join(array_sort(array_distinct(TF.tokens($"text"))), " "))
+            .as("fp"))
+          .agg(min($"doc_id").as("canonical_doc_id"),
+            count(lit(1)).as("n_docs"))
+          .orderBy($"fp")
+      },
+      Some("""SELECT md5(array_to_string(list_sort(
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp,
+        |  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // ---- 37. per-document quality scoring ----
+    QDef("q37_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val nTok = TF.tokenCount($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", nTok.as("n_tok"),
+            TF.typeTokenRatio($"text").as("ttr"),
+            TF.meanTokenLength($"text").as("mean_tok_len"),
+            round(TF.typeTokenRatio($"text") *
+              least(lit(1.0), nTok.cast("double") / 50.0), 6).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    length(replace(text, ' ', '')) AS n_char
+        |  FROM documents)
+        |SELECT doc_id, lang, len(toks) AS n_tok,
+        | CASE WHEN len(toks) > 0 THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END AS ttr,
+        | CASE WHEN len(toks) > 0 THEN round(n_char * 1.0 / len(toks), 6) END AS mean_tok_len,
+        | round(CASE WHEN len(toks) > 0 THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END
+        |       * least(1.0, len(toks) * 1.0 / 50.0), 6) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

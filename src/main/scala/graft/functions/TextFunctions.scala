@@ -51,9 +51,8 @@ object TextFunctions {
 
   def langGuess(text: Column): Column = {
     val t = tokens(text)
-    val hits = size(array_intersect(t, array(enStopwords.map(lit): _*)))
     when(size(t) === 0, lit("und"))
-      .when(hits > 0, lit("en"))
+      .when(arrays_overlap(t, array(enStopwords.map(lit): _*)), lit("en"))
       .otherwise(lit("und"))
   }
 
