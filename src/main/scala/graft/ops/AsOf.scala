@@ -39,26 +39,30 @@ object AsOf {
       rightVersion: Seq[String] = Seq.empty): DataFrame = {
 
     val rv = struct(valueCols.map(col): _*)
+    // Tie-break columns must travel through the union to feed the sort.
+    val vNames = rightVersion.indices.map(i => s"__v$i")
+    val vCols = rightVersion.zip(vNames).map { case (c, n) => col(c).as(n) }
     val rightTagged = right.select(
-      (keys.map(col) :+ col(rightTs).as("__t") :+ rv.as("__rv")): _*)
+      (keys.map(col) ++ Seq(col(rightTs).as("__t")) ++ vCols :+ rv.as("__rv")): _*)
     val rvType = rightTagged.schema("__rv").dataType
+    val vTypes = vNames.map(n => rightTagged.schema(n).dataType)
 
     // __side: right=0 sorts before left=1 at equal time → inclusive backward.
     val r = rightTagged.withColumn("__side", lit(0))
     val leftCols = left.columns
-    val l = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__rv", lit(null).cast(rvType))
-      .withColumn("__side", lit(1))
-      .select((leftCols.map(col) ++ Seq(col("__t"), col("__rv"), col("__side"))): _*)
+    val lExtra =
+      Seq(col(leftTs).as("__t")) ++
+      vNames.zip(vTypes).map { case (n, t) => lit(null).cast(t).as(n) } ++
+      Seq(lit(null).cast(rvType).as("__rv"), lit(1).as("__side"))
+    val l = left.select((leftCols.map(col) ++ lExtra): _*)
 
     // Align right's columns to left's shape (missing left cols → null).
     val rAligned = r.select(
       (leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
-        ++ Seq(col("__t"), col("__rv"), col("__side"))): _*)
+        ++ Seq(col("__t")) ++ vNames.map(col) ++ Seq(col("__rv"), col("__side"))): _*)
 
     val ordCols: Seq[Column] =
-      col("__t") +: col("__side") +: rightVersion.map(col)
+      col("__t") +: col("__side") +: vNames.map(col)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Dedup
+
+/** Incremental ingest: the Spark-native restatement of the reference's
+  * scheduler loop + checkpoint + upsert storage (SURVEY.md §2.10 T1–T5):
+  *
+  *  - T1 scheduler loop (`run_pipeline.py:92-96`)  → Structured Streaming
+  *    file source with `Trigger.AvailableNow` (one catch-up pass per run).
+  *  - T2 per-symbol progress checkpoint (`progress.json`,
+  *    `crypto_data_pipeline_clickhouse.py:317-322`) → the streaming
+  *    checkpoint dir tracks which source files are already ingested.
+  *  - T3 cursor watermark (`:289` resume from last_ts+1) → implicit: only
+  *    new files are read; per-key max-ts is queryable (q24).
+  *  - T4/T5 overlapping refetch + ReplacingMergeTree dedup (`:541`) →
+  *    keep-last merge into a month-partitioned parquet table inside
+  *    `foreachBatch`; re-delivery is harmless (idempotent upsert).
+  *
+  * Scale shape: each batch touches ONLY the month partitions its rows land
+  * in (dynamic partition overwrite) — the 100 TB analog of ClickHouse
+  * rewriting just the merged parts, never the whole table.
+  */
+object IncrementalIngest {
+
+  /** Merge `batch` into the partitioned parquet table at `tableDir`,
+    * keep-last per `keys` ordered by `version`. Only partitions present in
+    * the batch are rewritten.
+    */
+  def upsertBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      keys: Seq[String],
+      version: Seq[String],
+      tsCol: String,
+      tableDir: String): Unit = {
+    val withYm = batch.withColumn("ym", date_format(col(tsCol), "yyyyMM"))
+    val yms = withYm.select("ym").distinct().collect().map(_.getString(0)).toSeq
+    if (yms.isEmpty) return
+
+    val existing: DataFrame =
+      if (new java.io.File(tableDir).exists())
+        spark.read.parquet(tableDir)
+          .filter(col("ym").isin(yms: _*))
+          .select(withYm.columns.map(col): _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], withYm.schema)
+
+    val merged = Dedup.keepLast(existing.unionByName(withYm), keys, version)
+    // Materialize before overwriting the partitions we just read. (At real
+    // scale: stage-and-swap or a snapshotting table format — the same
+    // commit-then-delete discipline as the reference's cache loader,
+    // crypto_data_pipeline_clickhouse.py:644-649.)
+    merged.cache().count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite")
+      .partitionBy("ym")
+      .parquet(tableDir)
+    merged.unpersist()
+  }
+
+  /** One catch-up run: ingest all not-yet-processed files under `srcDir`
+    * into the upsert table. Safe to call repeatedly (the checkpoint skips
+    * already-seen files; re-delivered rows dedup away).
+    */
+  def runOnce(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      version: Seq[String],
+      tsCol: String,
+      tableDir: String,
+      checkpointDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        upsertBatch(spark, batch.toDF(), keys, version, tsCol, tableDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

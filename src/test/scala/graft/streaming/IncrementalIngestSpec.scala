@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** End-to-end incremental upsert (SURVEY.md §2.10 T1–T5): two overlapping
+  * file batches stream through the checkpointed AvailableNow pipeline; the
+  * table must hold exactly the keep-last rows, and re-running must be a
+  * no-op (idempotent restart — the reference's progress.json semantics).
+  */
+class IncrementalIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-batch overlapping ingest keeps last version; rerun is a no-op") {
+    val root = Files.createTempDirectory("graft_ingest").toString
+    val src = s"$root/src"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+
+    def mk(rows: Seq[(String, Long, Long, Double)]) =
+      rows.toDF("symbol", "ts_us", "ingest_seq", "close")
+        .withColumn("tstamp", timestamp_micros($"ts_us"))
+
+    // The file stream source lists srcDir non-recursively: land each batch's
+    // part files flat in srcDir (stage elsewhere, then move).
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet")))
+    }
+
+    val schema = mk(Seq(("X", 1L, 1L, 1.0))).schema
+    val janUs = 1704067200L * 1000000L  // 2024-01-01
+    val febUs = 1706745600L * 1000000L  // 2024-02-01
+
+    // batch 1: two symbols, Jan + Feb
+    land(mk(Seq(("BTC", janUs, 1L, 100.0), ("BTC", febUs, 1L, 110.0),
+           ("ETH", janUs, 1L, 10.0))), "batch1")
+    IncrementalIngest.runOnce(spark, src, schema,
+      keys = Seq("symbol", "ts_us"), version = Seq("ingest_seq"),
+      tsCol = "tstamp", tableDir = table, checkpointDir = ckpt)
+
+    // batch 2: overlapping refetch of BTC Jan (newer version) + new row
+    land(mk(Seq(("BTC", janUs, 2L, 101.0), ("ETH", febUs, 1L, 11.0))), "batch2")
+    IncrementalIngest.runOnce(spark, src, schema,
+      keys = Seq("symbol", "ts_us"), version = Seq("ingest_seq"),
+      tsCol = "tstamp", tableDir = table, checkpointDir = ckpt)
+
+    def snapshot() = spark.read.parquet(table)
+      .select("symbol", "ts_us", "ingest_seq", "close")
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+
+    val after2 = snapshot()
+    assert(after2 === Seq(
+      ("BTC", janUs, 2L, 101.0),   // upserted by batch 2
+      ("BTC", febUs, 1L, 110.0),
+      ("ETH", janUs, 1L, 10.0),
+      ("ETH", febUs, 1L, 11.0)).sorted)
+
+    // T5: rerun with no new files — checkpoint skips everything
+    IncrementalIngest.runOnce(spark, src, schema,
+      keys = Seq("symbol", "ts_us"), version = Seq("ingest_seq"),
+      tsCol = "tstamp", tableDir = table, checkpointDir = ckpt)
+    assert(snapshot() === after2)
+
+    // partition layout is monthly (ym=202401 / ym=202402)
+    val parts = new java.io.File(table).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts === Array("ym=202401", "ym=202402"))
+  }
+}
