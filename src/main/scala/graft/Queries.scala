@@ -594,10 +594,14 @@ object Queries {
         import s.implicits._
         val sh = Tables.documents(s, dir)
           .select($"doc_id", TF.shingles($"text", 3).as("sh"))
-        val e = sh.select($"doc_id", explode($"sh").as("shingle"))
+        // Join on the 60-bit shingle hash, not the string: same pair counts
+        // (collision odds ~|shingles|²/2^61), 8-byte shuffle keys instead of
+        // 20-40-byte strings on the quadratic-blowup join.
+        val e = sh.select($"doc_id",
+          explode(TF.hash60Array($"sh")).as("shingle_h"))
         val sz = sh.select($"doc_id", size($"sh").as("n"))
         val pairs = e.as("a").join(e.as("b"),
-            $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+            $"a.shingle_h" === $"b.shingle_h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("common"))
         pairs

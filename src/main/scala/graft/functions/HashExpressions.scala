@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.GraftExprColumn
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hash-sketch hot paths.
+  *
+  * Why custom: Spark's higher-order functions (`transform`/`aggregate`) are
+  * evaluated INTERPRETED per element — a MinHash signature as
+  * k × `array_min(transform(...))` costs k·|units| boxed lambda calls per
+  * row (≈128M for 5k docs × k=64 × 400 shingles). These expressions do the
+  * same arithmetic in one compiled JVM pass per row; `CodegenFallback` is
+  * fine because per-row work (k·|units| primitive ops) dwarfs the one boxed
+  * call. Semantics are bit-identical to the HOF versions (same md5-based
+  * 60-bit hash, same mod-P permutations), so the DuckDB oracle SQL is
+  * unchanged — unit tests pin the equivalence.
+  */
+object HashExpressions {
+
+  val P: Long = 2147483647L
+
+  /** hash60(s) = first 15 hex chars of md5(s) as a long =
+    * (big-endian first-8-bytes >>> 4) masked to 60 bits.
+    */
+  private[functions] def hash60Bytes(md: MessageDigest, s: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(s)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v >>> 4) & 0x0FFFFFFFFFFFFFFFL
+  }
+
+  /** array<string> → array<long>: the k MinHash minima over md5-based
+    * 60-bit unit hashes mod P, permuted by the fixed (A, B) parameters.
+    * Empty input → array of P (no unit ever hashes to P since P > max mod).
+    */
+  case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val md = MessageDigest.getInstance("MD5")
+      val mins = Array.fill(k)(P)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = hash60Bytes(md, arr.getUTF8String(i).getBytes) % P
+        var j = 0
+        while (j < k) {
+          val p = (a(j) * h + b(j)) % P
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  /** array<string> → long: 60-bit SimHash over the DISTINCT unit hashes
+    * (set semantics, matching `array_distinct` + per-bit sign counting).
+    */
+  case class SimHashFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val md = MessageDigest.getInstance("MD5")
+      val seen = new java.util.HashSet[Long]()
+      val counts = new Array[Int](60)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = hash60Bytes(md, arr.getUTF8String(i).getBytes)
+        if (seen.add(h)) {
+          var j = 0
+          while (j < 60) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 60) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(fp)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashFingerprint = copy(child = c)
+    override def prettyName: String = "simhash_fingerprint"
+  }
+
+  /** NOTE on set semantics: distinct tokens can collide in hash60 (~2^-61
+    * per pair); dedup happens on the HASH (as in the SQL oracle, which also
+    * dedups on the token string — equivalent unless a collision occurs).
+    */
+
+  def minhashSignature(units: Column, k: Int, a: Array[Long], b: Array[Long]): Column =
+    GraftExprColumn.column(
+      MinHashSignature(GraftExprColumn.expression(units), k, a, b))
+
+  def simhashFingerprint(units: Column): Column =
+    GraftExprColumn.column(
+      SimHashFingerprint(GraftExprColumn.expression(units)))
+}

@@ -59,6 +59,9 @@ object TextFunctions {
   /** Document fingerprint: 128-bit MD5 of the exact text (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** hash60 applied to every element of a string array. */
+  def hash60Array(arr: Column): Column = transform(arr, hash60 _)
+
   /** Sliding word n-gram shingles ("a b c", window w): the unit set for
     * Jaccard/MinHash near-dup detection. Sequence-sensitive where raw token
     * sets are not — crucial for a small-vocabulary corpus.

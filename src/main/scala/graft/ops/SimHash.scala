@@ -44,8 +44,11 @@ object SimHash {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is exact only for distance <= 3")
+    // Compiled one-pass fingerprint (see HashExpressions); the HOF
+    // [[fingerprint]] stays as the reference implementation.
     val fp = df.select(col(idCol).as("__id"),
-      fingerprint(TF.tokens(col(textCol))).as("__fp"))
+      graft.functions.HashExpressions
+        .simhashFingerprint(TF.tokens(col(textCol))).as("__fp"))
 
     val chunked = fp.select(col("__id"), col("__fp"),
       explode(array((0 until 4).map { i =>
