@@ -541,6 +541,78 @@ object Queries {
         | sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "R"
         |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
 
+    // ---- 26. approx distinct (A1 at scale; HLL sketch differs per engine
+    //          → no SQL oracle, driver records the rows-only check) ----
+    QDef("q26_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+            countDistinct($"l_partkey").as("exact_parts"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ---- 27. higher-order first-match (S2: next(f for f in filters ...)) ----
+    QDef("q27_first_match",
+      (s, dir) => {
+        import s.implicits._
+        val toks = TF.tokens($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            try_element_at(filter(toks, t => length(t) >= 6), lit(1)).as("first_long_token"),
+            size(filter(toks, t => length(t) >= 6)).as("n_long"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        | list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |             t -> length(t) >= 6)[1] AS first_long_token,
+        | len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |             t -> length(t) >= 6)) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- 28. try_cast coercion (F12: to_numeric errors=coerce) ----
+    QDef("q28_try_cast",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey",
+            coalesce($"o_orderstatus".try_cast("int"), lit(-1)).as("status_num"),
+            coalesce(regexp_extract($"o_orderpriority", "^(\\d+)", 1).try_cast("int"),
+              lit(0)).as("prio_num"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        | coalesce(TRY_CAST(o_orderstatus AS INTEGER), -1) AS status_num,
+        | coalesce(TRY_CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INTEGER), 0) AS prio_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- 29. native session_window (streaming-compatible sessionization;
+    //          new session iff gap >= 30min — adjacent windows don't merge) ----
+    QDef("q29_session_window",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id", session_window($"tstamp", "30 minutes").as("__w"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 4).as("sum_value"))
+          .select($"user_id", unix_micros($"__w.start").as("session_start_us"),
+            $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS st
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
+
     // ---- 30. text statistics per language (north star: text analysis) ----
     QDef("q30_text_stats",
       (s, dir) => {

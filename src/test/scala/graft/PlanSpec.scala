@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans we designed for are the plans Spark
+  * picks. These are the properties that decide 100 TB behavior — a silent
+  * regression to a shuffle join or a full-column scan matters more than a
+  * few percent of local runtime.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val qe = Queries.byName(name).fn(spark, dir).queryExecution
+    qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q04 dimension join is a broadcast hash join (no shuffle of the fact side)") {
+    assert(plan("q04_dim_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q02 filters are pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    // plan strings truncate the filter list; the leading entries suffice
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q02 scan reads only the projected columns") {
+    val p = plan("q02_filter_project")
+    // ReadSchema must not include untouched wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen") {
+    // AQE shows codegen stage ids only in the final (executed) plan
+    val df = Queries.byName("q01_pricing_summary").fn(spark, dir)
+    df.collect()
+    // "*(n)" prefixes mark whole-stage-codegen stages in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p.take(2000))
+  }
+
+  test("q06 semi join and q07 anti join plan as such") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+}
