@@ -613,6 +613,24 @@ object Queries {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ---- 38. SQL text surface (S9: clickhouse_query analog — the same
+    //          engine reached through spark.sql over registered views) ----
+    QDef("q38_sql_surface",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""SELECT c_mktsegment, count(*) AS n,
+                |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+                |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+                |WHERE o_orderstatus = 'F'
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- 30. text statistics per language (north star: text analysis) ----
     QDef("q30_text_stats",
       (s, dir) => {
