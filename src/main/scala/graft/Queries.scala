@@ -613,6 +613,21 @@ object Queries {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ---- 39. cube (multi-dimensional grouping sets) ----
+    QDef("q39_cube",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast(dec38_6)).as("sum_price"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // ---- 38. SQL text surface (S9: clickhouse_query analog — the same
     //          engine reached through spark.sql over registered views) ----
     QDef("q38_sql_surface",
@@ -684,15 +699,22 @@ object Queries {
         import s.implicits._
         val sh = Tables.documents(s, dir)
           .select($"doc_id", TF.shingles($"text", 3).as("sh"))
-        // Join on the 60-bit shingle hash, not the string: same pair counts
-        // (collision odds ~|shingles|²/2^61), 8-byte shuffle keys instead of
-        // 20-40-byte strings on the quadratic-blowup join.
+        // Pairs via the inverted index, not a self-join: group docs per
+        // 60-bit shingle hash (8-byte shuffle keys; collision odds
+        // ~|shingles|²/2^61), then emit each group's C(g,2) ordered pairs
+        // in-task — one shuffle of the postings + one of the half-size pair
+        // stream, vs shuffling the exploded table twice and filtering g²
+        // join rows down to half.
         val e = sh.select($"doc_id",
           explode(TF.hash60Array($"sh")).as("shingle_h"))
         val sz = sh.select($"doc_id", size($"sh").as("n"))
-        val pairs = e.as("a").join(e.as("b"),
-            $"a.shingle_h" === $"b.shingle_h" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        val postings = e.groupBy($"shingle_h")
+          .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        val pairs = postings
+          .select(explode(flatten(transform($"ds", (a, i) =>
+            transform(slice($"ds", i + 2, size($"ds")), b =>
+              struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .groupBy($"p.doc_a", $"p.doc_b")
           .agg(count(lit(1)).as("common"))
         pairs
           .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
