@@ -823,6 +823,22 @@ object Queries {
         |  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
 
+    // ---- 40. embedding-cosine near-dup pairs (exact; SRP-LSH is the
+    //          scale path, unit-tested on clustered vectors) ----
+    QDef("q40_embed_neardup",
+      (s, dir) => {
+        import s.implicits._
+        Knn.nearDuplicatePairs(Tables.embeddings(s, dir),
+            idCol = "vec_id", vecCol = "embedding", threshold = 0.45)
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // ---- 37. per-document quality scoring ----
     QDef("q37_quality_score",
       (s, dir) => {

@@ -104,6 +104,75 @@ object HashExpressions {
     * dedups on the token string — equivalent unless a collision occurs).
     */
 
+  /** Cosine similarity of two float-array columns, compiled double loop
+    * (the HOF zip_with/aggregate form costs |dims| interpreted lambda calls
+    * per row-pair — prohibitive inside an all-pairs join).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  /** Signed-random-projection signature: bit j = sign(dot(v, plane_j)) over
+    * `nPlanes` deterministic pseudo-random hyperplanes (SplitMix64-derived,
+    * so every engine/run agrees). The Hamming distance between signatures
+    * estimates the angle — the LSH family for cosine similarity.
+    */
+  case class SrpSignature(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nPlanes <= 60, "signature packs into 60 bits")
+    override def dataType: DataType = LongType
+    private def planeComponent(j: Int, d: Int): Double = {
+      // SplitMix64 of (j, d) → uniform in [-1, 1]
+      var z = j.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var sig = 0L
+      var j = 0
+      while (j < nPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += a.getFloat(d).toDouble * planeComponent(j, d); d += 1 }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SrpSignature = copy(child = c)
+    override def prettyName: String = "srp_signature"
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftExprColumn.column(CosineSim(
+      GraftExprColumn.expression(a), GraftExprColumn.expression(b)))
+
+  def srpSignature(v: Column, nPlanes: Int): Column =
+    GraftExprColumn.column(SrpSignature(GraftExprColumn.expression(v), nPlanes))
+
   def minhashSignature(units: Column, k: Int, a: Array[Long], b: Array[Long]): Column =
     GraftExprColumn.column(
       MinHashSignature(GraftExprColumn.expression(units), k, a, b))

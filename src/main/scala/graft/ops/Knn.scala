@@ -31,6 +31,49 @@ object Knn {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Embedding-cosine near-duplicate pairs, exact: all ordered pairs with
+    * cosine ≥ threshold (compiled [[graft.functions.HashExpressions.CosineSim]]
+    * — the interpreted HOF dot product is ~100× slower inside an all-pairs
+    * join). Quadratic by definition; the scale path is [[srpCandidatePairs]].
+    */
+  def nearDuplicatePairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** SRP-LSH candidate pairs: vectors sharing at least one `rowsPerBand`-bit
+    * chunk of their signed-random-projection signature. Candidates estimate
+    * high-cosine pairs; callers re-verify exactly (same verify-after-block
+    * shape as MinHashLSH). Shuffles only (chunk, value) buckets — the
+    * 100 TB-safe alternative to the quadratic [[nearDuplicatePairs]].
+    */
+  def srpCandidatePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 48, rowsPerBand: Int = 8): DataFrame = {
+    val bands = nPlanes / rowsPerBand
+    val mask = (1L << rowsPerBand) - 1
+    val sig = emb.select(col(idCol).as("__id"),
+      graft.functions.HashExpressions.srpSignature(col(vecCol), nPlanes).as("__sig"))
+    val chunked = sig.select(col("__id"),
+      explode(array((0 until bands).map { i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("__sig"), i * rowsPerBand).bitwiseAND(lit(mask)).as("cval"))
+      }: _*)).as("__c"))
+      .select(col("__id"), col("__c.chunk"), col("__c.cval"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+        col("x.cval") === col("y.cval") &&
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("vec_a"), col("y.__id").as("vec_b"))
+      .distinct()
+  }
+
   /** Per-cell centroids (elementwise mean of vectors). Output: cell, centroid. */
   def centroids(emb: DataFrame, cellCol: String, vecCol: String): DataFrame =
     emb.select(col(cellCol).as("cell"),

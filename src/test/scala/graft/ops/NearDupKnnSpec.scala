@@ -51,6 +51,28 @@ class NearDupKnnSpec extends AnyFunSuite {
     assert(brute === pairs.size.toLong)
   }
 
+  test("srp-lsh candidates catch all planted near-dup embedding pairs") {
+    val rng = new scala.util.Random(7)
+    // 30 base vectors, each duplicated with tiny noise -> 30 planted pairs
+    val base = (0 until 30).map(i => Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong * 2, v.toSeq),
+          (i.toLong * 2 + 1, v.map(x => x + rng.nextFloat() * 0.01f).toSeq))
+    }.toDF("vec_id", "embedding")
+    val cands = Knn.srpCandidatePairs(rows, "vec_id", "embedding",
+        nPlanes = 48, rowsPerBand = 8)
+      .as[(Long, Long)].collect().toSet
+    (0 until 30).foreach { i =>
+      assert(cands.contains((i.toLong * 2, i.toLong * 2 + 1)), s"pair $i missed")
+    }
+    // verify-after-block: exact cosine confirms the planted pairs
+    val exact = Knn.nearDuplicatePairs(rows, "vec_id", "embedding", 0.999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    (0 until 30).foreach { i =>
+      assert(exact.contains((i.toLong * 2, i.toLong * 2 + 1)))
+    }
+  }
+
   test("ivf with all cells probed == brute force; 1 probe recovers a clustered query") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val query = emb.filter($"vec_id" === 1).select("embedding")
