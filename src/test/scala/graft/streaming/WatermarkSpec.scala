@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+
+/** Streaming tumbling-window aggregation with watermark (SURVEY.md §2.10):
+  * the streaming form of the OHLCV resample must agree with the batch
+  * computation once all data is processed (AvailableNow catch-up).
+  */
+class WatermarkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed windowed agg with watermark == batch resample") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy($"event_type", window($"tstamp", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("v"))
+      .select($"event_type", unix_micros($"window.start").as("b"), $"n", $"v")
+
+    val stream = spark.readStream
+      .schema(graft.Tables.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tstamp", "10 minutes")
+      .groupBy($"event_type", window($"tstamp", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("v"))
+      .select($"event_type", unix_micros($"window.start").as("b"), $"n", $"v")
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("wm_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("wm_out")
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+    val want = batch.as[(String, Long, Long, Double)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+}
