@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.HashExpressions
+import graft.ops.MinHashLSH
+
+/** SparkSessionExtensions entry point: registers the engine's compiled
+  * expressions as SQL functions, so the `spark.sql` surface (S9) reaches
+  * them too:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   spark.sql("SELECT simhash_fingerprint(tokens) FROM docs")
+  *
+  * No optimizer rules or strategies are injected — SURVEY.md §4: every
+  * reference capability plans efficiently with Catalyst's built-ins; custom
+  * code stays at the expression level.
+  */
+object GraftExtensions {
+  /** Same registrations against an already-built (classic) session — for
+    * notebooks/tests that can't pass extensions at build time.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.classic.GraftExprColumn.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("simhash_fingerprint",
+      args => HashExpressions.SimHashFingerprint(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      args => {
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
+        }
+        HashExpressions.MinHashSignature(args.head, k,
+          MinHashLSH.A.take(k), MinHashLSH.B.take(k))
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      args => HashExpressions.CosineSim(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("srp_signature",
+      args => {
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case o => throw new IllegalArgumentException(s"nPlanes must be a literal, got $o")
+        }
+        HashExpressions.SrpSignature(args.head, n)
+      }, "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[HashExpressions.type].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fingerprint"),
+      info("simhash_fingerprint", "_FUNC_(tokens) - 60-bit SimHash of a string array"),
+      (args: Seq[Expression]) => HashExpressions.SimHashFingerprint(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "_FUNC_(units, k) - k-wide MinHash signature"),
+      (args: Seq[Expression]) => {
+        val k = intArg(args(1), "k")
+        HashExpressions.MinHashSignature(args.head, k,
+          MinHashLSH.A.take(k), MinHashLSH.B.take(k))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => HashExpressions.CosineSim(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("srp_signature"),
+      info("srp_signature", "_FUNC_(vec, nPlanes) - signed-random-projection bits"),
+      (args: Seq[Expression]) =>
+        HashExpressions.SrpSignature(args.head, intArg(args(1), "nPlanes"))))
+  }
+}

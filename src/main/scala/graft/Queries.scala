@@ -613,6 +613,22 @@ object Queries {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ---- 41. salted two-stage aggregation (skew mitigation; decimal sums
+    //          keep it bit-equal to the plain aggregate the oracle runs) ----
+    QDef("q41_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables.lineitem(s, dir)
+          .withColumn("q", $"l_quantity".cast(dec38_6))
+        graft.ops.Salted.sumCount(df, Seq("l_returnflag"), "q", buckets = 16)
+          .withColumnRenamed("sum_q", "sum_qty")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- 39. cube (multi-dimensional grouping sets) ----
     QDef("q39_cube",
       (s, dir) => {

@@ -11,4 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExprColumn {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Session function registry (package-private in classic). */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
 }
