@@ -727,9 +727,7 @@ object Queries {
         val postings = e.groupBy($"shingle_h")
           .agg(sort_array(collect_list($"doc_id")).as("ds"))
         val pairs = postings
-          .select(explode(flatten(transform($"ds", (a, i) =>
-            transform(slice($"ds", i + 2, size($"ds")), b =>
-              struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .select(explode(graft.functions.HashExpressions.orderedPairs($"ds")).as("p"))
           .groupBy($"p.doc_a", $"p.doc_b")
           .agg(count(lit(1)).as("common"))
         pairs

@@ -166,6 +166,43 @@ object HashExpressions {
     override def prettyName: String = "srp_signature"
   }
 
+  /** array<long> → array<struct<doc_a,doc_b>>: all C(n,2) ordered pairs of
+    * a posting list (compiled; the nested-transform HOF form allocates
+    * interpreted rows per element). Input should be sorted+distinct so
+    * pair order is (smaller, larger).
+    */
+  case class OrderedPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("doc_a", LongType, nullable = false),
+        StructField("doc_b", LongType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val a = arr.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(a, arr.getLong(j))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): OrderedPairs = copy(child = c)
+    override def prettyName: String = "ordered_pairs"
+  }
+
+  def orderedPairs(sortedIds: Column): Column =
+    GraftExprColumn.column(OrderedPairs(GraftExprColumn.expression(sortedIds)))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftExprColumn.column(CosineSim(
       GraftExprColumn.expression(a), GraftExprColumn.expression(b)))

@@ -40,10 +40,12 @@ object Knn {
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(
-        graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6))
-      .filter(col("cos") >= threshold)
+    val cos = round(
+      graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6)
+    // threshold INSIDE the join condition: the nested-loop join then emits
+    // only qualifying pairs instead of materializing all O(n²) wide rows
+    a.join(b, col("vec_a") < col("vec_b") && cos >= threshold)
+      .withColumn("cos", cos)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 

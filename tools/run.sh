@@ -13,9 +13,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+mkdir -p /dev/shm/spark-local
 exec java -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   $ADDOPENS \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.local.dir=/dev/shm/spark-local \
   "$CLS" "$@"
