@@ -713,7 +713,10 @@ object Queries {
     QDef("q32_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
+        // repartition: the documents table is one parquet split — without
+        // this the whole shingling runs on one core
         val sh = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
           .select($"doc_id", TF.shingles($"text", 3).as("sh"))
         // Pairs via the inverted index, not a self-join: group docs per
         // 60-bit shingle hash (8-byte shuffle keys; collision odds

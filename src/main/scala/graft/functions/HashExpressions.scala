@@ -37,21 +37,29 @@ object HashExpressions {
     (v >>> 4) & 0x0FFFFFFFFFFFFFFFL
   }
 
-  /** array<string> → array<long>: the k MinHash minima over md5-based
-    * 60-bit unit hashes mod P, permuted by the fixed (A, B) parameters.
+  /** array<string> OR array<long> → array<long>: the k MinHash minima over
+    * md5-based 60-bit unit hashes mod P, permuted by the fixed (A, B)
+    * parameters. Long input is treated as pre-computed [[Hash60Array]]
+    * output (hash once, reuse for signature AND exact verification).
     * Empty input → array of P (no unit ever hashes to P since P > max mod).
     */
   case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[Long])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val preHashed = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
-      val md = MessageDigest.getInstance("MD5")
+      val md = if (preHashed) null else MessageDigest.getInstance("MD5")
       val mins = Array.fill(k)(P)
       var i = 0
       val n = arr.numElements()
       while (i < n) {
-        val h = hash60Bytes(md, arr.getUTF8String(i).getBytes) % P
+        val h =
+          (if (preHashed) arr.getLong(i)
+           else hash60Bytes(md, arr.getUTF8String(i).getBytes)) % P
         var j = 0
         while (j < k) {
           val p = (a(j) * h + b(j)) % P
@@ -65,6 +73,62 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
     override def prettyName: String = "minhash_signature"
   }
+
+  /** array<string> → array<long>: 60-bit md5 hash per element, SORTED — the
+    * set representation shared by the MinHash signature and the exact
+    * set-intersection verification.
+    */
+  case class Hash60Array(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val md = MessageDigest.getInstance("MD5")
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = hash60Bytes(md, arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Hash60Array = copy(child = c)
+    override def prettyName: String = "hash60_array"
+  }
+
+  /** |a ∩ b| for two SORTED long arrays — one linear merge, no per-row hash
+    * set (what `array_intersect` builds internally).
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val na = a.numElements(); val nb = b.numElements()
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_intersect_count"
+  }
+
+  def hash60Array(units: Column): Column =
+    GraftExprColumn.column(Hash60Array(GraftExprColumn.expression(units)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftExprColumn.column(SortedIntersectCount(
+      GraftExprColumn.expression(a), GraftExprColumn.expression(b)))
 
   /** array<string> → long: 60-bit SimHash over the DISTINCT unit hashes
     * (set semantics, matching `array_distinct` + per-bit sign counting).

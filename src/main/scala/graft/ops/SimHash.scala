@@ -45,8 +45,10 @@ object SimHash {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is exact only for distance <= 3")
     // Compiled one-pass fingerprint (see HashExpressions); the HOF
-    // [[fingerprint]] stays as the reference implementation.
-    val fp = df.select(col(idCol).as("__id"),
+    // [[fingerprint]] stays as the reference implementation. Repartition
+    // first: small document files = one split = one core otherwise.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val fp = df.repartition(par).select(col(idCol).as("__id"),
       graft.functions.HashExpressions
         .simhashFingerprint(TF.tokens(col(textCol))).as("__fp"))
 
