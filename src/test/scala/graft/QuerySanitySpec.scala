@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-surface sanity: every declared query runs and returns rows at the
+  * smoke scale, the HLL estimate is tight, and order-sensitive operators are
+  * run-to-run deterministic (the property the oracle hash-compare relies on).
+  */
+class QuerySanitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query executes and returns rows at sf0.001") {
+    Queries.all.foreach { q =>
+      val rows = q.fn(spark, dir).collect()
+      assert(rows.nonEmpty, s"${q.name} returned no rows")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact (q26)") {
+    val rows = Queries.byName("q26_approx_distinct").fn(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("order-sensitive queries are run-to-run deterministic") {
+    Seq("q08_dedup_keeplast", "q33_minhash_lsh", "q35_knn_cosine", "q15_asof_join")
+      .foreach { name =>
+        val a = Queries.byName(name).fn(spark, dir).collect().toSeq
+        val b = Queries.byName(name).fn(spark, dir).collect().toSeq
+        assert(a === b, name)
+      }
+  }
+}
