@@ -613,6 +613,27 @@ object Queries {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ---- 42. ranking-family windows: ntile / percent_rank / cume_dist ----
+    QDef("q42_rank_family",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        Tables.customer(s, dir)
+          .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy($"c_mktsegment", $"pct_rank", $"c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin)),
+
     // ---- 41. salted two-stage aggregation (skew mitigation; decimal sums
     //          keep it bit-equal to the plain aggregate the oracle runs) ----
     QDef("q41_salted_agg",
