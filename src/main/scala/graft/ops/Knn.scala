@@ -38,7 +38,10 @@ object Knn {
     */
   def nearDuplicatePairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    // fan the streamed side across cores — a single-split table would put
+    // all O(n²) cosine work in one task
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val a = emb.repartition(par).select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
     val cos = round(
       graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6)
