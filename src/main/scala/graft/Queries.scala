@@ -613,6 +613,32 @@ object Queries {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin)),
 
+    // ---- 43. SQL-registered custom expression end-to-end: the extension-
+    //          injected simhash function used from spark.sql, oracle-matched
+    //          against the same arithmetic in DuckDB ----
+    QDef("q43_sql_simhash",
+      (s, dir) => {
+        GraftExtensions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+        s.sql("""SELECT lang,
+                |  count(DISTINCT simhash_fingerprint(
+                |    filter(split(text, ' '), x -> x != ''))) AS n_fingerprints,
+                |  count(*) AS n_docs
+                |FROM documents_v GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH tok AS (SELECT lang,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |th AS (SELECT lang,
+        |    list_transform(toks, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM tok),
+        |fp AS (SELECT lang, CAST(list_sum(
+        |    [CASE WHEN CAST(list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) AS BIGINT) > 0
+        |          THEN (1::BIGINT << j) ELSE 0 END for j in range(60)]) AS BIGINT) AS f
+        |  FROM th)
+        |SELECT lang, count(DISTINCT f) AS n_fingerprints, count(*) AS n_docs
+        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- 42. ranking-family windows: ntile / percent_rank / cume_dist ----
     QDef("q42_rank_family",
       (s, dir) => {

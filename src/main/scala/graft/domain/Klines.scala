@@ -107,6 +107,26 @@ object Klines {
   def coerceNumeric(c: Column): Column =
     coalesce(c.try_cast("double"), lit(0.0))
 
+  /** Margin interest-rate rows (`MARGIN_RATES_SCHEMA`
+    * `crypto_data_pipeline_clickhouse.py:511-518`; fetch normalization
+    * `additional_data.py:207-245`): epoch-ms → timestamp, coerced rate,
+    * literal exchange/vip stamps.
+    */
+  val marginRatesSchema = StructType(Seq(
+    StructField("asset", StringType), StructField("exchange", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("daily_interest_rate", DoubleType),
+    StructField("vip_level", IntegerType)))
+
+  def normalizeMarginRates(raw: DataFrame, asset: String, exchange: String,
+                           vipLevel: Int): DataFrame =
+    raw.select(
+      lit(asset).as("asset"),
+      lit(exchange).as("exchange"),
+      timestamp_millis(col("timestamp")).as("timestamp"),
+      coerceNumeric(col("dailyInterestRate")).as("daily_interest_rate"),
+      lit(vipLevel).as("vip_level"))
+
   /** Align each kline to the latest funding rate at-or-before its bar time —
     * the star-schema temporal join every consumer of `bn_funding_rates` ×
     * kline tables performs (SURVEY.md §2.4 J3).

@@ -78,6 +78,18 @@ class KlinesSpec extends AnyFunSuite {
     assert(out === Seq(0.0001, 0.0002))
   }
 
+  test("margin-rate normalization: epoch-ms, coercion, literal stamps") {
+    val raw = Seq(
+      (1704067200000L, "0.0002"),
+      (1704153600000L, "garbage")
+    ).toDF("timestamp", "dailyInterestRate")
+    val out = Klines.normalizeMarginRates(raw, "BTC", "binance", 0)
+      .orderBy("timestamp").collect()
+    assert(out.map(_.getAs[Double]("daily_interest_rate")).toSeq === Seq(0.0002, 0.0))
+    assert(out(0).getAs[java.sql.Timestamp]("timestamp").getTime === 1704067200000L)
+    assert(out(0).getAs[String]("asset") === "BTC")
+  }
+
   test("exchange-info JSON: spot + perp symbol extraction with nested filters") {
     val payload = """{"symbols":[
       {"symbol":"BTCUSDT","baseAsset":"BTC","quoteAsset":"USDT","status":"TRADING",
