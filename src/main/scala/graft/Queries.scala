@@ -220,7 +220,7 @@ object Queries {
         val w = Window.partitionBy($"c_mktsegment")
           .orderBy($"c_acctbal".desc, $"c_custkey".asc)
         Tables.customer(s, dir)
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter($"rn" <= 3)
           .select($"c_mktsegment", $"rn", $"c_custkey", $"c_acctbal")
           .orderBy($"c_mktsegment", $"rn")
@@ -562,7 +562,7 @@ object Queries {
         Tables.documents(s, dir)
           .select($"doc_id",
             try_element_at(filter(toks, t => length(t) >= 6), lit(1)).as("first_long_token"),
-            size(filter(toks, t => length(t) >= 6)).as("n_long"))
+            size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -647,7 +647,7 @@ object Queries {
           .orderBy($"c_acctbal".desc, $"c_custkey".asc)
         Tables.customer(s, dir)
           .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
-            ntile(4).over(w).as("quartile"),
+            ntile(4).over(w).cast("long").as("quartile"),
             round(percent_rank().over(w), 6).as("pct_rank"),
             round(cume_dist().over(w), 6).as("cume"))
           .orderBy($"c_mktsegment", $"pct_rank", $"c_custkey")
@@ -909,7 +909,7 @@ object Queries {
         import s.implicits._
         val nTok = TF.tokenCount($"text")
         Tables.documents(s, dir)
-          .select($"doc_id", $"lang", nTok.as("n_tok"),
+          .select($"doc_id", $"lang", nTok.cast("long").as("n_tok"),
             TF.typeTokenRatio($"text").as("ttr"),
             TF.meanTokenLength($"text").as("mean_tok_len"),
             round(TF.typeTokenRatio($"text") *
