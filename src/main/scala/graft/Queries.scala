@@ -45,6 +45,16 @@ object Queries {
   private val revenueSql =
     "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(12,6)))"
 
+  /** Hash-stable final rendering of an exact decimal aggregate. Readers
+    * materialize parquet DECIMAL differently (pyarrow Decimal vs DuckDB's
+    * hugeint/10^scale double), so a decimal OUTPUT column hash-mismatches
+    * even when values are identical. Both engines render DECIMAL→string
+    * with every scale digit ("1.500000"), so the decimal math stays exact
+    * internally and the output column is representation-independent.
+    * Oracle side pairs with `CAST(... AS VARCHAR)`.
+    */
+  private def decStr(c: Column): Column = c.cast("string")
+
   val all: Seq[QDef] = Seq(
 
     // ---- 1. scan + projection + aggregation (A2/A5, P1, F-family) ----
@@ -55,17 +65,17 @@ object Queries {
           .filter($"l_shipdate" <= lit("2001-06-01").cast("timestamp_ntz"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sum($"l_quantity".cast(dec38_6)).as("sum_qty"),
-            sum($"l_extendedprice".cast(dec38_6)).as("sum_base_price"),
-            revenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+            decStr(sum($"l_quantity".cast(dec38_6))).as("sum_qty"),
+            decStr(sum($"l_extendedprice".cast(dec38_6))).as("sum_base_price"),
+            decStr(revenue($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
             round(avg($"l_quantity"), 4).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-        | $revenueSql AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_base_price,
+        | CAST($revenueSql AS VARCHAR) AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -116,13 +126,13 @@ object Queries {
           .groupBy($"c_mktsegment")
           .agg(
             count(lit(1)).as("n_orders"),
-            sum($"o_totalprice".cast(dec38_6)).as("sum_price"),
+            decStr(sum($"o_totalprice".cast(dec38_6))).as("sum_price"),
             countDistinct($"o_custkey").as("n_customers"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment,
         | count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_price,
         | count(DISTINCT o_custkey) AS n_customers
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
@@ -137,12 +147,12 @@ object Queries {
             $"l_orderkey" === $"o_orderkey", "inner")
           .groupBy($"o_orderpriority")
           .agg(
-            revenue($"l_extendedprice", $"l_discount").as("revenue"),
+            decStr(revenue($"l_extendedprice", $"l_discount")).as("revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy($"o_orderpriority")
       },
       Some(s"""SELECT o_orderpriority,
-        | $revenueSql AS revenue,
+        | CAST($revenueSql AS VARCHAR) AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -204,12 +214,12 @@ object Queries {
         Tables.lineitem(s, dir)
           .groupBy(date_format($"l_shipdate", "yyyyMM").as("ym"))
           .agg(
-            sum($"l_quantity".cast(dec38_6)).as("sum_qty"),
+            decStr(sum($"l_quantity".cast(dec38_6))).as("sum_qty"),
             count(lit(1)).as("n_lines"))
           .orderBy($"ym")
       },
       Some("""SELECT strftime(l_shipdate, '%Y%m') AS ym,
-        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty,
         | count(*) AS n_lines
         |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
 
@@ -361,11 +371,11 @@ object Queries {
         y95.unionByName(y00)
           .groupBy($"o_orderstatus")
           .agg(count(lit(1)).as("n"),
-            sum($"o_totalprice".cast(dec38_6)).as("sum_price"))
+            decStr(sum($"o_totalprice".cast(dec38_6))).as("sum_price"))
           .orderBy($"o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-        | sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_price
         |FROM (SELECT * FROM orders
         |      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -425,12 +435,12 @@ object Queries {
         import s.implicits._
         Tables.lineitem(s, dir)
           .rollup($"l_returnflag", $"l_linestatus")
-          .agg(sum($"l_quantity".cast(dec38_6)).as("sum_qty"),
+          .agg(decStr(sum($"l_quantity".cast(dec38_6))).as("sum_qty"),
             count(lit(1)).as("n"))
           .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, count(*) AS n
+        | CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
@@ -533,16 +543,21 @@ object Queries {
           .groupBy(date_format($"l_shipdate", "yyyyMM").as("ym"))
           .pivot("l_returnflag", Seq("A", "N", "R"))
           .agg(sum($"l_quantity".cast(dec38_6)))
+          .select($"ym", decStr($"A").as("A"), decStr($"N").as("N"),
+            decStr($"R").as("R"))
           .orderBy($"ym")
       },
       Some("""SELECT strftime(l_shipdate, '%Y%m') AS ym,
-        | sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "A",
-        | sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "N",
-        | sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS "R"
+        | CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS VARCHAR) AS "A",
+        | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS VARCHAR) AS "N",
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS VARCHAR) AS "R"
         |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
 
-    // ---- 26. approx distinct (A1 at scale; HLL sketch differs per engine
-    //          → no SQL oracle, driver records the rows-only check) ----
+    // ---- 26. approx distinct (A1 at scale). HLL sketches differ per
+    //          engine, so the exactly-checkable surface is the exact count
+    //          plus a tolerance boolean on each engine's own estimate
+    //          (rsd=0.05 → ±10% is a >4-sigma band): booleans agree, hash
+    //          matches, and the approx path is still exercised. ----
     QDef("q26_approx_distinct",
       (s, dir) => {
         import s.implicits._
@@ -550,9 +565,16 @@ object Queries {
           .groupBy($"l_returnflag")
           .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
             countDistinct($"l_partkey").as("exact_parts"))
+          .select($"l_returnflag", $"exact_parts",
+            ($"approx_parts".cast("double") / $"exact_parts".cast("double"))
+              .between(0.9, 1.1).as("approx_ok"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | (approx_count_distinct(l_partkey) * 1.0
+        |   / count(DISTINCT l_partkey)) BETWEEN 0.9 AND 1.1 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- 27. higher-order first-match (S2: next(f for f in filters ...)) ----
     QDef("q27_first_match",
@@ -668,11 +690,12 @@ object Queries {
         val df = Tables.lineitem(s, dir)
           .withColumn("q", $"l_quantity".cast(dec38_6))
         graft.ops.Salted.sumCount(df, Seq("l_returnflag"), "q", buckets = 16)
-          .withColumnRenamed("sum_q", "sum_qty")
+          .withColumn("sum_qty", decStr($"sum_q")).drop("sum_q")
+          .select($"l_returnflag", $"sum_qty", $"n")
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
-        |  sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -683,11 +706,11 @@ object Queries {
         Tables.orders(s, dir)
           .cube($"o_orderstatus", $"o_orderpriority")
           .agg(count(lit(1)).as("n"),
-            sum($"o_totalprice".cast(dec38_6)).as("sum_price"))
+            decStr(sum($"o_totalprice".cast(dec38_6))).as("sum_price"))
           .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
       },
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
@@ -698,13 +721,13 @@ object Queries {
         Tables.orders(s, dir).createOrReplaceTempView("orders_v")
         Tables.customer(s, dir).createOrReplaceTempView("customer_v")
         s.sql("""SELECT c_mktsegment, count(*) AS n,
-                |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS sum_price
                 |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
                 |WHERE o_orderstatus = 'F'
                 |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
