@@ -910,8 +910,12 @@ object Queries {
         |  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
 
-    // ---- 40. embedding-cosine near-dup pairs (exact; SRP-LSH is the
-    //          scale path, unit-tested on clustered vectors) ----
+    // ---- 40. embedding-cosine near-dup pairs, exact, via the block-tiled
+    //          pair join (uniform tasks, bounded memory, no nested-loop
+    //          broadcast — PlanSpec pins the shape). Θ(n²) comparisons are
+    //          forced at this threshold: the fixture's closest reject
+    //          (0.4497) and farthest accept (0.4501) leave no margin any
+    //          sublinear blocker could exploit. q44 is the sublinear path. ----
     QDef("q40_embed_neardup",
       (s, dir) => {
         import s.implicits._
@@ -924,6 +928,34 @@ object Queries {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ---- 44. cross-batch duplicate detection via SRP-LSH + exact verify —
+    //          the sublinear embedding near-dup surface. Two ingest batches
+    //          (the second re-delivers every vector under a shifted id, the
+    //          reference's overlapping-page reality); duplicates collide in
+    //          EVERY band because identical vectors hash to identical
+    //          signatures, so recall is exactly 1 by construction — no
+    //          probabilistic caveat at this threshold (closest non-dup pair
+    //          in the data is ~0.51 cosine, far under 0.95). Shuffles only
+    //          (chunk,value) buckets + candidate verifies; never all pairs. ----
+    QDef("q44_cross_batch_dup",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val redelivered = e.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        Knn.srpVerifiedPairs(e.unionByName(redelivered),
+            idCol = "vec_id", vecCol = "embedding", threshold = 0.95)
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some("""WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
         |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // ---- 37. per-document quality scoring ----

@@ -34,22 +34,49 @@ object Knn {
   /** Embedding-cosine near-duplicate pairs, exact: all ordered pairs with
     * cosine ≥ threshold (compiled [[graft.functions.HashExpressions.CosineSim]]
     * — the interpreted HOF dot product is ~100× slower inside an all-pairs
-    * join). Quadratic by definition; the scale path is [[srpCandidatePairs]].
+    * join).
+    *
+    * Exact pair enumeration is Θ(n²) COMPARISONS by necessity — at a loose
+    * threshold on diffuse vectors (no margin between the closest reject and
+    * the farthest accept) no sublinear candidate generator can promise
+    * recall 1. What CAN be made scale-safe is the execution shape, so this
+    * is a **block-tiled pair join**, not a BroadcastNestedLoopJoin:
+    * vectors are hashed into `blocks` groups; each of the C(blocks,2)+blocks
+    * tiles (i ≤ j) is one equi-join key, so the work lands as uniform
+    * independent tasks, per-task memory is bounded by 2·n/blocks vectors
+    * (choose blocks ∝ √cluster-size at scale), nothing is broadcast, and
+    * the cosine threshold sits inside the join condition so non-qualifying
+    * pairs die in the probe loop without materializing. For genuinely
+    * sublinear candidate generation use [[srpCandidatePairs]] /
+    * [[srpVerifiedPairs]] at a high threshold where the LSH gap is real.
     */
   def nearDuplicatePairs(
-      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    // fan the streamed side across cores — a single-split table would put
-    // all O(n²) cosine work in one task
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      blocks: Int = 0): DataFrame = {
     val par = emb.sparkSession.sparkContext.defaultParallelism
-    val a = emb.repartition(par).select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
-    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    // ~2 tiles per core by default: tiles = nb·(nb+1)/2 ≈ 2·par
+    val nb = math.max(2, if (blocks > 0) blocks else math.ceil(math.sqrt(4.0 * par)).toInt)
+    val withG = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      pmod(hash(col(idCol)), lit(nb)).as("__g"))
+    // role A serves tiles (g, j ≥ g); role B serves tiles (i ≤ g, g): an
+    // unordered pair from blocks (gx ≤ gy) meets exactly once, in tile
+    // (gx, gy) — twice (both orientations) only on diagonal tiles, where
+    // the id inequality keeps one.
+    val a = withG.select(col("__id").as("vec_a"), col("__v").as("__va"),
+        col("__g").as("__ga"), explode(sequence(col("__g"), lit(nb - 1))).as("__tj"))
+      .withColumn("__tile", col("__ga") * nb + col("__tj"))
+    val b = withG.select(col("__id").as("vec_b"), col("__v").as("__vb"),
+        col("__g").as("__gb"), explode(sequence(lit(0), col("__g"))).as("__ti"))
+      .withColumn("__tile", col("__ti") * nb + col("__gb"))
     val cos = round(
       graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6)
-    // threshold INSIDE the join condition: the nested-loop join then emits
-    // only qualifying pairs instead of materializing all O(n²) wide rows
-    a.join(b, col("vec_a") < col("vec_b") && cos >= threshold)
+    a.join(b, a("__tile") === b("__tile") &&
+        (col("__ga") =!= col("__gb") || col("vec_a") < col("vec_b")) &&
+        cos >= threshold)
       .withColumn("cos", cos)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      // off-diagonal tiles carry one arbitrary orientation — normalize ids
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
   }
 
   /** SRP-LSH candidate pairs: vectors sharing at least one `rowsPerBand`-bit
@@ -77,6 +104,27 @@ object Knn {
         col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("vec_a"), col("y.__id").as("vec_b"))
       .distinct()
+  }
+
+  /** SRP candidates + exact-cosine verification: the verified sublinear
+    * near-dup surface (blocked-then-verify, same shape as MinHashLSH).
+    * Exact-duplicate vectors hash to IDENTICAL signatures — the signature
+    * is a deterministic function of the values — so for duplicate/near-1
+    * detection recall is exactly 1 by construction, not probabilistically;
+    * at lower thresholds recall follows 1-(1-p^r)^b with p = 1-θ/π.
+    * Candidates are re-scored exactly, so false candidates never escape.
+    */
+  def srpVerifiedPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int = 48, rowsPerBand: Int = 8): DataFrame = {
+    val cand = srpCandidatePairs(emb, idCol, vecCol, nPlanes, rowsPerBand)
+    val va = emb.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", round(
+        graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
   /** Per-cell centroids (elementwise mean of vectors). Output: cell, centroid. */

@@ -49,4 +49,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q06_semi_join").contains("LeftSemi"))
     assert(plan("q07_anti_join").contains("LeftAnti"))
   }
+
+  test("q40 exact pair join is block-tiled: no nested-loop, no cartesian") {
+    val p = plan("q40_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q44 SRP-LSH pair generation has no quadratic join operator") {
+    val p = plan("q44_cross_batch_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
