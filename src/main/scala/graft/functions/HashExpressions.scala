@@ -171,10 +171,14 @@ object HashExpressions {
   /** Cosine similarity of two float-array columns, compiled double loop
     * (the HOF zip_with/aggregate form costs |dims| interpreted lambda calls
     * per row-pair — prohibitive inside an all-pairs join).
+    *
+    * Real `doGenCode` (not CodegenFallback): this sits in JOIN CONDITIONS
+    * evaluated Θ(n²/blocks) times, where even one boxed eval call per pair
+    * (~µs) dwarfs the 64-dim loop (~100ns). With codegen the generated
+    * predicate inlines the loop.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -190,6 +194,29 @@ object HashExpressions {
       }
       java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  double $x = (double) $a.getFloat($i);
+          |  double $y = (double) $b.getFloat($i);
+          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          |}
+          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_sim"

@@ -43,6 +43,25 @@ object TextFunctions {
       round(length(regexp_replace(text, " ", "")).cast("double") / n.cast("double"), 6))
   }
 
+  // --- variants over an already-materialized token array -------------------
+  // HOF lambdas (split+filter) are interpreted, and CollapseProject refuses
+  // to inline a non-cheap expression referenced more than once — so project
+  // `tokens(text)` ONCE and derive every stat from that column. Queries that
+  // need several stats per row (q30/q37) evaluate the tokenizer once per row
+  // instead of once per stat.
+
+  /** Type-token ratio from a token-array column. */
+  def typeTokenRatioOf(toks: Column): Column =
+    when(size(toks) > 0,
+      round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
+
+  /** Mean token length from a token-array column + precomputed char count
+    * (`length(regexp_replace(text, " ", ""))` — one regexp pass per row).
+    */
+  def meanTokenLengthOf(toks: Column, nChar: Column): Column =
+    when(size(toks) > 0,
+      round(nChar.cast("double") / size(toks).cast("double"), 6))
+
   /** Tiny deterministic language-ID heuristic: stopword hit-rate against an
     * English function-word list. Real pipelines plug a model here; the engine
     * contract is the column shape + determinism, not linguistic accuracy.

@@ -62,12 +62,21 @@ object Knn {
     // unordered pair from blocks (gx ≤ gy) meets exactly once, in tile
     // (gx, gy) — twice (both orientations) only on diagonal tiles, where
     // the id inequality keeps one.
+    // Explicit hash-partitioning on the tile key, sized ~tiles: the join
+    // reuses it (no extra shuffle), and — unlike AQE-planned shuffles — a
+    // user repartition is never coalesced. The shuffled BYTES here are tiny
+    // (vectors × replication), so AQE would otherwise fuse everything into
+    // one partition and serialize the Θ(n²) probe-side compute, which the
+    // byte-based advisory size cannot see.
+    val nTiles = nb * (nb + 1) / 2
     val a = withG.select(col("__id").as("vec_a"), col("__v").as("__va"),
         col("__g").as("__ga"), explode(sequence(col("__g"), lit(nb - 1))).as("__tj"))
       .withColumn("__tile", col("__ga") * nb + col("__tj"))
+      .repartition(math.max(par, nTiles), col("__tile"))
     val b = withG.select(col("__id").as("vec_b"), col("__v").as("__vb"),
         col("__g").as("__gb"), explode(sequence(lit(0), col("__g"))).as("__ti"))
       .withColumn("__tile", col("__ti") * nb + col("__gb"))
+      .repartition(math.max(par, nTiles), col("__tile"))
     val cos = round(
       graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6)
     a.join(b, a("__tile") === b("__tile") &&

@@ -82,9 +82,64 @@ object MinHashLSH {
   def signature(units: Column, k: Int): Column =
     signatureFromHashes(unitHashes(units), k)
 
+  /** Exact n-gram-Jaccard near-duplicate pairs via the inverted index:
+    * group docs per 60-bit shingle hash, emit each posting's C(g,2) ordered
+    * pairs in-task, count shared shingles per pair, verify the Jaccard
+    * threshold on full set sizes. One shuffle of postings + one of the
+    * half-size pair stream — never a self-join of the exploded table.
+    *
+    * `maxDf` is the skew bound: a shingle posted by g docs emits C(g,2)
+    * pairs inside ONE task, so an ultra-common shingle (boilerplate, stop
+    * phrases) would concentrate quadratic work on a single key. Postings
+    * longer than maxDf are dropped before pair generation, capping any
+    * task's emission at C(maxDf,2) pairs. The cut is provably inert when
+    * maxDf exceeds the corpus' max document frequency (the fixture maxes
+    * at 25; spec asserts inertness) — above that it trades recall only on
+    * pairs whose overlap is exclusively ultra-common shingles, the
+    * standard df-cut of all-pairs similarity search.
+    */
+  def exactNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 256): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par).select(col(idCol).as("__id"),
+      TF.shingles(col(textCol), w).as("__sh"))
+    val e = sh.select(col("__id"),
+      explode(graft.functions.HashExpressions.hash60Array(col("__sh"))).as("__h"))
+    val sz = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val postings = e.groupBy(col("__h"))
+      .agg(sort_array(collect_list(col("__id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+    val pairs = postings
+      .select(explode(graft.functions.HashExpressions.orderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.doc_a"), col("p.doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.select(col("__id").as("doc_a"), col("__n").as("na")), "doc_a")
+      .join(sz.select(col("__id").as("doc_b"), col("__n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Near-duplicate pairs with exact Jaccard ≥ `threshold` over `w`-token
     * shingles, candidates generated by (k, rowsPerBand) LSH.
     * Output: doc_a, doc_b (idCol values, a < b), jaccard (round 6).
+    *
+    * `maxBucket` (0 = off) is the bucket-skew safety valve: an LSH bucket
+    * holding g docs emits C(g,2) candidates in one task, and a corpus with
+    * massive exact-duplicate groups puts the whole group in the same bucket
+    * in EVERY band. Buckets larger than maxBucket are dropped before the
+    * candidate join. Recall caveat when enabled: a pair co-bucketed ONLY in
+    * over-cap buckets is lost — for exact-duplicate groups every band's
+    * bucket is over cap together, so cap at (expected dup-group size)+
+    * headroom, or pre-collapse exact duplicates with [[Dedup.exactByContent]]
+    * before the LSH pass (the shape a 100 TB pipeline wants anyway).
     */
   def nearDuplicates(
       df: DataFrame,
@@ -93,7 +148,8 @@ object MinHashLSH {
       w: Int = 3,
       k: Int = 64,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
     val bands = k / rowsPerBand
     // Documents often arrive as few small files (one parquet split) — fan
     // the per-document hashing out across all cores before the heavy work.
@@ -125,7 +181,15 @@ object MinHashLSH {
       }: _*)).as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.bucket"))
 
-    val cand = banded.as("x").join(banded.as("y"),
+    val gated =
+      if (maxBucket <= 0) banded
+      else banded.withColumn("__bc",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket"))))
+        .filter(col("__bc") <= maxBucket)
+        .drop("__bc")
+
+    val cand = gated.as("x").join(gated.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.__id") < col("y.__id"))

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.{TextFunctions => TF}
+
+/** The df-cut skew bound of the exact inverted-index Jaccard pass: inert on
+  * the fixture corpus (so q32's oracle parity is unconditional) and active
+  * exactly when a posting exceeds the cap.
+  */
+class NgramJaccardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame, maxDf: Int) =
+    MinHashLSH.exactNearDuplicates(df, "doc_id", "text",
+        w = 3, threshold = 0.5, maxDf = maxDf)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("df-cut at 256 is inert on the fixture corpus (max df stays far below)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val maxDf = docs
+      .select(explode(TF.hash60Array(TF.shingles($"text", 3))).as("h"))
+      .groupBy($"h").count().agg(max($"count")).head.getLong(0)
+    assert(maxDf < 256, s"fixture max df $maxDf defeats the inertness claim")
+    assert(pairs(docs, 256) === pairs(docs, Int.MaxValue))
+  }
+
+  test("df-cut drops only pairs whose sole overlap is an over-cap shingle") {
+    // Six boilerplate docs share one identical shingle (df 6 > cap 4); two
+    // docs are near-dups through rare shingles (df 2, under cap).
+    val boiler = (0L until 6L).map(i => (i, "alpha beta gamma"))
+    val near = Seq((100L, "p q r s t u"), (101L, "p q r s t v"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val capped = pairs(docs, maxDf = 4)
+    assert(capped.map(p => (p._1, p._2)) === Set((100L, 101L)))
+    assert(capped.head._3 === 0.6) // 3 shared of 5 distinct shingles
+    // uncapped: the boilerplate C(6,2)=15 identical pairs reappear
+    assert(pairs(docs, Int.MaxValue).size === 16)
+  }
+
+  test("lsh maxBucket gate bounds candidate blowup without losing under-cap pairs") {
+    val boiler = (0L until 6L).map(i => (i, "alpha beta gamma"))
+    val near = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy cat again and again"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val gated = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+        w = 3, k = 64, rowsPerBand = 2, threshold = 0.5, maxBucket = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // the 6-doc exact-dup group over-fills its bucket in every band -> cut;
+    // the near-dup pair rides under-cap buckets and survives
+    assert(gated === Set((100L, 101L)))
+  }
+}
