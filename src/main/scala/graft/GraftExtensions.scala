@@ -20,31 +20,34 @@ import graft.ops.MinHashLSH
   */
 object GraftExtensions {
   /** Same registrations against an already-built (classic) session — for
-    * notebooks/tests that can't pass extensions at build time.
+    * notebooks/tests that can't pass extensions at build time. Idempotent:
+    * re-invocation (every q43 run) is a no-op instead of a re-register that
+    * warns `replaced a previously registered function` into the log.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = org.apache.spark.sql.classic.GraftExprColumn.functionRegistry(spark)
-    reg.createOrReplaceTempFunction("simhash_fingerprint",
-      args => HashExpressions.SimHashFingerprint(args.head), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      args => {
-        val k = args(1) match {
-          case Literal(v: Int, _) => v
-          case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
-        }
-        HashExpressions.MinHashSignature(args.head, k,
-          MinHashLSH.A.take(k), MinHashLSH.B.take(k))
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      args => HashExpressions.CosineSim(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("srp_signature",
-      args => {
-        val n = args(1) match {
-          case Literal(v: Int, _) => v
-          case o => throw new IllegalArgumentException(s"nPlanes must be a literal, got $o")
-        }
-        HashExpressions.SrpSignature(args.head, n)
-      }, "scala_udf")
+    def once(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    once("simhash_fingerprint")(args => HashExpressions.SimHashFingerprint(args.head))
+    once("minhash_signature")(args => {
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
+      }
+      require(k >= 1 && k <= MinHashLSH.A.length,
+        s"k must be in [1, ${MinHashLSH.A.length}], got $k")
+      HashExpressions.MinHashSignature(args.head, k,
+        MinHashLSH.A.take(k), MinHashLSH.B.take(k))
+    })
+    once("cosine_sim")(args => HashExpressions.CosineSim(args(0), args(1)))
+    once("srp_signature")(args => {
+      val n = args(1) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"nPlanes must be a literal, got $o")
+      }
+      HashExpressions.SrpSignature(args.head, n)
+    })
   }
 }
 
@@ -71,6 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature", "_FUNC_(units, k) - k-wide MinHash signature"),
       (args: Seq[Expression]) => {
         val k = intArg(args(1), "k")
+        require(k >= 1 && k <= MinHashLSH.A.length,
+          s"k must be in [1, ${MinHashLSH.A.length}], got $k")
         HashExpressions.MinHashSignature(args.head, k,
           MinHashLSH.A.take(k), MinHashLSH.B.take(k))
       }))

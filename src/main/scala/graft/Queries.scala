@@ -823,9 +823,15 @@ object Queries {
             w = 3, k = 64, rowsPerBand = 2, threshold = 0.5)
           .orderBy($"doc_a", $"doc_b")
       },
-      // Oracle is the exact-Jaccard brute force (q32's SQL): LSH recall at
-      // the observed J>=0.9 pairs is 1-1e-23, and every candidate is
-      // re-verified exactly, so the outputs are identical.
+      // Oracle is the exact-Jaccard brute force (q32's SQL). Candidates are
+      // re-verified exactly, so false positives never escape; recall is the
+      // only asymmetry. At the J=0.5 query threshold a boundary pair misses
+      // a (k=64,r=2) banding with probability (1-0.25)^32 ≈ 1.0e-4 — the
+      // equality with the oracle therefore rests on the FIXED permutations
+      // catching every fixture pair (they do; MinHashLshSpec re-asserts it),
+      // not on a distribution-free guarantee. At the observed J≥0.9 pairs
+      // the miss odds are < 1e-23. Exactness-critical use at a low
+      // threshold should raise bands (lower r) or run q32's exact pass.
       Some("""WITH tok AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3

@@ -77,10 +77,19 @@ object Klines {
   /** 1m→1h (or any) bar resample — the configured downstream use
     * (`config.json:18`: intervals ["1m","1h"]). Open/close follow bar time;
     * volumes and trade counts add. One hash aggregation, map-side partial.
+    *
+    * Grouping includes the SOURCE `interval`: a table laid out with several
+    * ingest intervals (the configured [1m,1h]) must not merge rows across
+    * them — summing a 1m and a 1h bar into one window double-counts volume.
+    * `sourceInterval` (default "1m") selects which series feeds the bars;
+    * the filter prunes at the scan when interval is a partition/sort key.
     */
-  def resample(klines: DataFrame, target: String, targetInterval: String): DataFrame = {
+  def resample(
+      klines: DataFrame, target: String, targetInterval: String,
+      sourceInterval: String = "1m"): DataFrame = {
     val ord = col("timestamp")
     klines
+      .filter(col("interval") === sourceInterval)
       .groupBy(col("symbol"), col("exchange"), col("type"),
         window(col("timestamp"), target).as("__w"))
       .agg(

@@ -16,10 +16,14 @@ import graft.functions.{TextFunctions => TF}
   * (band, band-signature) whose largest bucket bounds the pair blowup;
   * banding parameters trade recall for bucket size (r rows/band, b = k/r
   * bands → P(candidate) = 1-(1-J^r)^b). Candidates are verified with exact
-  * Jaccard, so false positives never escape; recall at J≥0.9 with k=64, r=2
-  * is 1-(1-0.81)^32 ≈ 1-1e-23. All hashing is deterministic (fixed A/B,
-  * prime modulus), so results are reproducible across runs and engines —
-  * the DuckDB oracle replays the exact-Jaccard brute force.
+  * Jaccard, so false positives never escape. Recall with k=64, r=2 by pair
+  * similarity: 1-1e-23 at J=0.9, but only ≈ 1-1e-4 for a pair sitting at
+  * J=0.5 — a threshold-0.5 caller accepts ~1e-4 odds of missing a boundary
+  * pair (per pair, under random permutations; the shipped A/B are FIXED, so
+  * on any given corpus behavior is deterministic and testable). All hashing
+  * is deterministic (fixed A/B, prime modulus), so results are reproducible
+  * across runs and engines — the DuckDB oracle replays the exact-Jaccard
+  * brute force.
   */
 object MinHashLSH {
 

@@ -51,16 +51,20 @@ object IncrementalIngest {
         spark.sparkContext.emptyRDD[Row], withYm.schema)
 
     val merged = Dedup.keepLast(existing.unionByName(withYm), keys, version)
-    // Materialize before overwriting the partitions we just read. (At real
-    // scale: stage-and-swap or a snapshotting table format — the same
+    // The write overwrites partitions the plan just READ, so the merged
+    // result must be durably materialized first. cache() is not a barrier —
+    // an evicted/lost block would recompute from already-deleted files and
+    // corrupt the table. localCheckpoint(eager) truncates the lineage: the
+    // write can only read the checkpointed blocks, never the inputs. (At
+    // real scale: stage-and-swap or a snapshotting table format — the same
     // commit-then-delete discipline as the reference's cache loader,
     // crypto_data_pipeline_clickhouse.py:644-649.)
-    merged.cache().count()
+    val staged = merged.localCheckpoint(true)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite")
+    staged.write.mode("overwrite")
       .partitionBy("ym")
       .parquet(tableDir)
-    merged.unpersist()
+    staged.unpersist()
   }
 
   /** One catch-up run: ingest all not-yet-processed files under `srcDir`

@@ -60,6 +60,16 @@ class KlinesSpec extends AnyFunSuite {
     assert(r.getAs[String]("interval") === "1h")
   }
 
+  test("resample only reads its source interval — mixed tables don't double-count") {
+    val m = Klines.normalize(rawPage, "BTCUSDT", "binance", "spot", "1m")
+    val derived1h = Klines.resample(m, "1 hour", "1h")
+    // table laid out with both configured intervals ([1m,1h]) in one frame
+    val out = Klines.resample(m.unionByName(derived1h), "1 hour", "1h",
+      sourceInterval = "1m")
+    assert(out.count() === 1)
+    assert(out.head.getAs[Double]("volume") === 30.0) // not 60: 1h rows ignored
+  }
+
   test("coerceNumeric: garbage strings -> 0.0 (to_numeric errors=coerce analog)") {
     val df = Seq("1.5", "garbage", null).toDF("x")
     val out = df.select(Klines.coerceNumeric($"x").as("v")).as[Double].collect().toSeq

@@ -57,4 +57,20 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(out === Seq((1L, "a b c"), (3L, "x y")))
   }
+
+  test("exactByContent fingerprint is unambiguous across column boundaries and NULLs") {
+    // boundary shift: ("a b","c") vs ("a","b c") must NOT collide
+    val shifted = Seq((1L, "a b", "c"), (2L, "a", "b c")).toDF("id", "t1", "t2")
+    assert(Dedup.exactByContent(shifted, Seq("t1", "t2"), "id").count() === 2L)
+    // NULL placement: (a,NULL,b) vs (a,b,NULL) must NOT collide (concat_ws
+    // would silently skip the NULL and hash "a b" for both)
+    val nulls = Seq((1L, "a", null, "b"), (2L, "a", "b", null))
+      .toDF("id", "c1", "c2", "c3")
+    assert(Dedup.exactByContent(nulls, Seq("c1", "c2", "c3"), "id").count() === 2L)
+    // while true duplicates (including duplicate NULL placement) still collapse
+    val dups = Seq((1L, "a", null, "b"), (2L, "a", null, "b"))
+      .toDF("id", "c1", "c2", "c3")
+    assert(Dedup.exactByContent(dups, Seq("c1", "c2", "c3"), "id")
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
