@@ -33,6 +33,13 @@ object Klines {
     StructField("taker_buy_quote_volume", StringType),
     StructField("ignore", StringType)))
 
+  /** Price/volume column type: DECIMAL(18,8), the reference README's
+    * advertised Decimal64(8) (`/root/reference/README.md:10`) — the API's
+    * 8-decimal strings round-trip exactly, and sums/dedups are plan-shape-
+    * independent (decimal arithmetic is associative where double is not).
+    */
+  val priceType: DecimalType = DecimalType(18, 8)
+
   /** The canonical 15-column kline schema (`KLINES_SCHEMA` :444-460;
     * exact projection order :383-387). UInt32 trades_count → Long.
     */
@@ -40,18 +47,20 @@ object Klines {
     StructField("symbol", StringType), StructField("exchange", StringType),
     StructField("type", StringType), StructField("interval", StringType),
     StructField("timestamp", TimestampType), StructField("close_time", TimestampType),
-    StructField("open", DoubleType), StructField("high", DoubleType),
-    StructField("low", DoubleType), StructField("close", DoubleType),
-    StructField("volume", DoubleType), StructField("quote_volume", DoubleType),
-    StructField("taker_buy_volume", DoubleType),
-    StructField("taker_buy_quote_volume", DoubleType),
+    StructField("open", priceType), StructField("high", priceType),
+    StructField("low", priceType), StructField("close", priceType),
+    StructField("volume", priceType), StructField("quote_volume", priceType),
+    StructField("taker_buy_volume", priceType),
+    StructField("taker_buy_quote_volume", priceType),
     StructField("trades_count", LongType)))
 
-  private val doubleCols = Seq("open", "high", "low", "close", "volume",
+  private val priceCols = Seq("open", "high", "low", "close", "volume",
     "quote_volume", "taker_buy_volume", "taker_buy_quote_volume")
 
   /** Raw page → canonical rows: epoch-ms → UTC timestamp (F1), string →
-    * double (F11), literal dimension stamps (P2), fixed column order (P1).
+    * exact decimal (F11 — the reference's `astype(float)` loses the API's
+    * 8-dp precision; Decimal64(8) is what its own README specifies),
+    * literal dimension stamps (P2), fixed column order (P1).
     * Mirrors `crypto_data_pipeline_clickhouse.py:372-387`.
     */
   def normalize(raw: DataFrame, symbol: String, exchange: String,
@@ -63,7 +72,7 @@ object Klines {
       lit(interval).as("interval"),
       timestamp_millis(col("timestamp")).as("timestamp"),
       timestamp_millis(col("close_time")).as("close_time")) ++
-      doubleCols.map(c => col(c).cast("double").as(c)) :+
+      priceCols.map(c => col(c).cast(priceType).as(c)) :+
       col("trades_count").cast("long").as("trades_count")
     raw.select(cols: _*).select(schema.fieldNames.map(col): _*)
   }
@@ -97,10 +106,12 @@ object Klines {
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max_by(col("close"), ord).as("close"),
-        sum(col("volume")).as("volume"),
-        sum(col("quote_volume")).as("quote_volume"),
-        sum(col("taker_buy_volume")).as("taker_buy_volume"),
-        sum(col("taker_buy_quote_volume")).as("taker_buy_quote_volume"),
+        // decimal sums widen to (28,8); cast back to the canonical (18,8)
+        // (exact for any real volume — overflow needs 10^10 base units)
+        sum(col("volume")).cast(priceType).as("volume"),
+        sum(col("quote_volume")).cast(priceType).as("quote_volume"),
+        sum(col("taker_buy_volume")).cast(priceType).as("taker_buy_volume"),
+        sum(col("taker_buy_quote_volume")).cast(priceType).as("taker_buy_quote_volume"),
         sum(col("trades_count")).as("trades_count"),
         max(col("close_time")).as("close_time"))
       .withColumn("interval", lit(targetInterval))

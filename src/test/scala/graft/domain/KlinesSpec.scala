@@ -29,7 +29,9 @@ class KlinesSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Klines.schema.fieldNames.toSeq)
     val r = out.orderBy("timestamp").head
     assert(r.getAs[String]("symbol") === "BTCUSDT")
-    assert(r.getAs[Double]("open") === 100.0)
+    // price columns are exact DECIMAL(18,8) per the reference's Decimal64(8)
+    assert(r.getAs[java.math.BigDecimal]("open").compareTo(
+      new java.math.BigDecimal("100.0")) === 0)
     assert(r.getAs[Long]("trades_count") === 42L)
     assert(r.getAs[java.sql.Timestamp]("timestamp").getTime === 1704067200000L)
   }
@@ -43,21 +45,24 @@ class KlinesSpec extends AnyFunSuite {
       .withColumn("ingest_seq", lit(2L))
     val merged = Klines.dedupe(k1.unionByName(k2), "ingest_seq")
     assert(merged.count() === 2)
-    assert(merged.select("close").as[Double].collect().toSet === Set(999.0))
+    assert(merged.select($"close".cast("double")).as[Double]
+      .collect().toSet === Set(999.0))
   }
 
   test("resample 1m -> 1h: OHLC follows bar time, volumes add") {
     val k = Klines.normalize(rawPage, "BTCUSDT", "binance", "spot", "1m")
     val h = Klines.resample(k, "1 hour", "1h")
     assert(h.count() === 1)
-    val r = h.head
-    assert(r.getAs[Double]("open") === 100.0)   // first bar's open
-    assert(r.getAs[Double]("close") === 102.0)  // last bar's close
-    assert(r.getAs[Double]("high") === 103.0)
-    assert(r.getAs[Double]("low") === 99.0)
-    assert(r.getAs[Double]("volume") === 30.0)
-    assert(r.getAs[Long]("trades_count") === 85L)
-    assert(r.getAs[String]("interval") === "1h")
+    val r = h.select($"open".cast("double"), $"close".cast("double"),
+      $"high".cast("double"), $"low".cast("double"),
+      $"volume".cast("double"), $"trades_count").head
+    assert(r.getDouble(0) === 100.0)  // first bar's open
+    assert(r.getDouble(1) === 102.0)  // last bar's close
+    assert(r.getDouble(2) === 103.0)
+    assert(r.getDouble(3) === 99.0)
+    assert(r.getDouble(4) === 30.0)
+    assert(r.getLong(5) === 85L)
+    assert(h.head.getAs[String]("interval") === "1h")
   }
 
   test("resample only reads its source interval — mixed tables don't double-count") {
@@ -67,7 +72,7 @@ class KlinesSpec extends AnyFunSuite {
     val out = Klines.resample(m.unionByName(derived1h), "1 hour", "1h",
       sourceInterval = "1m")
     assert(out.count() === 1)
-    assert(out.head.getAs[Double]("volume") === 30.0) // not 60: 1h rows ignored
+    assert(out.select($"volume".cast("double")).head.getDouble(0) === 30.0) // not 60: 1h rows ignored
   }
 
   test("coerceNumeric: garbage strings -> 0.0 (to_numeric errors=coerce analog)") {
