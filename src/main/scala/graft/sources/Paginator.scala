@@ -68,4 +68,38 @@ object Paginator {
         sleep(math.min(backoffMs, maxBackoffMs))
         retry(attempts - 1, math.min(backoffMs * 2, maxBackoffMs), maxBackoffMs, sleep)(f)
     }
+
+  /** Shared fixed-window rate gate — the reference's `@limits(calls, period)
+    * @sleep_and_retry` decorator, which all fetch workers share ONE instance
+    * of (`crypto_data_pipeline_clickhouse.py:190-214`: the module-level
+    * limiter gates every thread in the pool). At most `maxCalls` acquisitions
+    * per `periodMs` window across all threads; an over-budget caller blocks
+    * until the window rolls. Clock and sleep are injected so specs run
+    * deterministically at zero wall-clock.
+    */
+  final class RateGate(
+      maxCalls: Int, periodMs: Long,
+      clock: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep) {
+    require(maxCalls > 0, s"maxCalls must be positive, got $maxCalls")
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    // one period in the past: the first acquire() always opens a fresh
+    // window (a Long.MinValue sentinel would overflow `now - windowStart`)
+    private[this] var windowStart = clock() - periodMs
+    private[this] var used = 0
+
+    /** Block until a call slot is free in the current window, then take it. */
+    @tailrec def acquire(): Unit = {
+      val waitMs = synchronized {
+        val now = clock()
+        if (now - windowStart >= periodMs) { windowStart = now; used = 0 }
+        if (used < maxCalls) { used += 1; 0L }
+        else windowStart + periodMs - now
+      }
+      if (waitMs > 0) { sleep(waitMs); acquire() }
+    }
+
+    /** Run `f` under the gate (the decorator form). */
+    def throttled[A](f: => A): A = { acquire(); f }
+  }
 }

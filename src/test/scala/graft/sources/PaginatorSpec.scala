@@ -52,4 +52,35 @@ class PaginatorSpec extends AnyFunSuite {
       Paginator.retry(2, 1L, 2L, _ => ())(() => throw new RuntimeException("always"))
     }
   }
+
+  test("rate gate: over-budget calls block until the window rolls (deterministic clock)") {
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val gate = new Paginator.RateGate(maxCalls = 2, periodMs = 1000L,
+      clock = () => now, sleep = ms => { sleeps.append(ms); now += ms })
+    gate.acquire(); gate.acquire()          // budget of the first window
+    assert(sleeps.isEmpty)
+    gate.acquire()                          // third call must wait out the window
+    assert(sleeps.toSeq === Seq(1000L) && now === 1000L)
+    gate.acquire()                          // second slot of the new window: free
+    assert(sleeps.size === 1)
+    gate.acquire()                          // and over budget again
+    assert(sleeps.toSeq === Seq(1000L, 1000L))
+  }
+
+  test("rate gate is shared across threads: concurrent calls never exceed the budget") {
+    val gate = new Paginator.RateGate(maxCalls = 1000, periodMs = 600000L)
+    val inWindow = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => (1 to 100).foreach { _ =>
+        gate.throttled { inWindow.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // 800 calls fit the 1000-call budget: none should have slept (a sleep
+    // here would deadlock-ish stall the test for 10 minutes — finishing at
+    // all proves no thread was wrongly blocked, and the count proves every
+    // acquisition was granted exactly once)
+    assert(inWindow.get() === 800)
+  }
 }
