@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Compute-dense stages (pair generation, LSH verify, tiled cosine)
+      // shuffle KBs at test SF; AQE's default 1 MB minPartitionSize floor
+      // coalesces them to 1-2 partitions and serializes the compute. A low
+      // floor keeps bytes/parallelism the binding constraint — at real SF
+      // (MB-GB shuffles) the floor is inert either way.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{AsOf, Dedup, Knn, MinHashLSH, Resample, Sessionize, SimHash}
+import graft.ops.{AsOf, Dedup, Knn, MinHashLSH, Multimodal, Resample, Sessionize, SimHash}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** One named query per operator of SURVEY.md §2 (+ the LLM-pipeline
@@ -949,6 +949,34 @@ object Queries {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
         |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ---- 45. multimodal binary-column pipeline: opaque payload → typed
+    //          batched decode (mapPartitions) → metadata + fingerprint.
+    //          The decode stub is SQL-replicable (md5 arithmetic), so the
+    //          ENTIRE typed path — binary encode, Dataset[Media] encoder,
+    //          per-partition decode, MediaFeatures schema — is checked
+    //          against the DuckDB oracle, not just spec-tested. ----
+    QDef("q45_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select($"doc_id".as("id"), encode($"text", "UTF-8").as("payload"),
+            $"lang".as("format"))
+          .as[Multimodal.Media]
+        Multimodal.extractFeatures(media, dim = 16)
+          .select($"id".as("doc_id"), $"format", $"nBytes".cast("long").as("n_bytes"),
+            $"width", $"height", $"checksum")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, lang AS format,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS hex
+        |  FROM documents)
+        |SELECT doc_id, format, n_bytes,
+        |  16 + CAST(('0x' || substring(hex, 1, 3))::BIGINT % 1024 AS INTEGER) AS width,
+        |  16 + CAST(('0x' || substring(hex, 4, 3))::BIGINT % 1024 AS INTEGER) AS height,
+        |  ('0x' || substring(hex, 1, 15))::BIGINT AS checksum
+        |FROM h ORDER BY doc_id""".stripMargin)),
 
     // ---- 37. per-document quality scoring ----
     QDef("q37_quality_score",

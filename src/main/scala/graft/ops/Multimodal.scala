@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * batched per partition (the Scala analog of `mapInPandas`).
   *
   * The actual codec call is STUBBED (`decodeStub`): this container ships no
-  * image/audio libraries, so the stub derives deterministic fake pixels from
-  * the payload bytes. Everything around it — schema, encoders, partition
-  * batching, feature shape — is real and tested; swapping `decodeStub` for a
-  * JNI/javacv codec is a one-function change.
+  * image/audio libraries. The stub is deterministic AND SQL-replicable —
+  * every derived value (dimensions, checksum, features) is arithmetic over
+  * the hex MD5 of the payload bytes, which any engine reproduces — so the
+  * whole typed mapPartitions path sits on the oracle-verified surface
+  * (q45_media_features) rather than being spec-only. Swapping `decodeStub`
+  * for a JNI/javacv codec is a one-function change.
   *
   * Scale notes: binary payloads dominate row size, so operators here avoid
   * shuffling media bytes — feature extraction is a narrow map, and anything
@@ -23,24 +25,33 @@ object Multimodal {
   /** A media row: opaque payload + metadata. */
   case class Media(id: Long, payload: Array[Byte], format: String)
 
-  /** Decoded features: metadata + fixed-width embedding. */
+  /** Decoded features: metadata + payload fingerprint + fixed-width
+    * embedding. `checksum` is the shared 60-bit md5 convention
+    * ([[graft.functions.TextFunctions.hash60]]), exactly reproducible in
+    * SQL as `('0x' || substring(md5(payload),1,15))::BIGINT`.
+    */
   case class MediaFeatures(
-      id: Long, format: String, width: Int, height: Int,
-      features: Array[Float])
+      id: Long, format: String, nBytes: Int, width: Int, height: Int,
+      checksum: Long, features: Array[Float])
 
   /** STUB — stands in for a real image decode (e.g. libjpeg via JNI).
-    * Deterministic: "dimensions" and "pixels" are hashed from the payload,
-    * so tests and re-runs agree byte-for-byte.
+    * All outputs derive from the payload's hex MD5: "dimensions" from 3-hex-
+    * digit slices, the 60-bit checksum from the first 15, features from
+    * overlapping 8-hex windows scaled to [0,1). Deterministic across runs,
+    * engines, and SQL replays.
     */
-  private[graft] def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
-    val h0 = java.util.Arrays.hashCode(payload)
-    val width = 16 + math.abs(h0 % 1024)
-    val height = 16 + math.abs((h0 / 1024) % 1024)
-    val feats = Array.tabulate(dim) { i =>
-      val h = h0 * 31 + i * 2654435761L
-      ((h % 1000L) / 1000.0).toFloat
-    }
-    (width, height, feats)
+  private[graft] def decodeStub(payload: Array[Byte], dim: Int): MediaFeatures = {
+    require(dim <= 24, "features window needs hex offsets j..j+8 within 32 chars")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map(b => f"$b%02x").mkString
+    def hexVal(off: Int, len: Int): Long =
+      java.lang.Long.parseLong(hex.substring(off, off + len), 16)
+    val width = 16 + (hexVal(0, 3) % 1024).toInt
+    val height = 16 + (hexVal(3, 3) % 1024).toInt
+    val checksum = hexVal(0, 15)
+    val feats = Array.tabulate(dim)(j =>
+      (hexVal(j, 8).toDouble / 4294967296.0).toFloat)
+    MediaFeatures(0L, "", payload.length, width, height, checksum, feats)
   }
 
   /** Batched per-partition decode + feature extraction (mapPartitions: one
@@ -52,8 +63,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // Real impl: initialize the codec ONCE here, then stream the batch.
       it.map { m =>
-        val (w, h, f) = decodeStub(m.payload, dim)
-        MediaFeatures(m.id, m.format, w, h, f)
+        decodeStub(m.payload, dim).copy(id = m.id, format = m.format)
       }
     }
   }

@@ -37,12 +37,23 @@ object SimHash {
 
   /** All pairs with Hamming(fp_a, fp_b) ≤ maxHamming (requires ≤ 3 for the
     * 4-chunk blocking to stay exact). Output: doc_a, doc_b (a < b), hamming.
+    *
+    * `maxBucket` (0 = off) is the hot-chunk safety valve: a (chunk, value)
+    * bucket holding g fingerprints emits C(g,2) join pairs in one task, and
+    * a corpus with a massive exact-duplicate group concentrates that group
+    * in the same bucket in EVERY chunk. Buckets above the cap are dropped
+    * before the self-join, bounding any task at C(maxBucket,2). Recall
+    * caveat when enabled (exactness holds only with the valve off): a pair
+    * whose ONLY agreeing chunk is over cap is lost — pre-collapse exact
+    * duplicates with [[Dedup.exactByContent]] first, the shape a 100 TB
+    * pipeline wants anyway.
     */
   def nearDuplicates(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is exact only for distance <= 3")
     // Compiled one-pass fingerprint (see HashExpressions); the HOF
     // [[fingerprint]] stays as the reference implementation. Repartition
@@ -59,7 +70,15 @@ object SimHash {
       }: _*)).as("__c"))
       .select(col("__id"), col("__fp"), col("__c.chunk"), col("__c.cval"))
 
-    chunked.as("x").join(chunked.as("y"),
+    val gated =
+      if (maxBucket <= 0) chunked
+      else chunked.withColumn("__bc",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("chunk"), col("cval"))))
+        .filter(col("__bc") <= maxBucket)
+        .drop("__bc")
+
+    gated.as("x").join(gated.as("y"),
         col("x.chunk") === col("y.chunk") &&
         col("x.cval") === col("y.cval") &&
         col("x.__id") < col("y.__id"))

@@ -41,6 +41,20 @@ class NgramJaccardSpec extends AnyFunSuite {
     assert(pairs(docs, Int.MaxValue).size === 16)
   }
 
+  test("simhash maxBucket valve drops the hot duplicate group, keeps under-cap pairs") {
+    // six identical docs share every chunk bucket (size 6 > cap 4); one
+    // distinct pair with identical token SETS rides size-2 buckets
+    val boiler = (0L until 6L).map(i => (i, "alpha beta gamma"))
+    val near = Seq((100L, "p q r s t u"), (101L, "u t s r q p"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val gated = SimHash.nearDuplicates(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(gated === Set((100L, 101L)))
+    // valve off: the 15 boilerplate pairs are back (exactness default)
+    assert(SimHash.nearDuplicates(docs, "doc_id", "text").count() === 16L)
+  }
+
   test("lsh maxBucket gate bounds candidate blowup without losing under-cap pairs") {
     val boiler = (0L until 6L).map(i => (i, "alpha beta gamma"))
     val near = Seq(
