@@ -978,6 +978,47 @@ object Queries {
         |  ('0x' || substring(hex, 1, 15))::BIGINT AS checksum
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // ---- 46. BPE-ish regex tokenization (the pre-split of a byte-pair
+    //          encoder: letter/digit/punctuation runs as distinct tokens) ----
+    QDef("q46_bpe_tokens",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TF.bpeTokens($"text").as("bt"))
+          .select($"doc_id",
+            size($"bt").cast("long").as("n_bpe"),
+            size(filter($"bt", t => t.rlike("^[a-z]"))).cast("long").as("n_alpha"),
+            size(filter($"bt", t => t.rlike("^[0-9]"))).cast("long").as("n_num"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+') AS bt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(bt) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_filter(bt, x -> regexp_matches(x, '^[a-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(bt, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- 47. order-sensitive rolling-hash fingerprint (set fingerprints —
+    //          q36's sorted-set md5, q34's SimHash — are permutation-blind;
+    //          the polynomial hash distinguishes reordered content) ----
+    QDef("q47_rolling_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TF.rollingFingerprint(TF.tokens($"text")).as("rolling_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |hs AS (SELECT doc_id, list_transform(toks,
+        |    t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647) AS h
+        |  FROM tok)
+        |SELECT doc_id, list_reduce(list_prepend(0::BIGINT, h),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+        |FROM hs ORDER BY doc_id""".stripMargin)),
+
     // ---- 37. per-document quality scoring ----
     QDef("q37_quality_score",
       (s, dir) => {

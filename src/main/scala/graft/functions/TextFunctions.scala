@@ -78,6 +78,31 @@ object TextFunctions {
   /** Document fingerprint: 128-bit MD5 of the exact text (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, and punctuation runs as
+    * separate tokens (the class structure a byte-pair encoder's pre-split
+    * uses, minus the learned merges). Same regex dialect subset in Java and
+    * RE2, so the oracle replays it verbatim.
+    */
+  val bpeSplitPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeSplitPattern), lit(0))
+
+  /** Polynomial rolling hash (base 31, mod P=2^31-1) over the token
+    * sequence's 60-bit hashes — the ORDER-SENSITIVE document fingerprint
+    * (token-set fingerprints like [[fingerprint]]-of-sorted or SimHash are
+    * permutation-blind; reordered plagiarism needs sequence sensitivity).
+    * acc stays < P·31+P < 2^37: safe in signed-64 in every engine. Empty
+    * token list → 0.
+    */
+  def rollingFingerprint(toks: Column): Column = {
+    val P = 2147483647L
+    aggregate(
+      transform(toks, t => hash60(t) % P),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % P)
+  }
+
   /** hash60 applied to every element of a string array. */
   def hash60Array(arr: Column): Column = transform(arr, hash60 _)
 
