@@ -61,4 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q45 multimodal decode is a narrow map — no exchange before features") {
+    // binary payloads must never cross a shuffle; the single sort at the
+    // end (ORDER BY doc_id) is the only exchange in the plan
+    val p = plan("q45_media_features")
+    // formatted mode prints each node in the tree AND a "(n) Exchange"
+    // detail header — count the headers (one per physical node)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(exchanges <= 1, s"expected only the final sort exchange:\n${p.take(3000)}")
+  }
+
+  test("q47 rolling fingerprint is a narrow scan + sort") {
+    val p = plan("q47_rolling_fingerprint")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p.take(3000))
+  }
 }
