@@ -122,7 +122,10 @@ object Klines {
 
   /** Funding/margin-rate numeric coercion: `pd.to_numeric(errors='coerce')
     * .fillna(0)` (`additional_data.py:118-119,239`) → try_cast + coalesce
-    * (plain cast THROWS under Spark 4's default ANSI mode).
+    * (plain cast THROWS under Spark 4's default ANSI mode). Fine here
+    * because rate columns almost always parse — try_cast's failure path
+    * throws-and-catches per row (~20µs), so a MOSTLY-garbage column should
+    * take the regex-guarded form instead (see q28_try_cast).
     */
   def coerceNumeric(c: Column): Column =
     coalesce(c.try_cast("double"), lit(0.0))
