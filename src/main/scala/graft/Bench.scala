@@ -20,10 +20,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // Compute-dense stages (pair generation, LSH verify, tiled cosine)
       // shuffle KBs at test SF; AQE's default 1 MB minPartitionSize floor
-      // coalesces them to 1-2 partitions and serializes the compute. A low
-      // floor keeps bytes/parallelism the binding constraint — at real SF
-      // (MB-GB shuffles) the floor is inert either way.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // coalesces them below the core count and serializes the compute.
+      // 256k measured best across the 4- and 32-core profiles (64k splinters
+      // light stages into scheduling overhead at 32 threads; 1 MB starves
+      // 4 cores). At real SF (MB-GB shuffles) the floor is inert either way.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "256k"))
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
