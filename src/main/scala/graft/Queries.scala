@@ -894,6 +894,28 @@ object Queries {
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // ---- 48. IVF ANN end-to-end on the oracled surface: centroids per
+    //          cell, cells ranked by centroid cosine, top-k within the
+    //          probed cells. Probing ALL cells makes the result provably
+    //          equal to the brute-force oracle no matter how centroid
+    //          ranking tie-breaks — the full IVF machinery (centroid agg,
+    //          driver-side probe selection, pruned union scan) still
+    //          executes. Partial-probe recall is NearDupKnnSpec's job. ----
+    QDef("q48_ivf_knn",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter($"vec_id" === 1)
+          .select($"embedding").head.getSeq[Float](0).map(_.toDouble)
+        val nCells = emb.select(countDistinct($"label")).head.getLong(0).toInt
+        Knn.ivfTopK(s, emb, idCol = "vec_id", vecCol = "embedding",
+          cellCol = "label", query = query, k = 25, nProbe = nCells)
+      },
+      Some("""SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin)),
+
     // ---- 36. exact-after-normalization dedup (content fingerprint, A3/A4) ----
     QDef("q36_norm_dedup",
       (s, dir) => {
