@@ -96,17 +96,28 @@ object Knn {
     */
   def srpCandidatePairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int = 48, rowsPerBand: Int = 8): DataFrame = {
+      nPlanes: Int = 48, rowsPerBand: Int = 8, maxBucket: Int = 0): DataFrame = {
     val bands = nPlanes / rowsPerBand
     val mask = (1L << rowsPerBand) - 1
     val sig = emb.select(col(idCol).as("__id"),
       graft.functions.HashExpressions.srpSignature(col(vecCol), nPlanes).as("__sig"))
-    val chunked = sig.select(col("__id"),
+    val banded = sig.select(col("__id"),
       explode(array((0 until bands).map { i =>
         struct(lit(i).as("chunk"),
           shiftright(col("__sig"), i * rowsPerBand).bitwiseAND(lit(mask)).as("cval"))
       }: _*)).as("__c"))
       .select(col("__id"), col("__c.chunk"), col("__c.cval"))
+    // Same bucket-skew valve as MinHashLSH/SimHash (maxBucket = 0 → off):
+    // a bucket of g signatures emits C(g,2) candidates in one task. Recall
+    // caveat when enabled mirrors theirs — exact-duplicate vectors share
+    // EVERY bucket, so pre-collapse exact dups before capping.
+    val chunked =
+      if (maxBucket <= 0) banded
+      else banded.withColumn("__bc",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("chunk"), col("cval"))))
+        .filter(col("__bc") <= maxBucket)
+        .drop("__bc")
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") &&
         col("x.cval") === col("y.cval") &&

@@ -110,11 +110,16 @@ object MinHashLSH {
       threshold: Double = 0.5,
       maxDf: Int = 256): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.repartition(par).select(col(idCol).as("__id"),
-      TF.shingles(col(textCol), w).as("__sh"))
-    val e = sh.select(col("__id"),
-      explode(graft.functions.HashExpressions.hash60Array(col("__sh"))).as("__h"))
-    val sz = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    // Hash once, persist: the posting explode and the two size joins are
+    // separate DAG branches — without the materialization the shingling +
+    // md5 pass (the scan-side hot spot) runs once per branch.
+    val hashed = df.repartition(par).select(col(idCol).as("__id"),
+        graft.functions.HashExpressions
+          .hash60Array(TF.shingles(col(textCol), w)).as("__th"))
+      .select(col("__id"), col("__th"), size(col("__th")).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = hashed.select(col("__id"), explode(col("__th")).as("__h"))
+    val sz = hashed.select(col("__id"), col("__n"))
     val postings = e.groupBy(col("__h"))
       .agg(sort_array(collect_list(col("__id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
