@@ -44,4 +44,33 @@ class WatermarkSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming dedup-within-watermark collapses a re-delivered file (T4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    val srcFile = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    // the same page delivered twice — the reference's overlapping-refetch
+    // reality, here as two identical files in the stream source
+    java.nio.file.Files.copy(srcFile, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(srcFile, dir.resolve("b.parquet"))
+
+    val distinctIds = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id").distinct().count()
+
+    val stream = spark.readStream
+      .schema(graft.Tables.eventsRawSchema)
+      .parquet(dir.toString)
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tstamp", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(spark.table("dedup_out").count() === distinctIds)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() === distinctIds)
+  }
 }
