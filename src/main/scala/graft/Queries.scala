@@ -916,6 +916,29 @@ object Queries {
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin)),
 
+    // ---- 49. batch k-NN join: every query vector → its top-k corpus
+    //          neighbors (broadcast queries + per-partition bounded heaps +
+    //          partial top-k merge; the Q×C cross product never exists) ----
+    QDef("q49_knn_join",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Knn.topKJoin(emb.filter($"vec_id" < 10), emb,
+            qIdCol = "vec_id", qVecCol = "embedding",
+            cIdCol = "vec_id", cVecCol = "embedding", k = 5)
+          .orderBy($"query_id", $"cos".desc, $"vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |        FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_cosine_similarity(qv, cv), 6) AS cos
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY query_id, cos DESC, vec_id""".stripMargin)),
+
     // ---- 36. exact-after-normalization dedup (content fingerprint, A3/A4) ----
     QDef("q36_norm_dedup",
       (s, dir) => {

@@ -147,6 +147,82 @@ object Knn {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Batch k-NN join: for EVERY query vector, the top-k corpus neighbors by
+    * cosine — the retrieval join of an embedding pipeline (dedup against a
+    * reference set, nearest-example lookup, hard-negative mining).
+    *
+    * Scale shape: queries are broadcast (bounded driver collect — same role
+    * as a broadcast dimension; shard the query set and union for huge Q),
+    * the corpus streams ONCE through a narrow mapPartitions keeping a
+    * bounded k-heap per query (memory Q·k per task, no row-pair
+    * materialization), then only the P·Q·k partial winners shuffle for the
+    * final per-query top-k — never the Q×C cross product.
+    *
+    * Cosine is rounded to 6dp BEFORE ranking (HALF_UP, identical to Spark's
+    * `round` and the oracle's) with id tie-break, so results are total-order
+    * deterministic and engine-independent.
+    */
+  def topKJoin(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, cIdCol: String, cVecCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qs)
+
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      // Spark round(_, 6) semantics: BigDecimal HALF_UP
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    val partials = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queryArr = bc.value
+        // min-heap per query: head = worst kept (lowest cos, then highest id)
+        val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+        val heaps = Array.fill(queryArr.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        it.foreach { case (cid, cvec) =>
+          var qi = 0
+          while (qi < queryArr.length) {
+            val c = cos6(queryArr(qi)._2, cvec)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, cid))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && cid < wid)) { h.dequeue(); h.enqueue((c, cid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (c, cid) => (queryArr(qi)._1, cid, c) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    partials
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Per-cell centroids (elementwise mean of vectors). Output: cell, centroid. */
   def centroids(emb: DataFrame, cellCol: String, vecCol: String): DataFrame =
     emb.select(col(cellCol).as("cell"),

@@ -73,6 +73,22 @@ class NearDupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("batch topKJoin agrees with per-query brute-force topK") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val joined = Knn.topKJoin(emb.filter($"vec_id" < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 7)
+      .select($"query_id", $"vec_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).map(r => (r._2, r._3)).toSeq).toMap
+    (0L until 5L).foreach { q =>
+      val query = emb.filter($"vec_id" === q).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      val single = Knn.topKByCosine(emb, "vec_id", "embedding", query, 7)
+        .as[(Long, Double)].collect().toSeq
+      assert(joined(q) === single, s"query $q")
+    }
+  }
+
   test("ivf with all cells probed == brute force; 1 probe recovers a clustered query") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val query = emb.filter($"vec_id" === 1).select("embedding")
