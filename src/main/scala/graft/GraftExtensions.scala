@@ -48,6 +48,13 @@ object GraftExtensions {
       }
       HashExpressions.SrpSignature(args.head, n)
     })
+    once("topk_pairs")(args => {
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
+        case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
+      }
+      graft.functions.BoundedTopK(args(0), args(1), k)
+    })
   }
 }
 
@@ -90,5 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("srp_signature", "_FUNC_(vec, nPlanes) - signed-random-projection bits"),
       (args: Seq[Expression]) =>
         HashExpressions.SrpSignature(args.head, intArg(args(1), "nPlanes"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      info("topk_pairs", "_FUNC_(score, id, k) - k best (score desc, id asc) pairs"),
+      (args: Seq[Expression]) =>
+        graft.functions.BoundedTopK(args(0), args(1), intArg(args(2), "k"))))
   }
 }

@@ -939,6 +939,29 @@ object Queries {
         |SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
         |ORDER BY query_id, cos DESC, vec_id""".stripMargin)),
 
+    // ---- 50. top-N per group via the BoundedTopK custom aggregate — the
+    //          map-side-combining form of q10's window: the exchange moves
+    //          at most k pairs per (partition, group), nothing is sorted
+    //          globally. Same semantics, same oracle shape as q10. ----
+    QDef("q50_topk_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .groupBy($"c_mktsegment")
+          .agg(graft.functions.BoundedTopK
+            .topkPairs($"c_acctbal", $"c_custkey", 3).as("top"))
+          .select($"c_mktsegment", posexplode($"top"))
+          .select($"c_mktsegment", ($"pos" + 1).cast("long").as("rn"),
+            $"col.id".as("c_custkey"), $"col.score".as("c_acctbal"))
+          .orderBy($"c_mktsegment", $"rn")
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (
+        |        PARTITION BY c_mktsegment
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
+
     // ---- 36. exact-after-normalization dedup (content fingerprint, A3/A4) ----
     QDef("q36_norm_dedup",
       (s, dir) => {
