@@ -53,7 +53,11 @@ object GraftExtensions {
         case Literal(v: Int, _) => v
         case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
       }
-      graft.functions.BoundedTopK(args(0), args(1), k)
+      graft.functions.BoundedTopK(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.LongType), k)
     })
   }
 }
@@ -102,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_pairs"),
       info("topk_pairs", "_FUNC_(score, id, k) - k best (score desc, id asc) pairs"),
       (args: Seq[Expression]) =>
-        graft.functions.BoundedTopK(args(0), args(1), intArg(args(2), "k"))))
+        graft.functions.BoundedTopK(
+          org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.LongType), intArg(args(2), "k"))))
   }
 }

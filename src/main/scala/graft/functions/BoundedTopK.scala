@@ -31,6 +31,16 @@ case class BoundedTopK(
 
   require(k >= 1, s"k must be >= 1, got $k")
 
+  // fail at analysis, not with a task-time ClassCastException (SQL literals
+  // like 1.0 arrive as DECIMAL — the registration builders cast for you;
+  // direct constructors must match exactly)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_pairs expects (double, bigint), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
   private type Buf = scala.collection.mutable.PriorityQueue[(Double, Long)]
   // max-heap whose head is the WORST kept pair (lowest score, highest id)
   private def worstFirst: Ordering[(Double, Long)] =
