@@ -962,6 +962,53 @@ object Queries {
         |      FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
 
+    // ---- 51. exact quantiles per group (A-family): Spark's `percentile`
+    //          (exact, linear interpolation) ≡ DuckDB's quantile_cont; the
+    //          approx sketch (percentile_approx/t-digest) differs per
+    //          engine, same story as q26's HLL — exact is the oracled
+    //          surface, sketches belong behind tolerance checks. ----
+    QDef("q51_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- 52. statistical aggregates (A-family): correlation, sample
+    //          stddev/covariance. Both engines use streaming co-moment
+    //          updates whose double drift is far below the rounding grain
+    //          (1e-12 relative vs 1e-4 grain), so round-4 output is stable. ----
+    QDef("q52_stats_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+            round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+            round(covar_samp($"l_quantity", $"l_discount"), 4).as("cov_qty_disc"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- 36. exact-after-normalization dedup (content fingerprint, A3/A4) ----
     QDef("q36_norm_dedup",
       (s, dir) => {
