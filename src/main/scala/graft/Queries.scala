@@ -972,11 +972,17 @@ object Queries {
         import s.implicits._
         Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
+          // ONE percentile aggregate with an array of quantiles: each
+          // percentile agg buffers the whole group's values, so three
+          // separate calls build three copies (measured 3x cost)
           .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+            expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__q"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            round(element_at($"__q", 1), 4).as("p50"),
+            round(element_at($"__q", 2), 4).as("p90"),
+            round(element_at($"__q", 3), 4).as("p99"),
+            $"n")
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
