@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the final sort exchange:\n${p.take(3000)}")
   }
 
+  test("NO query plans a quadratic join operator (whole-surface sweep)") {
+    // the one antipattern that silently survives small-scale testing and
+    // dies at 100 TB: every declared query must plan without cartesian /
+    // nested-loop joins
+    Queries.all.foreach { q =>
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
+
   test("q47 rolling fingerprint is a narrow scan + sort") {
     val p = plan("q47_rolling_fingerprint")
     assert(!p.contains("Join"), p.take(2000))
