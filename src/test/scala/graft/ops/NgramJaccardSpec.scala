@@ -41,6 +41,27 @@ class NgramJaccardSpec extends AnyFunSuite {
     assert(pairs(docs, Int.MaxValue).size === 16)
   }
 
+  test("collapse-first near-dup: canonical pairs + full membership on a dup-heavy corpus") {
+    // three distinct contents, two of them near-dups, each replicated 10x
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different words about spark engines and parquet files"
+    val docs = (0 until 10).flatMap(r => Seq(
+      (r * 10L + 0, a), (r * 10L + 1, b), (r * 10L + 2, c)
+    )).toDF("doc_id", "text")
+    val (pairs, membership) = MinHashLSH.nearDuplicatesCollapsed(
+      docs, "doc_id", "text", w = 3, k = 64, rowsPerBand = 2, threshold = 0.5)
+    // one canonical pair: a's representative (0) vs b's (1); c unrelated
+    assert(pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+      === Seq((0L, 1L)))
+    // membership maps all 30 docs onto the 3 canonical ids
+    val m = membership.as[(Long, Long)].collect()
+    assert(m.length === 30)
+    assert(m.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(m.filter(_._1 == 0L).map(_._2).sorted.toSeq
+      === (0 until 10).map(_ * 10L))
+  }
+
   test("simhash maxBucket valve drops the hot duplicate group, keeps under-cap pairs") {
     // six identical docs share every chunk bucket (size 6 > cap 4); one
     // distinct pair with identical token SETS rides size-2 buckets
