@@ -42,8 +42,15 @@ object ScaleProbe {
       pairs.write.format("noop").mode("overwrite").save()
       membership.write.format("noop").mode("overwrite").save()
     }
+    val exactCollapsed = time {
+      val (pairs, membership) = graft.ops.MinHashLSH
+        .exactNearDuplicatesCollapsed(docs, "doc_id", "text")
+      pairs.write.format("noop").mode("overwrite").save()
+      membership.write.format("noop").mode("overwrite").save()
+    }
     println(s"""{"metric":"dup_collapse_probe","docs":$nDocs,""" +
-      s""""naive_sec":$naive,"collapsed_sec":$collapsed,"sf":"$sfDir"}""")
+      s""""naive_sec":$naive,"collapsed_sec":$collapsed,""" +
+      s""""exact_collapsed_sec":$exactCollapsed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -160,6 +160,34 @@ object MinHashLSH {
       k: Int = 64,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val (canonicalDocs, membership) = collapseByContent(df, idCol, textCol)
+    (nearDuplicates(canonicalDocs, idCol, textCol, w, k, rowsPerBand, threshold),
+      membership)
+  }
+
+  /** Collapse-first form of [[exactNearDuplicates]] — the inverted-index
+    * pass suffers the same g² blowup on duplicate groups (every posting
+    * carries all g copies: measured 10×-replicated sf0.1 takes it from
+    * ~1.5 s to ~350 s; collapsed it is ~10 s).
+    */
+  def exactNearDuplicatesCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 256): (DataFrame, DataFrame) = {
+    val (canonicalDocs, membership) = collapseByContent(df, idCol, textCol)
+    (exactNearDuplicates(canonicalDocs, idCol, textCol, w, threshold, maxDf),
+      membership)
+  }
+
+  /** One representative per distinct content + (canonical_id, member_id)
+    * map; representatives are the minimum member id, so results are
+    * deterministic.
+    */
+  private def collapseByContent(
+      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val withFp = df.select(col(idCol).as("member_id"),
       md5(col(textCol)).as("__fp"))
     val canon = withFp.groupBy(col("__fp"))
@@ -168,8 +196,7 @@ object MinHashLSH {
       .select(col("canonical_id"), col("member_id"))
     val canonicalDocs = df.join(
       canon.select(col("canonical_id").as(idCol)), Seq(idCol), "left_semi")
-    (nearDuplicates(canonicalDocs, idCol, textCol, w, k, rowsPerBand, threshold),
-      membership)
+    (canonicalDocs, membership)
   }
 
   /** Near-duplicate pairs with exact Jaccard ≥ `threshold` over `w`-token

@@ -60,6 +60,12 @@ class NgramJaccardSpec extends AnyFunSuite {
     assert(m.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
     assert(m.filter(_._1 == 0L).map(_._2).sorted.toSeq
       === (0 until 10).map(_ * 10L))
+    // the exact inverted-index collapsed pass agrees with the LSH one here
+    val (exactPairs, m2) = MinHashLSH.exactNearDuplicatesCollapsed(
+      docs, "doc_id", "text", w = 3, threshold = 0.5)
+    assert(exactPairs.select($"doc_a", $"doc_b").as[(Long, Long)]
+      .collect().toSeq === Seq((0L, 1L)))
+    assert(m2.count() === 30)
   }
 
   test("simhash maxBucket valve drops the hot duplicate group, keeps under-cap pairs") {
