@@ -66,4 +66,31 @@ object Dedup {
       .agg(min_by(payload, col(keeper)).as("__keep"))
       .select("__keep.*")
   }
+
+  /** Exact-duplicate collapse that KEEPS the group structure: one
+    * representative row per distinct content (minimum `idCol` — so
+    * deterministic) plus a (canonical_id, member_id) membership map.
+    *
+    * This is the mandatory pre-pass before ANY bucketed near-dup operator
+    * on a duplicate-heavy corpus: a group of g identical documents collides
+    * in every LSH band / SimHash chunk / shingle posting by construction,
+    * forcing C(g,2) bucket work that no banding parameter avoids (measured
+    * 10×-duplicated corpus: 25-140× slowdowns; see SCALING.md). Compose as
+    * `val (canon, members) = Dedup.collapseByContent(...)` then run
+    * MinHashLSH / SimHash / Knn passes on `canon` — a canonical pair
+    * (a, b) extends to every member of a's group × every member of b's.
+    * Same unambiguous to_json fingerprint as [[exactByContent]].
+    */
+  def collapseByContent(
+      df: DataFrame, contentCols: Seq[String], idCol: String): (DataFrame, DataFrame) = {
+    val fp = md5(to_json(struct(contentCols.map(col): _*)))
+    val withFp = df.select(col(idCol).as("member_id"), fp.as("__fp"))
+    val canon = withFp.groupBy(col("__fp"))
+      .agg(min(col("member_id")).as("canonical_id"))
+    val membership = withFp.join(canon, "__fp")
+      .select(col("canonical_id"), col("member_id"))
+    val canonicalRows = df.join(
+      canon.select(col("canonical_id").as(idCol)), Seq(idCol), "left_semi")
+    (canonicalRows, membership)
+  }
 }

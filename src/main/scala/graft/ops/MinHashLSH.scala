@@ -182,22 +182,9 @@ object MinHashLSH {
       membership)
   }
 
-  /** One representative per distinct content + (canonical_id, member_id)
-    * map; representatives are the minimum member id, so results are
-    * deterministic.
-    */
   private def collapseByContent(
-      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
-    val withFp = df.select(col(idCol).as("member_id"),
-      md5(col(textCol)).as("__fp"))
-    val canon = withFp.groupBy(col("__fp"))
-      .agg(min(col("member_id")).as("canonical_id"))
-    val membership = withFp.join(canon, "__fp")
-      .select(col("canonical_id"), col("member_id"))
-    val canonicalDocs = df.join(
-      canon.select(col("canonical_id").as(idCol)), Seq(idCol), "left_semi")
-    (canonicalDocs, membership)
-  }
+      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) =
+    Dedup.collapseByContent(df, Seq(textCol), idCol)
 
   /** Near-duplicate pairs with exact Jaccard ≥ `threshold` over `w`-token
     * shingles, candidates generated by (k, rowsPerBand) LSH.

@@ -18,7 +18,9 @@ import graft.functions.{TextFunctions => TF}
   * self-joining on (chunkIdx, chunkValue) is EXACT — same result set as the
   * O(n²) scan, but the shuffle is on chunk buckets. At 100 TB this is the
   * only viable shape; bucket skew (a very common chunk value) is the thing
-  * to watch — AQE skew-join handles moderate cases.
+  * to watch — AQE skew-join handles moderate cases; exact-duplicate groups
+  * (identical fingerprints in every chunk) need
+  * [[Dedup.collapseByContent]] first, exactly as with MinHashLSH.
   */
 object SimHash {
 
