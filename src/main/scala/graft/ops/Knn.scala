@@ -62,13 +62,15 @@ object Knn {
     // unordered pair from blocks (gx ≤ gy) meets exactly once, in tile
     // (gx, gy) — twice (both orientations) only on diagonal tiles, where
     // the id inequality keeps one.
-    // Explicit hash-partitioning on the tile key, sized ~tiles: the join
-    // reuses it (no extra shuffle), and — unlike AQE-planned shuffles — a
-    // user repartition is never coalesced. The shuffled BYTES here are tiny
-    // (vectors × replication), so AQE would otherwise fuse everything into
-    // one partition and serialize the Θ(n²) probe-side compute, which the
-    // byte-based advisory size cannot see.
-    val nTiles = nb * (nb + 1) / 2
+    // Explicit hash-partitioning on the tile key: the join reuses it (no
+    // extra shuffle), and — unlike AQE-planned shuffles — a user repartition
+    // is never coalesced. The shuffled BYTES here are tiny (vectors ×
+    // replication), so AQE would otherwise fuse everything into one
+    // partition and serialize the Θ(n²) probe-side compute, which the
+    // byte-based advisory size cannot see. 4× tiles partitions: tile ids
+    // hash arbitrarily, and at ~1 partition per tile the birthday-collision
+    // stragglers (2-3 heavy tiles in one partition) bound wall-clock.
+    val nTiles = nb * (nb + 1) / 2 * 4
     val a = withG.select(col("__id").as("vec_a"), col("__v").as("__va"),
         col("__g").as("__ga"), explode(sequence(col("__g"), lit(nb - 1))).as("__tj"))
       .withColumn("__tile", col("__ga") * nb + col("__tj"))
