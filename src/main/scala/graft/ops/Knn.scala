@@ -135,6 +135,10 @@ object Knn {
     * detection recall is exactly 1 by construction, not probabilistically;
     * at lower thresholds recall follows 1-(1-p^r)^b with p = 1-θ/π.
     * Candidates are re-scored exactly, so false candidates never escape.
+    * The flip side of guaranteed dup collision: a corpus with LARGE
+    * duplicate groups pays C(g,2) per bucket in every band — pre-collapse
+    * with [[Dedup.collapseByContent]] (contentCols = the vector column)
+    * exactly as with the text near-dup passes.
     */
   def srpVerifiedPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,

@@ -37,6 +37,20 @@ object SimHash {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Collapse-first form: exact-duplicate groups (identical fingerprints in
+    * every chunk) force C(g,2) bucket work — collapse to one representative
+    * per distinct content, block on those, and return the membership map
+    * (same contract as [[MinHashLSH.nearDuplicatesCollapsed]]).
+    */
+  def nearDuplicatesCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    val (canonical, membership) = Dedup.collapseByContent(df, Seq(textCol), idCol)
+    (nearDuplicates(canonical, idCol, textCol, maxHamming), membership)
+  }
+
   /** All pairs with Hamming(fp_a, fp_b) ≤ maxHamming (requires ≤ 3 for the
     * 4-chunk blocking to stay exact). Output: doc_a, doc_b (a < b), hamming.
     *

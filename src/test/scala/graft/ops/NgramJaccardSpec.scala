@@ -66,6 +66,10 @@ class NgramJaccardSpec extends AnyFunSuite {
     assert(exactPairs.select($"doc_a", $"doc_b").as[(Long, Long)]
       .collect().toSeq === Seq((0L, 1L)))
     assert(m2.count() === 30)
+    // and the simhash family exposes the same collapse-first contract
+    val (shPairs, m3) = SimHash.nearDuplicatesCollapsed(docs, "doc_id", "text")
+    assert(m3.count() === 30)
+    assert(shPairs.filter($"doc_a" >= 10 || $"doc_b" >= 10).count() === 0)
   }
 
   test("simhash maxBucket valve drops the hot duplicate group, keeps under-cap pairs") {
