@@ -1015,6 +1015,38 @@ object Queries {
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- 53. volume-weighted average price per month bucket — the
+    //          canonical consumer query over the reference's kline tables
+    //          (TWAP/VWAP). Weighted sum and weight sum stay exact decimal
+    //          (associative); the RATIO is emitted as round-6 double —
+    //          division re-introduces inexactness anyway, and rounding far
+    //          above double's ulp keeps both engines identical. ----
+    QDef("q53_vwap",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy(date_format($"l_shipdate", "yyyyMM").as("ym"))
+          // quantity as DECIMAL(9,3): DuckDB's decimal multiply KEEPS the
+          // max operand precision (only scales add), so the narrow factor
+          // must leave headroom — (18,6)×(9,3) → (18,9) fits, (18,6)×(12,6)
+          // overflows int64 there
+          .agg(
+            sum($"l_extendedprice".cast(dec18_6) *
+              $"l_quantity".cast(DecimalType(9, 3))).as("__wsum"),
+            sum($"l_quantity".cast(dec38_6)).as("__w"),
+            count(lit(1)).as("n"))
+          .select($"ym",
+            round(($"__wsum" / $"__w").cast("double"), 6).as("vwap"),
+            $"n")
+          .orderBy($"ym")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y%m') AS ym,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |            * CAST(l_quantity AS DECIMAL(9,3)))
+        |       / sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS vwap,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
+
     // ---- 36. exact-after-normalization dedup (content fingerprint, A3/A4) ----
     QDef("q36_norm_dedup",
       (s, dir) => {
