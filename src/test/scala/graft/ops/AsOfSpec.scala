@@ -46,4 +46,31 @@ class AsOfSpec extends AnyFunSuite {
       .select("v").as[Double].collect().toSeq
     assert(out === Seq(2.0))
   }
+
+  test("property: as-of == brute-force reference on random dense-tie data") {
+    val rng = new scala.util.Random(2026)
+    // small ts range + few keys forces heavy ties/boundary collisions
+    val leftRows = (0 until 300).map { i =>
+      (s"k${rng.nextInt(4)}", rng.nextInt(25).toLong, i.toLong)
+    }
+    val rightRows = (0 until 200).map { j =>
+      (s"k${rng.nextInt(4)}", rng.nextInt(25).toLong, j.toLong, rng.nextDouble())
+    }
+    val left = leftRows.toDF("k", "ts", "lid")
+    val right = rightRows.toDF("k", "ts", "seq", "v")
+    val got = AsOf.joinBackward(left, right, Seq("k"), "ts", "ts",
+        valueCols = Seq("v"), rightVersion = Seq("seq"))
+      .select("k", "ts", "lid", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    val want = leftRows.map { case (k, lts, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= lts)
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2, r._3))._4) // latest ts, then version
+      (k, lts, lid, best)
+    }.toSet
+    assert(got === want)
+  }
 }
