@@ -57,4 +57,33 @@ class ResampleSessionSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("property: ohlcv == brute-force reference on random tie-heavy data") {
+    val rng = new scala.util.Random(4242)
+    // duplicate timestamps on purpose: the tie-break must decide open/close
+    val rows = (0 until 400).map { i =>
+      (s"t${rng.nextInt(3)}",
+        3600000L * rng.nextInt(3) + rng.nextInt(8) * 60000L, // 3 hours, 8 slots
+        i.toLong, math.rint(rng.nextDouble() * 1000) / 100.0)
+    }
+    val df = rows.toDF("etype", "ms", "eid", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+      .withColumn("ts_us", $"ms" * 1000L)
+    val got = Resample.ohlcv(df, Seq("etype"), "tstamp",
+        tieBreak = Seq("ts_us", "eid"), valueCol = "value", interval = "1 hour")
+      .select($"etype", unix_millis($"bucket_start").as("b"),
+        $"open", $"high", $"low", $"close", $"volume", $"n_ticks")
+      .as[(String, Long, Double, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val want = rows.groupBy(r => (r._1, r._2 / 3600000L * 3600000L)).map {
+      case ((et, b), grp) =>
+        val sorted = grp.sortBy(r => (r._2, r._3)) // (ts, eid) total order
+        (et, b, sorted.head._4, grp.map(_._4).max, grp.map(_._4).min,
+          sorted.last._4, grp.map(_._4).sum, grp.size.toLong)
+    }.toSet
+    // volumes: compare at 1e-9 via rounding (sum order differs)
+    def norm(s: Set[(String, Long, Double, Double, Double, Double, Double, Long)]) =
+      s.map(t => t.copy(_7 = math.rint(t._7 * 1e9) / 1e9))
+    assert(norm(got) === norm(want))
+  }
 }
