@@ -32,6 +32,10 @@ object ScaleProbe {
     }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count()
+    // warm JIT/codegen on a small slice so the first timed pass isn't
+    // paying cold-start (it biased the naive number ~1.8× high)
+    graft.ops.MinHashLSH.nearDuplicates(docs.limit(200), "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
     val naive = time {
       graft.ops.MinHashLSH.nearDuplicates(docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
