@@ -962,26 +962,23 @@ object Queries {
         |      FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
 
-    // ---- 51. exact quantiles per group (A-family): Spark's `percentile`
-    //          (exact, linear interpolation) ≡ DuckDB's quantile_cont; the
-    //          approx sketch (percentile_approx/t-digest) differs per
-    //          engine, same story as q26's HLL — exact is the oracled
-    //          surface, sketches belong behind tolerance checks. ----
+    // ---- 51. exact quantiles per group (A-family), scale-safe: the
+    //          distributed selection-over-global-sort operator
+    //          (ops/Quantiles.scala) — identical interpolation semantics to
+    //          Spark's `percentile` ≡ DuckDB's quantile_cont, but with NO
+    //          whole-group aggregation buffer anywhere in the plan (the
+    //          built-in exact percentile buffers every group value: OOM at
+    //          100 TB with few groups). n = count(value) (non-null). ----
     QDef("q51_quantiles",
       (s, dir) => {
         import s.implicits._
-        Tables.lineitem(s, dir)
-          .groupBy($"l_returnflag")
-          // ONE percentile aggregate with an array of quantiles: each
-          // percentile agg buffers the whole group's values, so three
-          // separate calls build three copies (measured 3x cost)
-          .agg(
-            expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__q"),
-            count(lit(1)).as("n"))
+        graft.ops.Quantiles.exact(
+            Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+            Seq(0.5, 0.9, 0.99))
           .select($"l_returnflag",
-            round(element_at($"__q", 1), 4).as("p50"),
-            round(element_at($"__q", 2), 4).as("p90"),
-            round(element_at($"__q", 3), 4).as("p99"),
+            round(element_at($"quantiles", 1), 4).as("p50"),
+            round(element_at($"quantiles", 2), 4).as("p90"),
+            round(element_at($"quantiles", 3), 4).as("p99"),
             $"n")
           .orderBy($"l_returnflag")
       },
@@ -989,7 +986,7 @@ object Queries {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
-        | count(*) AS n
+        | count(l_extendedprice) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- 52. statistical aggregates (A-family): correlation, sample
