@@ -916,6 +916,28 @@ object Queries {
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin)),
 
+    // ---- 54. IVF ANN with a TRAINED coarse quantizer (closes the round-2
+    //          gap: q48 consumed the fixture's `label` as the cell id; here
+    //          the cells come from Lloyd's k-means — compiled argmax-of-k
+    //          assignment, per-cell mean update, driver-held centroids).
+    //          Probing all kCells cells keeps the result provably equal to
+    //          brute force REGARDLESS of how training converged (same
+    //          oracle trick as q48); partial-probe recall is KmeansIvfSpec's
+    //          job. ----
+    QDef("q54_ivf_trained",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter($"vec_id" === 2)
+          .select($"embedding").head.getSeq[Float](0).map(_.toDouble)
+        Knn.ivfTopKTrained(s, emb, idCol = "vec_id", vecCol = "embedding",
+          query = query, k = 25, kCells = 8, nProbe = 8, iters = 3)
+      },
+      Some("""SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin)),
+
     // ---- 49. batch k-NN join: every query vector → its top-k corpus
     //          neighbors (broadcast queries + per-partition bounded heaps +
     //          partial top-k merge; the Q×C cross product never exists) ----

@@ -230,6 +230,99 @@ object Knn {
       .drop("__rn")
   }
 
+  /** Best cell for a vector given driver-side centroids: argmax of cosine,
+    * ties to the LOWEST cell index (struct comparison: cosine first, then
+    * negated index — all codegen'd, no UDF).
+    */
+  private def assignExpr(vecDouble: org.apache.spark.sql.Column,
+                         cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(VF.cosineToQuery(vecDouble, c).as("c"), lit(-j).as("nj"))
+    }
+    (array_max(array(scored: _*)).getField("nj") * -1).cast("int")
+  }
+
+  /** Lloyd's k-means over cosine similarity — trains the IVF coarse
+    * quantizer that [[ivfTopK]] consumes. Returns the k centroids
+    * (index = cell id).
+    *
+    * Shape per iteration: one scan of the (persisted, narrow) training
+    * projection assigning each vector to its best centroid via a compiled
+    * argmax-of-k expression (k inline cosines — no UDF, no shuffle), then
+    * the per-cell elementwise mean: a (cell, pos) hash aggregate with
+    * map-side partials — k·dim result rows collected to the driver (the
+    * same tiny-aggregate role the probe selection plays). Cells that lose
+    * all members keep their previous centroid.
+    *
+    * At 100 TB you train on a sample — `trainFraction` bounds the training
+    * scan; assignment of the FULL corpus happens once, at ingest, with
+    * [[kmeansAssign]] (store the cell id as a partition key so IVF probes
+    * become partition pruning).
+    *
+    * Init is deterministic farthest-first traversal (the 2-approximation
+    * to k-center, and k-means++'s deterministic cousin): seed with the
+    * min-hash vector, then k−1 times take the vector whose best cosine to
+    * any chosen centroid is LOWEST (hash tie-break). Each step is one scan
+    * + `limit(1)` over the persisted training projection — k tiny jobs,
+    * reproducible across runs (no seed-sensitive sampling in the plan),
+    * and well-separated clusters are guaranteed one seed each (random
+    * init can double-seed a cluster, and Lloyd's can never un-merge).
+    */
+  def kmeansCentroids(
+      emb: DataFrame, vecCol: String, k: Int, iters: Int,
+      trainFraction: Double = 1.0): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 1)
+    val base = emb.select(VF.toDouble(col(vecCol)).as("__v"))
+    val train0 = if (trainFraction < 1.0)
+      base.sample(withReplacement = false, trainFraction, seed = 42) else base
+    val train = train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = train.orderBy(hash(col("__v")).asc).limit(1)
+        .collect().map(_.getSeq[Double](0).toSeq)
+      var cents: Seq[Seq[Double]] = first.toSeq
+      while (cents.nonEmpty && cents.length < k) {
+        val closeness = array_max(
+          array(cents.map(c => VF.cosineToQuery(col("__v"), c)): _*))
+        val next = train.withColumn("__cl", closeness)
+          .orderBy(col("__cl").asc, hash(col("__v")).asc)
+          .limit(1).collect()
+        cents = cents ++ next.map(_.getSeq[Double](0).toSeq)
+      }
+      var it = 0
+      while (it < iters) {
+        val assigned = train.withColumn("cell", assignExpr(col("__v"), cents))
+        val means: Map[Int, Seq[Double]] = centroids(assigned, "cell", "__v")
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
+        it += 1
+      }
+      cents
+    } finally train.unpersist(blocking = false)
+  }
+
+  /** Adds the trained quantizer's cell id (`cellCol`) to every row — the
+    * ingest-time step that makes IVF probes partition-prunable at scale.
+    */
+  def kmeansAssign(emb: DataFrame, vecCol: String,
+                   cents: Seq[Seq[Double]], cellCol: String = "cell"): DataFrame =
+    emb.withColumn(cellCol, assignExpr(VF.toDouble(col(vecCol)), cents))
+
+  /** IVF ANN with a TRAINED quantizer: k-means centroids → cell assignment
+    * → cell-pruned probe. With nProbe = kCells this is provably exact
+    * (every cell probed ⇒ brute force) regardless of how training
+    * converged — the oracle surface. Partial probes trade recall for a
+    * nProbe/kCells scan, spec'd in KmeansIvfSpec.
+    */
+  def ivfTopKTrained(
+      spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, kCells: Int, nProbe: Int,
+      iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+    val cents = kmeansCentroids(emb, vecCol, kCells, iters, trainFraction)
+    val withCell = kmeansAssign(emb, vecCol, cents, "__cell")
+    ivfTopK(spark, withCell, idCol, vecCol, "__cell", query, k, nProbe)
+  }
+
   /** Per-cell centroids (elementwise mean of vectors). Output: cell, centroid. */
   def centroids(emb: DataFrame, cellCol: String, vecCol: String): DataFrame =
     emb.select(col(cellCol).as("cell"),
