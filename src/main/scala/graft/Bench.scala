@@ -37,9 +37,11 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     // Per-query minimum over `reps` passes: this VM shows bursty
-    // noisy-neighbor stalls (identical runs swing 3-5x); the min isolates
-    // the engine's cost from transient host contention.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // noisy-neighbor stalls (identical runs swing 3-5x, and round 2's
+    // driver run ate a 20x spike on one query); 3 reps by default so a
+    // single stalled pass can't own the headline, and the per-rep times
+    // ship in the JSON ("reps_sec") so a noisy rep is visible post-hoc.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Optional comma-separated substring filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -53,12 +55,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val perRep = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -24,11 +24,34 @@ object GraftExtensions {
     * re-invocation (every q43 run) is a no-op instead of a re-register that
     * warns `replaced a previously registered function` into the log.
     */
+  /** Names THIS object registered, per session — idempotence is inferred
+    * from our own bookkeeping, never from mere name existence: a session
+    * that already had an unrelated UDF named e.g. `cosine_sim` must not be
+    * silently treated as "graft already registered" (graft's ops would run
+    * against foreign semantics). Weak keys: sessions die, entries follow.
+    */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.mutable.Set[String]]())
+
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = org.apache.spark.sql.classic.GraftExprColumn.functionRegistry(spark)
+    val mine = registered.synchronized {
+      var s = registered.get(spark)
+      if (s == null) { s = scala.collection.mutable.Set.empty[String]; registered.put(spark, s) }
+      s
+    }
     def once(name: String)(builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(FunctionIdentifier(name)))
+      if (mine.contains(name)) ()                    // our earlier call — no-op
+      else if (reg.functionExists(FunctionIdentifier(name)))
+        System.err.println(s"[graft] WARNING: not registering '$name' — the " +
+          "session already has a function with that name (not graft's); " +
+          s"SQL calls to $name will use the existing definition")
+      else {
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+        mine += name
+      }
     once("simhash_fingerprint")(args => HashExpressions.SimHashFingerprint(args.head))
     once("minhash_signature")(args => {
       val k = args(1) match {

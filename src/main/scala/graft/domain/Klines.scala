@@ -92,6 +92,13 @@ object Klines {
     * them — summing a 1m and a 1h bar into one window double-counts volume.
     * `sourceInterval` (default "1m") selects which series feeds the bars;
     * the filter prunes at the scan when interval is a partition/sort key.
+    *
+    * NOTE the filter is exact-match on the `interval` label: a table that
+    * labels its base series differently (e.g. "1min") yields an EMPTY
+    * result with the default — pass the table's own label as
+    * `sourceInterval`. The empty frame is deliberate (an eager existence
+    * check would force an action inside a lazy operator); validate labels
+    * with `klines.select("interval").distinct()` when unsure.
     */
   def resample(
       klines: DataFrame, target: String, targetInterval: String,

@@ -159,11 +159,13 @@ object Knn {
     * reference set, nearest-example lookup, hard-negative mining).
     *
     * Scale shape: queries are broadcast (bounded driver collect — same role
-    * as a broadcast dimension; shard the query set and union for huge Q),
-    * the corpus streams ONCE through a narrow mapPartitions keeping a
-    * bounded k-heap per query (memory Q·k per task, no row-pair
+    * as a broadcast dimension), the corpus streams through a narrow
+    * mapPartitions keeping a bounded k-heap per query (no row-pair
     * materialization), then only the P·Q·k partial winners shuffle for the
-    * final per-query top-k — never the Q×C cross product.
+    * final per-query top-k — never the Q×C cross product. For huge Q set
+    * `maxShardQueries`: the query set is chunked, each shard scans the
+    * corpus with its own bounded broadcast + heaps, and the shard partials
+    * union ahead of the final window (identical output — spec-pinned).
     *
     * Cosine is rounded to 6dp BEFORE ranking (HALF_UP, identical to Spark's
     * `round` and the oracle's) with id tie-break, so results are total-order
@@ -172,13 +174,23 @@ object Knn {
   def topKJoin(
       queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qVecCol: String, cIdCol: String, cVecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxShardQueries: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qIdCol).cast("long"), col(qVecCol))
       .as[(Long, Array[Float])].collect()
-    val bc = spark.sparkContext.broadcast(qs)
+
+    // Sharding bounds EXECUTOR-side memory for huge query sets: each task's
+    // heap array is |shard|·k entries (not Q·k) and each broadcast ships
+    // |shard| vectors. Each shard re-scans the corpus — at Q beyond a few
+    // shards, persist/bucket the corpus so those are cached columnar scans
+    // (the batch-retrieval shape: the corpus is the big side, scanned
+    // sequentially; the queries are the dimension). maxShardQueries ≤ 0 →
+    // one shard (small-Q fast path, no union overhead).
+    val shards: Seq[Array[(Long, Array[Float])]] =
+      if (maxShardQueries <= 0 || qs.length <= maxShardQueries) Seq(qs)
+      else qs.grouped(maxShardQueries).toSeq
 
     def cos6(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
@@ -194,32 +206,37 @@ object Knn {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     }
 
-    val partials = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val queryArr = bc.value
-        // min-heap per query: head = worst kept (lowest cos, then highest id)
-        val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
-        val heaps = Array.fill(queryArr.length)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-        it.foreach { case (cid, cvec) =>
-          var qi = 0
-          while (qi < queryArr.length) {
-            val c = cos6(queryArr(qi)._2, cvec)
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue((c, cid))
-            else {
-              val (wc, wid) = h.head
-              if (c > wc || (c == wc && cid < wid)) { h.dequeue(); h.enqueue((c, cid)) }
+    def shardPartials(shard: Array[(Long, Array[Float])]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(shard)
+      corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val queryArr = bc.value
+          // min-heap per query: head = worst kept (lowest cos, then highest id)
+          val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+          val heaps = Array.fill(queryArr.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          it.foreach { case (cid, cvec) =>
+            var qi = 0
+            while (qi < queryArr.length) {
+              val c = cos6(queryArr(qi)._2, cvec)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, cid))
+              else {
+                val (wc, wid) = h.head
+                if (c > wc || (c == wc && cid < wid)) { h.dequeue(); h.enqueue((c, cid)) }
+              }
+              qi += 1
             }
-            qi += 1
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.iterator.map { case (c, cid) => (queryArr(qi)._1, cid, c) }
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (c, cid) => (queryArr(qi)._1, cid, c) }
-        }
-      }
-      .toDF("query_id", "vec_id", "cos")
+        .toDF("query_id", "vec_id", "cos")
+    }
+
+    val partials = shards.map(shardPartials).reduce(_.unionAll(_))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

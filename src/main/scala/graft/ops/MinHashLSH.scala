@@ -98,9 +98,13 @@ object MinHashLSH {
     * longer than maxDf are dropped before pair generation, capping any
     * task's emission at C(maxDf,2) pairs. The cut is provably inert when
     * maxDf exceeds the corpus' max document frequency (the fixture maxes
-    * at 25; spec asserts inertness) — above that it trades recall only on
-    * pairs whose overlap is exclusively ultra-common shingles, the
-    * standard df-cut of all-pairs similarity search.
+    * at 25; spec asserts inertness). When the cut DOES bite, the emitted
+    * jaccard is the exact Jaccard of the df-CUT shingle sets: per-doc set
+    * sizes are computed post-cut (below), so dropping a shingle removes it
+    * from numerator AND denominator consistently for every pair — the
+    * standard df-cut vocabulary of all-pairs similarity search, not a
+    * silent downward bias on full-set Jaccard. A pair whose only overlap
+    * was over-cap shingles disappears (its retained overlap is 0).
     */
   def exactNearDuplicates(
       df: DataFrame,
@@ -113,16 +117,24 @@ object MinHashLSH {
     // Hash once, persist: the posting explode and the two size joins are
     // separate DAG branches — without the materialization the shingling +
     // md5 pass (the scan-side hot spot) runs once per branch.
-    val hashed = df.repartition(par).select(col(idCol).as("__id"),
+    val hashed = persistOnce(df.repartition(par).select(col(idCol).as("__id"),
         graft.functions.HashExpressions
           .hash60Array(TF.shingles(col(textCol), w)).as("__th"))
-      .select(col("__id"), col("__th"), size(col("__th")).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("__id"), col("__th")))
     val e = hashed.select(col("__id"), explode(col("__th")).as("__h"))
-    val sz = hashed.select(col("__id"), col("__n"))
-    val postings = e.groupBy(col("__h"))
+    // df per shingle is a light count agg (map-side partials); the kept-
+    // shingle join then feeds BOTH the postings build and the post-cut
+    // per-doc sizes — the identical e-exchange and keep-subtree in the two
+    // branches collapse via ReusedExchange, and e reads the cached hashes.
+    val keep = e.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("__h"))
+    val kept = e.join(keep, "__h")
+    val postings = kept.groupBy(col("__h"))
       .agg(sort_array(collect_list(col("__id"))).as("ds"))
-      .filter(size(col("ds")) <= maxDf)
+    // post-cut set size per doc: |retained shingles| — every doc appearing
+    // in any pair has ≥1 retained shingle, so the inner joins below lose
+    // nobody
+    val sz = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val pairs = postings
       .select(explode(graft.functions.HashExpressions.orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.doc_a"), col("p.doc_b"))
@@ -135,6 +147,16 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** persist() unless this exact plan is already cached — benchmark reps
+    * and shared-subtree callers otherwise trip CacheManager's "already
+    * cached" warning and double bookkeeping. `storageLevel` is the public
+    * CacheManager lookup.
+    */
+  private def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
 
   /** Near-dup detection for corpora with large EXACT-duplicate groups — the
     * canonical 100 TB pipeline shape. A group of g byte-identical documents
@@ -224,10 +246,9 @@ object MinHashLSH {
     // re-evaluate the hashing subtree once per reference — cache it (a few
     // KB per document; at cluster scale this is the natural materialization
     // point anyway: signatures are written once and reused per batch).
-    val sig = hashed.select(col("__id"), col("__n"), col("__th"),
+    val sig = persistOnce(hashed.select(col("__id"), col("__n"), col("__th"),
       graft.functions.HashExpressions
-        .minhashSignature(col("__th"), k, A.take(k), B.take(k)).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .minhashSignature(col("__th"), k, A.take(k), B.take(k)).as("__sig")))
 
     // One row per (doc, band); bucket key is the band's signature slice.
     // xxhash64 over (band, slice) only shrinks the shuffle key — collisions

@@ -79,7 +79,11 @@ object Paginator {
     */
   final class RateGate(
       maxCalls: Int, periodMs: Long,
-      clock: () => Long = () => System.currentTimeMillis(),
+      // Only intervals are compared, so the default clock is MONOTONIC
+      // (nanoTime): a backward wall-clock step (NTP) under
+      // currentTimeMillis would freeze the window and block every caller
+      // until the clock caught back up.
+      clock: () => Long = () => System.nanoTime() / 1000000L,
       sleep: Long => Unit = Thread.sleep) {
     require(maxCalls > 0, s"maxCalls must be positive, got $maxCalls")
     require(periodMs > 0, s"periodMs must be positive, got $periodMs")

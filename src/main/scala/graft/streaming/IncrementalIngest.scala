@@ -80,14 +80,70 @@ object IncrementalIngest {
       tsCol: String,
       tableDir: String,
       checkpointDir: String): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
+    val q = start(spark, srcDir, schema, keys, version, tsCol, tableDir,
+      checkpointDir, Trigger.AvailableNow(), watermarkDelay = None)
+    q.awaitTermination()
+  }
+
+  /** The LONG-RUNNING form of the same pipeline: `Trigger.ProcessingTime`
+    * polls `srcDir` every `intervalMs` and upserts each micro-batch —
+    * identical code path to [[runOnce]] (T1's scheduler loop without the
+    * external scheduler; stop/restart resumes from the same checkpoint).
+    *
+    * `watermarkDelay` (e.g. "10 minutes") additionally drops re-delivered
+    * rows (same keys+version) in-stream via
+    * `dropDuplicatesWithinWatermark` BEFORE the merge: the keep-last merge
+    * is already idempotent, so this changes no result, but it keeps
+    * re-delivery storms from re-writing untouched partitions, with state
+    * bounded by the watermark horizon (not all-time, as plain
+    * dropDuplicates would hold). CHOOSE THE DELAY ≥ the refetch horizon:
+    * rows with event time below the watermark are dropped as late, so a
+    * delay shorter than the oldest legitimate re-fetch would silently
+    * discard that upsert (spec pins this with a horizon-sized delay).
+    *
+    * Returns the running query — the caller owns stop()/awaitTermination.
+    */
+  def runContinuous(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      version: Seq[String],
+      tsCol: String,
+      tableDir: String,
+      checkpointDir: String,
+      intervalMs: Long = 1000L,
+      watermarkDelay: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    start(spark, srcDir, schema, keys, version, tsCol, tableDir,
+      checkpointDir, Trigger.ProcessingTime(intervalMs), watermarkDelay)
+
+  private def start(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      version: Seq[String],
+      tsCol: String,
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger,
+      watermarkDelay: Option[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = watermarkDelay match {
+      case Some(delay) =>
+        val dedupCols = (keys ++ version).distinct
+        raw.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(dedupCols.head, dedupCols.tail: _*)
+      case None => raw
+    }
+    stream.writeStream
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         upsertBatch(spark, batch.toDF(), keys, version, tsCol, tableDir)
       }
       .start()
-    q.awaitTermination()
   }
 }

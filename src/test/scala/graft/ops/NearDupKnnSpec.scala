@@ -89,6 +89,17 @@ class NearDupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded topKJoin (shard smaller than Q) is identical to unsharded") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 11)   // 11 queries, shards of 4
+    def rows(maxShard: Int) =
+      Knn.topKJoin(queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+          k = 6, maxShardQueries = maxShard)
+        .select($"query_id", $"vec_id", $"cos")
+        .as[(Long, Long, Double)].collect().sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(rows(4) === rows(0))
+  }
+
   test("ivf with all cells probed == brute force; 1 probe recovers a clustered query") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val query = emb.filter($"vec_id" === 1).select("embedding")

@@ -41,6 +41,24 @@ class NgramJaccardSpec extends AnyFunSuite {
     assert(pairs(docs, Int.MaxValue).size === 16)
   }
 
+  test("pairs sharing an over-cap shingle get exact post-cut jaccard, not a deflated one") {
+    // "alpha beta gamma" is boilerplate (df 8 > cap 4); docs 100/101 share
+    // it PLUS three rare shingles. Full-set jaccard = 4/6 ≈ 0.667; the
+    // post-cut vocabulary drops the boilerplate shingle from BOTH sides:
+    // retained sizes 4/4, retained common 3 → jaccard 3/5 = 0.6. (The old
+    // computation mixed post-cut common with full sizes: 3/7 ≈ 0.43 — a
+    // silently dropped true pair at threshold 0.5.)
+    val boiler = (0L until 6L).map(i => (i, s"alpha beta gamma x$i y$i z$i"))
+    val near = Seq((100L, "alpha beta gamma p q r s"),
+      (101L, "alpha beta gamma p q r t"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val capped = pairs(docs, maxDf = 4)
+    assert(capped === Set((100L, 101L, 0.6)))
+    // uncapped, same pair scores full-set jaccard 4/6
+    val un = pairs(docs, Int.MaxValue)
+    assert(un.contains((100L, 101L, 0.666667)))
+  }
+
   test("collapse-first near-dup: canonical pairs + full membership on a dup-heavy corpus") {
     // three distinct contents, two of them near-dups, each replicated 10x
     val a = "the quick brown fox jumps over the lazy dog again and again"
