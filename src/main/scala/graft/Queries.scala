@@ -938,6 +938,115 @@ object Queries {
         |   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin)),
 
+    // ---- 55. approx-quantile sketch behind a tolerance gate — the q26
+    //          (HLL) pattern applied to quantiles: the sketch (GK here,
+    //          t-digest in DuckDB) is what a 100 TB pipeline actually runs
+    //          when ±1% is acceptable; each engine checks ITS OWN sketch
+    //          against the exact value (ours from ops/Quantiles — the
+    //          scale-safe exact path q51 uses), and the oracled columns are
+    //          the exact values + the within-tolerance booleans. ----
+    QDef("q55_approx_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val exact = graft.ops.Quantiles.exact(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.5, 0.9, 0.99))
+        val approx = Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(percentile_approx($"l_extendedprice",
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("__a"))
+        exact.join(approx, "l_returnflag")
+          .select($"l_returnflag",
+            round(element_at($"quantiles", 1), 4).as("p50"),
+            round(element_at($"quantiles", 2), 4).as("p90"),
+            round(element_at($"quantiles", 3), 4).as("p99"),
+            (element_at($"__a", 1) / element_at($"quantiles", 1))
+              .between(0.98, 1.02).as("ok50"),
+            (element_at($"__a", 2) / element_at($"quantiles", 2))
+              .between(0.98, 1.02).as("ok90"),
+            (element_at($"__a", 3) / element_at($"quantiles", 3))
+              .between(0.98, 1.02).as("ok99"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        | (approx_quantile(l_extendedprice, 0.5)
+        |   / quantile_cont(l_extendedprice, 0.5)) BETWEEN 0.98 AND 1.02 AS ok50,
+        | (approx_quantile(l_extendedprice, 0.9)
+        |   / quantile_cont(l_extendedprice, 0.9)) BETWEEN 0.98 AND 1.02 AS ok90,
+        | (approx_quantile(l_extendedprice, 0.99)
+        |   / quantile_cont(l_extendedprice, 0.99)) BETWEEN 0.98 AND 1.02 AS ok99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- 56. deterministic stratified sampling — the corpus-mixing
+    //          primitive of a training-data pipeline (per-language quotas,
+    //          weighted source mixing). Membership is a pure function of
+    //          the row: u = hash60("sample:"+doc_id)/2^60 < rate(lang), so
+    //          the sample is reproducible across runs/engines/retries (no
+    //          RNG in the plan — Bernoulli sampling any engine can replay),
+    //          survives re-partitioning, and at 100 TB is a narrow
+    //          filter+broadcast-join: no shuffle of the corpus at all. ----
+    QDef("q56_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val rates = Seq(("en", 0.25), ("zh", 0.75), ("es", 0.5),
+          ("de", 1.0), ("fr", 0.1)).toDF("lang", "rate")
+        val u = TF.hash60(concat(lit("sample:"), $"doc_id".cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        Tables.documents(s, dir)
+          .join(broadcast(rates), "lang")
+          .filter(u < $"rate")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r(lang, rate) AS (VALUES ('en', 0.25), ('zh', 0.75),
+        |  ('es', 0.5), ('de', 1.0), ('fr', 0.1))
+        |SELECT doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < rate
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- 57. near-dup pairs → duplicate GROUPS: connected components over
+    //          the exact-Jaccard pair graph (min-label propagation +
+    //          pointer jumping, ops/ConnectedComponents). The dedup step a
+    //          pipeline actually executes — keep min(doc_id) per component,
+    //          drop the rest; pairs (a,b),(b,c) collapse a,b,c even though
+    //          (a,c) was never emitted. Oracle: recursive-CTE reachability
+    //          over the same SQL pair graph as q32. ----
+    QDef("q57_dup_components",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = MinHashLSH.exactNearDuplicates(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", w = 3, threshold = 0.5,
+          maxDf = 256)
+        graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+          .select($"v".as("doc_id"), $"comp".as("component"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT doc_a, doc_b FROM cnt
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |verts AS (SELECT DISTINCT s AS v FROM sym),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT sym.s, reach.m FROM sym JOIN reach ON sym.d = reach.v)
+        |SELECT v AS doc_id, min(m) AS component
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)),
+
     // ---- 49. batch k-NN join: every query vector → its top-k corpus
     //          neighbors (broadcast queries + per-partition bounded heaps +
     //          partial top-k merge; the Q×C cross product never exists) ----

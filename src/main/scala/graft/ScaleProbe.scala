@@ -2,14 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Diagnostic main: measures the duplicate-group pathology and its fix on
-  * any dataset dir — naive banded LSH over the raw corpus vs
-  * collapse-exact-dups-first ([[graft.ops.MinHashLSH.nearDuplicatesCollapsed]]).
-  * A corpus whose documents repeat g× forces g² bucket work on ANY blocked
-  * near-dup pass (identical content collides in every band); collapsing
-  * first restores the distinct-corpus cost. Prints one JSON line.
+/** Diagnostic main, two probes selected by SPARK_GRAFT_PROBE:
   *
-  *   SPARK_GRAFT_SF_DIR=<dir> tools/run.sh graft.ScaleProbe
+  *  - `dup` (default): the duplicate-group pathology and its fix — naive
+  *    banded LSH over the raw corpus vs collapse-exact-dups-first
+  *    ([[graft.ops.MinHashLSH.nearDuplicatesCollapsed]]). A corpus whose
+  *    documents repeat g× forces g² bucket work on ANY blocked near-dup
+  *    pass (identical content collides in every band); collapsing first
+  *    restores the distinct-corpus cost.
+  *  - `win`: the window family (lag, moving-avg, sessionize, as-of) plus
+  *    the distributed quantile at SPARK_GRAFT_PROBE_REP× (default 100×)
+  *    key-shifted in-flight replication of `events` — R× the keys, same
+  *    run length per key, which is exactly the shape the
+  *    one-shuffle-per-key-family cost model must survive. The quantile
+  *    entry is the flat-memory witness for ops/Quantiles: R× the rows of
+  *    a 3-group corpus in a single JVM would hold R·n doubles in three
+  *    buffers under the built-in `percentile`; the selection operator
+  *    completes with per-task state O(1).
+  *
+  * Prints one JSON line.
+  *
+  *   SPARK_GRAFT_SF_DIR=<dir> [SPARK_GRAFT_PROBE=win] tools/run.sh graft.ScaleProbe
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -30,6 +43,11 @@ object ScaleProbe {
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dup") == "win") {
+      winProbe(spark, sfDir, time(_)); spark.stop(); return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count()
     // warm JIT/codegen on a small slice so the first timed pass isn't
@@ -56,5 +74,61 @@ object ScaleProbe {
       s""""naive_sec":$naive,"collapsed_sec":$collapsed,""" +
       s""""exact_collapsed_sec":$exactCollapsed,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Window-family probe at R× key-shifted replication (see object doc). */
+  private def winProbe(spark: SparkSession, sfDir: String,
+                       time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "100").toLong
+    // In-flight replication: every replica shifts user_id/event_id into its
+    // own key space, so runs-per-key stay fixture-length while the key count
+    // scales R× — no multi-GB staging write, and the explode is a narrow op
+    // charged equally to every timed pass.
+    val rep = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+        col("event_type"),
+        explode(sequence(lit(0L), lit(r - 1))).as("__r"))
+      .select((col("user_id") + col("__r") * 100000000L).as("user_id"),
+        (col("event_id") + col("__r") * 10000000000L).as("event_id"),
+        col("ts_us"), col("value"), col("event_type"))
+      // The fixture is ONE parquet split: without this, all R×n generated
+      // rows sit in a single partition and every timed op's map side runs
+      // one-threaded (the small-input-parallelism lesson in SCALING.md) —
+      // first measured 100× quantile at 116 s for exactly this reason.
+      // Fan out + materialize so each pass times the operator, not the
+      // serialized generator.
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = rep.count()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warm JIT/codegen/scan metadata once
+    noop(rep.limit(1000))
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val lagSec = time(noop(rep.withColumn("delta",
+      col("value") - lag(col("value"), 1).over(w))))
+    val mavgSec = time(noop(rep.withColumn("mavg",
+      avg(col("value")).over(w.rowsBetween(-3, Window.currentRow)))))
+    val sessSec = time(noop(graft.ops.Sessionize.aggregate(rep,
+      keys = Seq("user_id"), tsUsCol = "ts_us", tieBreak = Seq("event_id"),
+      gapUs = 1800L * 1000000L, valueCol = "value")))
+    val purchases = rep.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val views = rep.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("ts_us").as("view_ts_us"), col("value").as("view_value"))
+    val asofSec = time(noop(graft.ops.AsOf.joinBackward(purchases, views,
+      keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+      valueCols = Seq("view_ts_us", "view_value"))))
+    val quantSec = time(noop(graft.ops.Quantiles.exact(rep,
+      Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))))
+
+    println(s"""{"metric":"window_probe","rep":$r,"rows":$nRows,""" +
+      s""""lag_sec":$lagSec,"mavg_sec":$mavgSec,"sessionize_sec":$sessSec,""" +
+      s""""asof_sec":$asofSec,"quantile_sec":$quantSec,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that turns
+  * near-duplicate PAIRS (MinHashLSH / SimHash / Knn output) into duplicate
+  * GROUPS. A dedup pipeline keeps one representative per component, not one
+  * per pair: pairs (a,b), (b,c) must collapse a, b, c together even though
+  * (a,c) was never emitted.
+  *
+  * Algorithm: min-label propagation with pointer jumping, driver-controlled
+  * iterations (the k-means pattern — iterate small, converge fast):
+  *
+  *  - each vertex starts labeled with itself;
+  *  - per iteration, a vertex takes the min of its own label and its
+  *    neighbors' labels (one shuffle join edges⋈labels + a min-aggregate),
+  *    then every label is replaced by ITS label's label (pointer jumping —
+  *    one more join), doubling propagation distance per round: convergence
+  *    in O(log diameter) iterations instead of O(diameter);
+  *  - convergence test: labels only ever DECREASE, so the global
+  *    sum(label) is strictly monotone until fixpoint — equal sums between
+  *    rounds ⇒ zero vertices changed, without a per-vertex diff join.
+  *
+  * Near-dup graphs are star-/clique-like (tiny diameter), so 2-3 rounds
+  * typically suffice; `maxIter` is a safety bound, not the expected cost.
+  * Each round shuffles O(E) edge-label pairs — the plain iterative CC that
+  * holds at 100 TB (the large-star/small-star variant saves rounds on
+  * pathological long-path graphs; dedup graphs are not those).
+  *
+  * Output: (vertex, component) for every vertex present in `edges`;
+  * component = the smallest vertex id reachable. Vertices with no edges
+  * are their own (absent) components — union them in at the call site if
+  * singleton rows are wanted.
+  */
+object ConnectedComponents {
+
+  def run(edges: DataFrame, aCol: String, bCol: String,
+          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("s"), col(bCol).as("d"))
+      .unionAll(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Eager localCheckpoint per iteration, NOT persist: `jumped`
+      // references `next` twice (the pointer-jump self-join), so without
+      // lineage truncation the logical plan DOUBLES per round and Catalyst
+      // re-analysis goes exponential — execution would short-circuit at a
+      // cache, but the analyzer still walks the whole tree (first version
+      // of this loop hung a 64-vertex path graph). The checkpoint replaces
+      // each round's plan with its materialized blocks — the standard
+      // barrier for iterative DataFrame algorithms (same device as
+      // IncrementalIngest's read-overwrite barrier).
+      var labels = sym.select(col("s").as("v")).distinct()
+        .withColumn("comp", col("v"))
+        .localCheckpoint(true)
+      var prevSum = labels.agg(sum(col("comp"))).head.get(0)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val nbrMin = sym
+          .join(labels.select(col("v").as("d"), col("comp")), "d")
+          .groupBy(col("s")).agg(min(col("comp")).as("nmin"))
+        val next = labels
+          .join(nbrMin.withColumnRenamed("s", "v"), Seq("v"), "left")
+          .select(col("v"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        val jumped = next.as("x")
+          .join(next.select(col("v").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+          .select(col("v"), coalesce(col("cc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        val curSum = jumped.agg(sum(col("comp"))).head.get(0)
+        labels.unpersist(blocking = false)
+        labels = jumped
+        converged = curSum == prevSum
+        prevSum = curSum
+        iter += 1
+      }
+      labels
+    } finally sym.unpersist(blocking = false)
+  }
+}

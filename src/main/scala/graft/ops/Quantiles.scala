@@ -103,35 +103,53 @@ object Quantiles {
         }
         m.toMap
       }
-      // wanted global ranks per group: the interpolation neighbors of every q
-      val wanted: Map[List[Any], Set[Long]] = totals.map { case (g, n) =>
+      // wanted global ranks per group: the interpolation neighbors of every
+      // q, sorted — ranks stream past monotonically within a group, so the
+      // selection below is a pointer walk (no per-row set lookup/boxing)
+      val wanted: Map[List[Any], Array[Long]] = totals.map { case (g, n) =>
         g -> qs.flatMap { q =>
           val pos = q * (n - 1)  // 0-indexed position
           val lo = math.floor(pos).toLong
           Seq(lo + 1, math.min(lo + 2, n))  // 1-based lo and hi ranks
-        }.toSet
+        }.distinct.sorted.toArray
       }
       val bcOffsets = spark.sparkContext.broadcast(offsets)
       val bcWanted = spark.sparkContext.broadcast(wanted)
 
-      // ---- pass 2: bounded-state selection; emits ≤ |groups|·|qs|·2 rows ----
+      // ---- pass 2: bounded-state selection; emits ≤ |groups|·|qs|·2 rows.
+      // Per row: an unboxed field compare against the current group's key
+      // (rows arrive group-clustered — the sort key leads with the group)
+      // and one long compare against the next wanted rank. Allocation only
+      // on group change. ----
       val selected: Array[(List[Any], Long, Double)] = narrow.rdd
         .mapPartitionsWithIndex { (pid, it) =>
           val offs = bcOffsets.value
           val want = bcWanted.value
-          var curKey: List[Any] = null
+          var curKey: Array[Any] = null
+          var curList: List[Any] = null
           var curRank = 0L          // global rank of the last row of curKey
-          var curWant: Set[Long] = Set.empty
+          var curWant: Array[Long] = Array.emptyLongArray
+          var wi = 0                // next wanted rank ≥ curRank+1
           it.flatMap { r =>
-            val k = (0 until nG).map(r.get).toList
-            if (k != curKey) {
-              curKey = k
-              curRank = offs.getOrElse((pid, k), 0L)
-              curWant = want.getOrElse(k, Set.empty)
+            var same = curKey != null
+            var i = 0
+            while (same && i < nG) {
+              if (r.get(i) != curKey(i)) same = false
+              i += 1
+            }
+            if (!same) {
+              curKey = Array.tabulate(nG)(r.get)
+              curList = curKey.toList
+              curRank = offs.getOrElse((pid, curList), 0L)
+              curWant = want.getOrElse(curList, Array.emptyLongArray)
+              wi = 0
+              while (wi < curWant.length && curWant(wi) <= curRank) wi += 1
             }
             curRank += 1
-            if (curWant.contains(curRank)) Iterator.single((k, curRank, r.getDouble(nG)))
-            else Iterator.empty
+            if (wi < curWant.length && curWant(wi) == curRank) {
+              wi += 1
+              Iterator.single((curList, curRank, r.getDouble(nG)))
+            } else Iterator.empty
           }
         }.collect()
 

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Min-label propagation + pointer jumping must label every vertex with its
+  * component's minimum id — including on the worst case for propagation
+  * (a long path) and on disconnected mixtures.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)],
+                    maxIter: Int = 25): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("two cliques and a bridge pair") {
+    val c1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val c2 = Seq((10L, 11L), (11L, 12L))
+    val m = comps(c1 ++ c2 ++ Seq((20L, 21L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (pointer jumping: O(log n) rounds)") {
+    // path 0-1-2-...-63: naive propagation needs 63 rounds; with pointer
+    // jumping maxIter 10 must suffice (2^10 >> 64)
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val m = comps(path, maxIter = 10)
+    assert(m.size === 64)
+    assert(m.values.toSet === Set(0L))
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val m = comps(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L)))
+    assert(m === Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("self-loops are harmless") {
+    val m = comps(Seq((4L, 4L), (4L, 9L)))
+    assert(m === Map(4L -> 4L, 9L -> 4L))
+  }
+}
