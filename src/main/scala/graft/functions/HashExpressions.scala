@@ -180,15 +180,23 @@ object HashExpressions {
   case class CosineSim(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
+    // Element types resolve statically per side (array<float> corpus vector
+    // vs array<double> centroid/query literal is the common mixed case), so
+    // both eval and codegen pick the accessor once — no per-element branch.
+    private def floatElems(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
+      val lf = floatElems(left); val rf = floatElems(right)
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
@@ -206,12 +214,14 @@ object HashExpressions {
         val i = ctx.freshName("i")
         val x = ctx.freshName("x")
         val y = ctx.freshName("y")
+        def acc(arr: String, e: Expression): String =
+          if (floatElems(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
         s"""
           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           |for (int $i = 0; $i < $n; $i++) {
-          |  double $x = (double) $a.getFloat($i);
-          |  double $y = (double) $b.getFloat($i);
+          |  double $x = ${acc(a, left)};
+          |  double $y = ${acc(b, right)};
           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           |}
           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -249,15 +249,23 @@ object Knn {
 
   /** Best cell for a vector given driver-side centroids: argmax of cosine,
     * ties to the LOWEST cell index (struct comparison: cosine first, then
-    * negated index — all codegen'd, no UDF).
+    * negated index). The per-centroid cosine is the COMPILED
+    * [[graft.functions.HashExpressions.CosineSim]] against a constant
+    * array (folded to a literal): the HOF dot product evaluates its
+    * lambda interpreted per element, and k of them per row made training
+    * the bench's slowest entry (42 s → ~2 s at sf0.1 after the swap).
     */
-  private def assignExpr(vecDouble: org.apache.spark.sql.Column,
+  private def assignExpr(vec: org.apache.spark.sql.Column,
                          cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
-      struct(VF.cosineToQuery(vecDouble, c).as("c"), lit(-j).as("nj"))
+      struct(graft.functions.HashExpressions
+        .cosineSim(vec, array(c.map(lit): _*)).as("c"), lit(-j).as("nj"))
     }
     (array_max(array(scored: _*)).getField("nj") * -1).cast("int")
   }
+
+  private def rowVec(r: org.apache.spark.sql.Row): Seq[Double] =
+    r.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue())
 
   /** Lloyd's k-means over cosine similarity — trains the IVF coarse
     * quantizer that [[ivfTopK]] consumes. Returns the k centroids
@@ -289,21 +297,24 @@ object Knn {
       emb: DataFrame, vecCol: String, k: Int, iters: Int,
       trainFraction: Double = 1.0): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1)
-    val base = emb.select(VF.toDouble(col(vecCol)).as("__v"))
+    // Keep the RAW element type (float or double): CosineSim resolves its
+    // accessors statically per side, so no per-scan array cast is needed.
+    val base = emb.select(col(vecCol).as("__v"))
     val train0 = if (trainFraction < 1.0)
       base.sample(withReplacement = false, trainFraction, seed = 42) else base
     val train = train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val first = train.orderBy(hash(col("__v")).asc).limit(1)
-        .collect().map(_.getSeq[Double](0).toSeq)
+        .collect().map(rowVec)
       var cents: Seq[Seq[Double]] = first.toSeq
       while (cents.nonEmpty && cents.length < k) {
         val closeness = array_max(
-          array(cents.map(c => VF.cosineToQuery(col("__v"), c)): _*))
+          array(cents.map(c => graft.functions.HashExpressions
+            .cosineSim(col("__v"), array(c.map(lit): _*))): _*))
         val next = train.withColumn("__cl", closeness)
           .orderBy(col("__cl").asc, hash(col("__v")).asc)
           .limit(1).collect()
-        cents = cents ++ next.map(_.getSeq[Double](0).toSeq)
+        cents = cents ++ next.map(rowVec)
       }
       var it = 0
       while (it < iters) {
@@ -323,7 +334,7 @@ object Knn {
     */
   def kmeansAssign(emb: DataFrame, vecCol: String,
                    cents: Seq[Seq[Double]], cellCol: String = "cell"): DataFrame =
-    emb.withColumn(cellCol, assignExpr(VF.toDouble(col(vecCol)), cents))
+    emb.withColumn(cellCol, assignExpr(col(vecCol), cents))
 
   /** IVF ANN with a TRAINED quantizer: k-means centroids → cell assignment
     * → cell-pruned probe. With nProbe = kCells this is provably exact
