@@ -1009,6 +1009,54 @@ object Queries {
         |      / 1152921504606846976.0 < rate
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- 58. fixed-size deterministic global sample — the eval-set /
+    //          holdout primitive: exactly k rows, chosen by hash order, so
+    //          the same k documents come back on any engine, any run, any
+    //          partitioning. Plans TakeOrderedAndProject (k rows per
+    //          partition → driver merge, PlanSpec) — never a global sort,
+    //          never a shuffle of the corpus. ----
+    QDef("q58_fixed_size_sample",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            TF.hash60(concat(lit("holdout:"), $"doc_id".cast("string"))).as("h"))
+          .orderBy($"h", $"doc_id")
+          .limit(100)
+      },
+      Some("""SELECT doc_id,
+        | CAST(('0x' || substring(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin)),
+
+    // ---- 59. token-level cleanup pass (the C4-style rule chain at token
+    //          granularity): strip stopwords + too-short tokens, emit the
+    //          cleaned text and the retention ratio that downstream quality
+    //          filters threshold on. Pure HOF chain over the tokenized
+    //          array — tokenized once, no UDF, replayed exactly by the
+    //          oracle's list_filter. ----
+    QDef("q59_token_clean",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("__t"))
+          .select($"doc_id",
+            filter($"__t", t =>
+              length(t) >= 3 && t =!= "the").as("__kept"),
+            size($"__t").as("__n"))
+          .select($"doc_id",
+            array_join($"__kept", " ").as("clean_text"),
+            round(size($"__kept").cast("double") /
+              greatest($"__n", lit(1)).cast("double"), 6).as("keep_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id,
+        | array_to_string(list_filter(toks, x -> len(x) >= 3 AND x <> 'the'), ' ') AS clean_text,
+        | round(CAST(len(list_filter(toks, x -> len(x) >= 3 AND x <> 'the')) AS DOUBLE)
+        |   / greatest(len(toks), 1), 6) AS keep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- 57. near-dup pairs → duplicate GROUPS: connected components over
     //          the exact-Jaccard pair graph (min-label propagation +
     //          pointer jumping, ops/ConnectedComponents). The dedup step a

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q56 stratified sample: broadcast rate dim, corpus never shuffled, text never read") {
+    val p = plan("q56_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the only allowed exchanges: the broadcast of the 5-row rate table and
+    // the final output ordering — no hash repartition of documents
+    assert(!p.contains("hashpartitioning(doc_id"), p.take(3000))
+    // membership is a function of doc_id/lang only: the wide columns stay
+    // out of the parquet ReadSchema
+    assert(!p.contains("n_chars") && !p.contains("source"), p.take(3000))
+  }
+
+  test("q58 fixed-size sample plans TakeOrderedAndProject over a narrow scan") {
+    val p = plan("q58_fixed_size_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
   test("q47 rolling fingerprint is a narrow scan + sort") {
     val p = plan("q47_rolling_fingerprint")
     assert(!p.contains("Join"), p.take(2000))
