@@ -38,9 +38,13 @@ object ConnectedComponents {
 
   def run(edges: DataFrame, aCol: String, bCol: String,
           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(aCol).as("s"), col(bCol).as("d"))
-      .unionAll(edges.select(col(bCol).as("s"), col(aCol).as("d")))
+    // Persist the DIRECTED projection, then mirror it: the symmetric union
+    // would otherwise embed the caller's edge computation twice (near-dup
+    // pair generation is expensive — measured 2× its cost inside q57
+    // before this), whereas the mirror of a cached frame is a cache scan.
+    val e0 = edges.select(col(aCol).as("s"), col(bCol).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e0.unionAll(e0.select(col("d").as("s"), col("s").as("d")))
     try {
       // Eager localCheckpoint per iteration, NOT persist: `jumped`
       // references `next` twice (the pointer-jump self-join), so without
@@ -77,6 +81,6 @@ object ConnectedComponents {
         iter += 1
       }
       labels
-    } finally sym.unpersist(blocking = false)
+    } finally e0.unpersist(blocking = false)
   }
 }
