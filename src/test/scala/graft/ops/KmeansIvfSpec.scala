@@ -69,6 +69,42 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("cell-partitioned layout: IVF probes become partition pruning at rest") {
+    // The 100 TB claim in SCALING.md, executed end-to-end: train → stamp
+    // cell ids → write partitionBy(cell) → probe = a filter that Spark's
+    // file index answers by NOT READING the other cells' files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/emb"
+    val cents = Knn.kmeansCentroids(fixture, "embedding", k = 3, iters = 4)
+    Knn.kmeansAssign(fixture, "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+
+    // probe the cell nearest to a cluster-0 query (same selection ivfTopK
+    // makes), then scan only it
+    val query = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val probedCell = cents.zipWithIndex.maxBy { case (c, _) =>
+      val dot = c.head  // cosine vs e0 ∝ first coordinate / norm
+      dot / math.sqrt(c.map(x => x * x).sum)
+    }._2
+    val pruned = atRest.filter($"cell" === probedCell)
+    // the filter lands as a PARTITION filter (file-index pruning, not a
+    // data filter): the scan never opens the other cells' files
+    pruned.collect()
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      planStr.take(2000))
+    val others = (0 until 3).filter(_ != probedCell)
+    others.foreach(c => assert(!planStr.contains(s"cell=$c"), planStr.take(2000)))
+    assert(pruned.count() === 40)  // exactly one generated cluster
+    // and the pruned scan still answers the query exactly (vs brute force
+    // over the full fixture restricted to that cell's 40 vectors)
+    val topIds = Knn.topKByCosine(pruned, "vec_id", "embedding", query, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val bruteIds = Knn.topKByCosine(fixture, "vec_id", "embedding", query, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(topIds === bruteIds)
+  }
+
   test("empty cells keep their previous centroid") {
     // k larger than the number of distinct directions: some cells go empty
     val cents = Knn.kmeansCentroids(fixture, "embedding", k = 5, iters = 3)
