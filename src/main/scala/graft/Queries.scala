@@ -1028,6 +1028,40 @@ object Queries {
         | CAST(('0x' || substring(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- 60. weighted corpus mixing WITH upsampling — q56's other half:
+    //          a training mix assigns each source an epoch weight; rate 2.0
+    //          means two copies of every de document, 1.5 means one copy
+    //          plus a deterministic-Bernoulli half. copies = ⌊rate⌋ +
+    //          [u < frac(rate)], u = hash60("mix:"+id)/2^60 — reproducible,
+    //          partition-independent, and emitted via explode(sequence) so
+    //          the corpus never shuffles (narrow + broadcast rate dim). ----
+    QDef("q60_weighted_mix",
+      (s, dir) => {
+        import s.implicits._
+        val rates = Seq(("en", 0.5), ("zh", 1.0), ("es", 0.25),
+          ("de", 2.0), ("fr", 1.5)).toDF("lang", "rate")
+        val u = TF.hash60(concat(lit("mix:"), $"doc_id".cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        Tables.documents(s, dir)
+          .join(broadcast(rates), "lang")
+          .withColumn("copies", (floor($"rate") +
+            when(u < $"rate" - floor($"rate"), 1).otherwise(0)).cast("int"))
+          .select($"doc_id", $"lang",
+            explode(when($"copies" >= 1, sequence(lit(1), $"copies"))
+              .otherwise(array())).as("__c"))
+          .select($"doc_id", $"lang", $"__c".cast("long").as("copy"))
+          .orderBy($"doc_id", $"copy")
+      },
+      Some("""WITH r(lang, rate) AS (VALUES ('en', 0.5), ('zh', 1.0),
+        |  ('es', 0.25), ('de', 2.0), ('fr', 1.5)),
+        |j AS (SELECT doc_id, d.lang AS lang, rate,
+        |  CAST(floor(rate) AS INT)
+        |  + CASE WHEN CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < rate - floor(rate) THEN 1 ELSE 0 END AS copies
+        | FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+        |FROM j WHERE copies >= 1 ORDER BY doc_id, copy""".stripMargin)),
+
     // ---- 59. token-level cleanup pass (the C4-style rule chain at token
     //          granularity): strip stopwords + too-short tokens, emit the
     //          cleaned text and the retention ratio that downstream quality
