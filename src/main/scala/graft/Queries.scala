@@ -1028,6 +1028,55 @@ object Queries {
         | CAST(('0x' || substring(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- 61. the COMPLETE dedup pipeline in one query — the composition a
+    //          100 TB corpus actually runs: collapse exact duplicates
+    //          (content fingerprint → canonical + membership), generate
+    //          near-dup pairs on CANONICAL docs only (the g²-per-bucket
+    //          guard), connected-components the pair graph into groups,
+    //          then expand back through membership so EVERY input doc gets
+    //          a group id (singletons: their canonical id). Keep
+    //          min(doc_id) per group downstream and the corpus is deduped.
+    //          Oracle: canonical collapse + q32 pair SQL + recursive-CTE
+    //          reachability + membership re-join. ----
+    QDef("q61_dedup_groups",
+      (s, dir) => {
+        import s.implicits._
+        val (pairs, membership) = MinHashLSH.exactNearDuplicatesCollapsed(
+          Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
+          w = 3, threshold = 0.5, maxDf = 256)
+        val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+        membership
+          .join(comp.withColumnRenamed("v", "canonical_id"),
+            Seq("canonical_id"), "left")
+          .select($"member_id".as("doc_id"),
+            coalesce($"comp", $"canonical_id").as("group_id"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE canon AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS cid, text FROM documents),
+        |cdocs AS (SELECT cid AS doc_id, any_value(text) AS text FROM canon GROUP BY cid),
+        |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM cdocs),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT doc_a, doc_b FROM cnt
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |verts AS (SELECT DISTINCT s AS v FROM sym),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT sym.s, reach.m FROM sym JOIN reach ON sym.d = reach.v),
+        |comp AS (SELECT v, min(m) AS component FROM reach GROUP BY v)
+        |SELECT c.doc_id, COALESCE(comp.component, c.cid) AS group_id
+        |FROM canon c LEFT JOIN comp ON comp.v = c.cid
+        |ORDER BY c.doc_id""".stripMargin)),
+
     // ---- 60. weighted corpus mixing WITH upsampling — q56's other half:
     //          a training mix assigns each source an epoch weight; rate 2.0
     //          means two copies of every de document, 1.5 means one copy

@@ -105,6 +105,18 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(topIds === bruteIds)
   }
 
+  test("sampled training (trainFraction < 1) still separates the clusters") {
+    val cents = Knn.kmeansCentroids(fixture, "embedding", k = 3, iters = 4,
+      trainFraction = 0.5)
+    assert(cents.length === 3)
+    val assigned = Knn.kmeansAssign(fixture, "embedding", cents)
+    val cellsPerCluster = assigned.groupBy($"true_cluster")
+      .agg(org.apache.spark.sql.functions.collect_set($"cell").as("cells"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(cellsPerCluster.values.forall(_.size === 1), s"$cellsPerCluster")
+    assert(cellsPerCluster.values.map(_.head).toSet.size === 3, s"$cellsPerCluster")
+  }
+
   test("empty cells keep their previous centroid") {
     // k larger than the number of distinct directions: some cells go empty
     val cents = Knn.kmeansCentroids(fixture, "embedding", k = 5, iters = 3)
