@@ -36,14 +36,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** `driverThreshold`: edge counts at or below it solve on the DRIVER
+    * (union-find with path compression — microseconds, zero Spark jobs)
+    * instead of paying ~2 scheduled jobs per propagation round. Near-dup
+    * pair graphs are usually tiny relative to the corpus (pairs ≪ docs);
+    * the iterative path exists for the graphs that genuinely don't fit one
+    * machine. Both paths produce identical labels (spec-pinned); set 0 to
+    * force the distributed path.
+    */
   def run(edges: DataFrame, aCol: String, bCol: String,
-          maxIter: Int = 25): DataFrame = {
+          maxIter: Int = 25, driverThreshold: Long = 1L << 20): DataFrame = {
     // Persist the DIRECTED projection, then mirror it: the symmetric union
     // would otherwise embed the caller's edge computation twice (near-dup
     // pair generation is expensive — measured 2× its cost inside q57
     // before this), whereas the mirror of a cached frame is a cache scan.
     val e0 = edges.select(col(aCol).as("s"), col(bCol).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = e0.schema("s").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && e0.count() <= driverThreshold)
+      return try runOnDriver(e0, idType)
+      finally e0.unpersist(blocking = false)
     val sym = e0.unionAll(e0.select(col("d").as("s"), col("s").as("d")))
     try {
       // Eager localCheckpoint per iteration, NOT persist: `jumped`
@@ -82,5 +96,34 @@ object ConnectedComponents {
       }
       labels
     } finally e0.unpersist(blocking = false)
+  }
+
+  /** Union-find with path compression, smaller id stays root — so labels
+    * are the component minimum, bit-identical to the distributed path.
+    */
+  private def runOnDriver(e0: DataFrame,
+                          idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val pairs = e0.select(col("s").cast("long"), col("d").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+    out.toDF("v", "comp")
+      .select(col("v").cast(idType).as("v"), col("comp").cast(idType).as("comp"))
   }
 }

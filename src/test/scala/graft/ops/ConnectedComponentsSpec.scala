@@ -11,10 +11,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Runs BOTH paths — driver union-find (default threshold) and the
+    * distributed iterative loop (threshold 0) — and asserts they agree
+    * before returning; every test therefore pins path equivalence.
+    */
   private def comps(edges: Seq[(Long, Long)],
-                    maxIter: Int = 25): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b", maxIter)
+                    maxIter: Int = 25): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val driver = ConnectedComponents.run(df, "a", "b", maxIter)
       .as[(Long, Long)].collect().toMap
+    val distributed = ConnectedComponents.run(df, "a", "b", maxIter,
+        driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver === distributed, "driver and distributed paths disagree")
+    driver
+  }
 
   test("two cliques and a bridge pair") {
     val c1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
