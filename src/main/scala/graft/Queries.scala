@@ -1028,6 +1028,61 @@ object Queries {
         | CAST(('0x' || substring(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- 62. token-budgeted shard planning — assign each document to a
+    //          training shard so each shard holds ~`budget` tokens, packed in
+    //          deterministic (source, doc_id) order: shard = the document's
+    //          START offset in the per-source running token count, divided
+    //          by the budget. Per-source windows keep the running sum
+    //          parallel (one exchange per key family — the as-of cost
+    //          model); a GLOBAL running sum would serialize the corpus. ----
+    QDef("q62_token_shards",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TF.tokenCount($"text").cast("long").as("ntok"))
+          .withColumn("shard",
+            floor((sum($"ntok").over(w) - $"ntok") / lit(5000)).cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok,
+        | CAST(floor((sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |        OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING)
+        |      - len(list_filter(string_split(text, ' '), x -> x <> ''))) / 5000) AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- 63. int8 embedding quantization — the storage-compression pass
+    //          of an embedding pipeline (4× smaller vectors for ANN tiers
+    //          that re-rank with full precision). Per-vector symmetric
+    //          scale = max|x|/127; emits the scale, an integer checksum of
+    //          the quantized codes (engine-exact), and the dequantization
+    //          error bound check |x - q·scale| ≤ scale/2. Pure HOF chain —
+    //          codegen'd, no shuffle, replayed exactly by the oracle. ----
+    QDef("q63_int8_quantize",
+      (s, dir) => {
+        import s.implicits._
+        val v = transform($"embedding", _.cast("double"))
+        val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-9)) / lit(127.0)
+        Tables.embeddings(s, dir)
+          .select($"vec_id", v.as("__v"), scale.as("__s"))
+          .select($"vec_id",
+            transform($"__v", x => round(x / $"__s").cast("long")).as("__q"),
+            $"__s")
+          .select($"vec_id",
+            round($"__s", 9).as("scale"),
+            aggregate($"__q", lit(0L), (acc, q) => acc + q).as("code_sum"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+        |  greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-9) / 127.0 AS s,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, round(s, 9) AS scale,
+        | CAST(list_sum(list_transform(v, x -> CAST(round(x / s) AS BIGINT))) AS BIGINT) AS code_sum
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
     // ---- 61. the COMPLETE dedup pipeline in one query — the composition a
     //          100 TB corpus actually runs: collapse exact duplicates
     //          (content fingerprint → canonical + membership), generate
