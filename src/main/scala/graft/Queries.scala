@@ -1096,15 +1096,9 @@ object Queries {
     QDef("q61_dedup_groups",
       (s, dir) => {
         import s.implicits._
-        val (pairs, membership) = MinHashLSH.exactNearDuplicatesCollapsed(
-          Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
-          w = 3, threshold = 0.5, maxDf = 256)
-        val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
-        membership
-          .join(comp.withColumnRenamed("v", "canonical_id"),
-            Seq("canonical_id"), "left")
-          .select($"member_id".as("doc_id"),
-            coalesce($"comp", $"canonical_id").as("group_id"))
+        graft.ops.Dedup.nearDupGroups(Tables.documents(s, dir),
+            idCol = "doc_id", textCol = "text",
+            w = 3, threshold = 0.5, maxDf = 256)
           .orderBy($"doc_id")
       },
       Some("""WITH RECURSIVE canon AS (SELECT doc_id,

@@ -93,4 +93,26 @@ object Dedup {
       canon.select(col("canonical_id").as(idCol)), Seq(idCol), "left_semi")
     (canonicalRows, membership)
   }
+
+  /** The COMPLETE near-duplicate grouping pipeline in one call — what a
+    * corpus dedup actually runs (q61): collapse exact duplicates, generate
+    * exact-Jaccard near-dup pairs on the canonical documents only (the
+    * C(g,2)-per-bucket guard), connected-components the pair graph, expand
+    * back through membership. Output: (doc_id, group_id) for EVERY input
+    * document; keep min(doc_id) per group downstream and the corpus is
+    * deduplicated. 10× dup-heavy probe: 3.1 s where the naive banded pass
+    * takes 103.6 s (SCALING.md).
+    */
+  def nearDupGroups(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, threshold: Double = 0.5, maxDf: Int = 256): DataFrame = {
+    val (pairs, membership) = MinHashLSH.exactNearDuplicatesCollapsed(
+      df, idCol, textCol, w, threshold, maxDf)
+    val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+    membership
+      .join(comp.withColumnRenamed("v", "canonical_id"),
+        Seq("canonical_id"), "left")
+      .select(col("member_id").as(idCol),
+        coalesce(col("comp"), col("canonical_id")).as("group_id"))
+  }
 }

@@ -53,4 +53,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val m = comps(Seq((4L, 4L), (4L, 9L)))
     assert(m === Map(4L -> 4L, 9L -> 4L))
   }
+
+  test("randomized graphs match brute-force reachability (both paths)") {
+    val rnd = new scala.util.Random(2026)
+    (1 to 5).foreach { trial =>
+      val nV = 30 + rnd.nextInt(40)
+      val nE = rnd.nextInt(60)
+      val edges = (0 until nE).map { _ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong)
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // brute force: repeated relaxation over the symmetric closure
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        var label = verts.map(v => v -> v).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          verts.foreach { v =>
+            val m = (adj.getOrElse(v, Set.empty).map(label) + label(v)).min
+            if (m < label(v)) { label += v -> m; changed = true }
+          }
+        }
+        assert(comps(edges) === label, s"trial $trial (${edges.length} edges)")
+      }
+    }
+  }
 }
