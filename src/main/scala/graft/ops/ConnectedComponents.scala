@@ -19,9 +19,14 @@ import org.apache.spark.storage.StorageLevel
   *    then every label is replaced by ITS label's label (pointer jumping —
   *    one more join), doubling propagation distance per round: convergence
   *    in O(log diameter) iterations instead of O(diameter);
-  *  - convergence test: labels only ever DECREASE, so the global
-  *    sum(label) is strictly monotone until fixpoint — equal sums between
-  *    rounds ⇒ zero vertices changed, without a per-vertex diff join.
+  *  - convergence test: an EXACT changed-vertex probe — join the old and
+  *    new label tables on vertex and ask whether any label differs
+  *    (`isEmpty` = a limit-1 scan). Both sides are localCheckpoint'd, so
+  *    the probe joins two materialized vertex tables, a cost dominated by
+  *    the round's own edge join. (A sum(label)-monotonicity shortcut is
+  *    tempting but WRONG in general: sum() is null for string ids — any
+  *    non-numeric graph would "converge" after round one — and Long ids
+  *    can overflow the monotone argument away.)
   *
   * Near-dup graphs are star-/clique-like (tiny diameter), so 2-3 rounds
   * typically suffice; `maxIter` is a safety bound, not the expected cost.
@@ -72,7 +77,6 @@ object ConnectedComponents {
       var labels = sym.select(col("s").as("v")).distinct()
         .withColumn("comp", col("v"))
         .localCheckpoint(true)
-      var prevSum = labels.agg(sum(col("comp"))).head.get(0)
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
@@ -87,11 +91,12 @@ object ConnectedComponents {
           .join(next.select(col("v").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
           .select(col("v"), coalesce(col("cc"), col("comp")).as("comp"))
           .localCheckpoint(true)
-        val curSum = jumped.agg(sum(col("comp"))).head.get(0)
+        converged = jumped
+          .join(labels.select(col("v"), col("comp").as("__prev")), "v")
+          .filter(col("comp") =!= col("__prev"))
+          .isEmpty
         labels.unpersist(blocking = false)
         labels = jumped
-        converged = curSum == prevSum
-        prevSum = curSum
         iter += 1
       }
       labels

@@ -170,6 +170,11 @@ object Knn {
     * Cosine is rounded to 6dp BEFORE ranking (HALF_UP, identical to Spark's
     * `round` and the oracle's) with id tie-break, so results are total-order
     * deterministic and engine-independent.
+    *
+    * CONTRACT: the query set is collected to the driver — Q must fit driver
+    * heap (the broadcast-dimension shape; `maxShardQueries` bounds executor
+    * memory only). Beyond ~10⁶ queries use [[cellTopKJoin]], which keeps
+    * the query side a DataFrame end-to-end.
     */
   def topKJoin(
       queries: DataFrame, corpus: DataFrame,
@@ -206,9 +211,10 @@ object Knn {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     }
 
-    def shardPartials(shard: Array[(Long, Array[Float])]): DataFrame = {
+    def shardPartials(shard: Array[(Long, Array[Float])])
+        : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]) = {
       val bc = spark.sparkContext.broadcast(shard)
-      corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+      val df = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           val queryArr = bc.value
@@ -234,9 +240,22 @@ object Knn {
           }
         }
         .toDF("query_id", "vec_id", "cos")
+      (df, bc)
     }
 
-    val partials = shards.map(shardPartials).reduce(_.unionAll(_))
+    // Single shard: stay lazy (one broadcast, freed with the plan). Multi-
+    // shard: eagerly materialize each shard's partials (localCheckpoint
+    // truncates lineage to the stored blocks) so the shard broadcast can
+    // be destroyed immediately — otherwise shard-sized broadcasts
+    // accumulate on driver and executors for the life of the session.
+    val partials =
+      if (shards.lengthCompare(1) == 0) shardPartials(shards.head)._1
+      else shards.map { shard =>
+        val (df, bc) = shardPartials(shard)
+        val eager = df.localCheckpoint(eager = true)
+        bc.destroy()
+        eager
+      }.reduce(_.unionAll(_))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -306,8 +325,13 @@ object Knn {
     try {
       val first = train.orderBy(hash(col("__v")).asc).limit(1)
         .collect().map(rowVec)
+      // Fail loud at training time: an empty training projection (empty
+      // input, or trainFraction sampling everything away) would otherwise
+      // skip seeding and downstream kmeansAssign would stamp null cells.
+      require(first.nonEmpty,
+        s"empty k-means training set (trainFraction=$trainFraction)")
       var cents: Seq[Seq[Double]] = first.toSeq
-      while (cents.nonEmpty && cents.length < k) {
+      while (cents.length < k) {
         val closeness = array_max(
           array(cents.map(c => graft.functions.HashExpressions
             .cosineSim(col("__v"), array(c.map(lit): _*))): _*))

@@ -54,14 +54,20 @@ object PrefixSum {
     }
     val keyCols = (groupCols ++ orderCols).map(col)
     val valueCast = col(valueCol).cast(if (isLong) "long" else "double")
+    // The partition id is STAMPED into the persisted projection (not
+    // re-derived per pass): offsets are computed against one materialized
+    // range partitioning, and both passes must see the same pid even if
+    // eviction, AQE, or a cache-plan change ever re-ran the shuffle.
     val sorted = persistOnce(df
       .select(keyCols :+ valueCast.as("__v"): _*)
       .repartitionByRange(nPart, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*))
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val pidIdx = valueIdx + 1
 
     // pass 1: per-(partition, group) subtotals → start offsets
     val subRows = sorted
-      .groupBy(spark_partition_id().as("__pid") +: groupCols.map(col): _*)
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
       .agg(sum(col("__v")).as("__s"))
       .collect()
     def keyOf(r: Row): List[Any] = (0 until nG).map(i => r.get(1 + i)).toList
@@ -78,8 +84,9 @@ object PrefixSum {
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: offset + local running sum, streamed (group-clustered rows)
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // pass 2: offset + local running sum, streamed (group-clustered rows);
+    // the pid is read from the stamped column, same source pass 1 grouped on
+    val outRdd = sorted.rdd.mapPartitions { it =>
       val offs = bcOffsets.value
       var curKey: Array[Any] = null
       var runL = 0L; var runD = 0.0
@@ -92,15 +99,17 @@ object PrefixSum {
         }
         if (!same) {
           curKey = Array.tabulate(nG)(r.get)
-          val off = offs.getOrElse((pid, curKey.toList), if (isLong) 0L else 0.0)
+          val off = offs.getOrElse((r.getInt(pidIdx), curKey.toList),
+            if (isLong) 0L else 0.0)
           if (isLong) runL = off.asInstanceOf[Long]
           else runD = off.asInstanceOf[Double]
         }
-        if (isLong) { runL += r.getLong(valueIdx); Row.fromSeq(r.toSeq :+ runL) }
-        else { runD += r.getDouble(valueIdx); Row.fromSeq(r.toSeq :+ runD) }
+        val body = r.toSeq.dropRight(1)  // strip the stamped __pid
+        if (isLong) { runL += r.getLong(valueIdx); Row.fromSeq(body :+ runL) }
+        else { runD += r.getDouble(valueIdx); Row.fromSeq(body :+ runD) }
       }
     }
-    val outSchema = StructType(sorted.schema.fields :+
+    val outSchema = StructType(sorted.schema.fields.dropRight(1) :+
       StructField(outCol, if (isLong) LongType else DoubleType, nullable = false))
     spark.createDataFrame(outRdd, outSchema)
       .withColumnRenamed("__v", valueCol)

@@ -75,13 +75,18 @@ object Quantiles {
       // Persisted so the counting pass and the selection pass see the SAME
       // physical partitioning (range split points are sampled; a recompute
       // could legally re-draw them). Narrow columns only — this is a
-      // (group, double) projection, not the source rows.
+      // (group, double) projection, not the source rows. The partition id
+      // is STAMPED into the projection before persist so both passes read
+      // the materialized value rather than re-deriving it (robust against
+      // eviction-triggered recompute and cache-plan changes).
+      .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val pidIdx = nG + 1
 
     try {
       // ---- pass 1: |partitions| × |groups| counts → driver ----
       val countRows: Array[Row] = narrow
-        .groupBy(spark_partition_id().as("__pid") +: groupCols.map(col): _*)
+        .groupBy(col("__pid") +: groupCols.map(col): _*)
         .agg(count(lit(1)).as("__c"))
         .collect()
       // group key = the groupCols values as a List (structural equality)
@@ -122,7 +127,7 @@ object Quantiles {
       // and one long compare against the next wanted rank. Allocation only
       // on group change. ----
       val selected: Array[(List[Any], Long, Double)] = narrow.rdd
-        .mapPartitionsWithIndex { (pid, it) =>
+        .mapPartitions { it =>
           val offs = bcOffsets.value
           val want = bcWanted.value
           var curKey: Array[Any] = null
@@ -140,7 +145,7 @@ object Quantiles {
             if (!same) {
               curKey = Array.tabulate(nG)(r.get)
               curList = curKey.toList
-              curRank = offs.getOrElse((pid, curList), 0L)
+              curRank = offs.getOrElse((r.getInt(pidIdx), curList), 0L)
               curWant = want.getOrElse(curList, Array.emptyLongArray)
               wi = 0
               while (wi < curWant.length && curWant(wi) <= curRank) wi += 1

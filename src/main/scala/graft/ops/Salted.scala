@@ -20,19 +20,20 @@ object Salted {
 
   /** groupBy(keys) with salted two-stage sum/count over `valueCol`.
     *
-    * The salt is a DETERMINISTIC function of the row (hash of ALL
-    * columns): any row→salt assignment is algebraically fine for
-    * sum/count, but a non-deterministic one (e.g.
-    * monotonically_increasing_id) forces Spark to replay the whole stage
-    * on partial task loss and blocks reuse/pushdown across it. Fully
-    * byte-identical rows share a salt — only a corpus that is billions of
-    * IDENTICAL rows under one key would still skew, and that input is
-    * better served by a count-by-value pre-pass than by salting.
+    * The salt is a DETERMINISTIC function of the row (hash of the key and
+    * value columns — the only ones the aggregate reads, so unhashable
+    * bystander columns like maps never break it): any row→salt assignment
+    * is algebraically fine for sum/count, but a non-deterministic one
+    * (e.g. monotonically_increasing_id) forces Spark to replay the whole
+    * stage on partial task loss and blocks reuse/pushdown across it.
+    * Rows identical on (keys, value) share a salt — only a corpus that is
+    * billions of IDENTICAL (key, value) rows would still skew, and that
+    * input is better served by a count-by-value pre-pass than by salting.
     */
   def sumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                buckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash((keys :+ valueCol).map(col): _*), lit(buckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__c"))

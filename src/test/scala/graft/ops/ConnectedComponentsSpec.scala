@@ -54,6 +54,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(m === Map(4L -> 4L, 9L -> 4L))
   }
 
+  test("string-id path graph of diameter > 2 (distributed path only)") {
+    // String ids can't take the driver union-find path, and a sum-based
+    // convergence test is null for them (null == null would declare
+    // convergence after round one). A 9-hop path catches incomplete
+    // propagation: every vertex must land on the lexicographic minimum.
+    val path = (0 until 9).map(i => (f"doc_$i%02d", f"doc_${i + 1}%02d"))
+    val m = ConnectedComponents.run(path.toDF("a", "b"), "a", "b",
+        maxIter = 10, driverThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(m.size === 10)
+    assert(m.values.toSet === Set("doc_00"))
+  }
+
   test("randomized graphs match brute-force reachability (both paths)") {
     val rnd = new scala.util.Random(2026)
     (1 to 5).foreach { trial =>
