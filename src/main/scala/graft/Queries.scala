@@ -1061,6 +1061,41 @@ object Queries {
         |      - len(list_filter(string_split(text, ' '), x -> x <> ''))) / 5000) AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- 64. sequence packing — documents → fixed 512-token training
+    //          sequences: the step after q62's shard planning. Each doc's
+    //          global start offset (distributed prefix sum, NOT the
+    //          serializing window) places it in sequences ⌊start/512⌋ ..
+    //          ⌊(start+ntok−1)/512⌋; one output row per (doc, sequence)
+    //          slice with its geometry. Oracle = window prefix sum +
+    //          generate_series fan-out (valid at oracle scale). ----
+    QDef("q64_sequence_pack",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.SequencePack.pack(
+            Tables.documents(s, dir)
+              .select($"doc_id", $"lang",
+                TF.tokenCount($"text").cast("long").as("ntok")),
+            groupCols = Seq("lang"), orderCols = Seq("doc_id"),
+            tokenCol = "ntok", seqLen = 512)
+          .orderBy($"lang", $"seq_id", $"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+        | FROM documents),
+        |c AS (SELECT doc_id, lang, ntok,
+        |  sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) - ntok AS s
+        | FROM t),
+        |x AS (SELECT doc_id, lang, ntok, s,
+        |  unnest(generate_series(CAST(floor(s / 512) AS BIGINT),
+        |    CAST(floor((s + greatest(ntok, 1) - 1) / 512) AS BIGINT))) AS seq_id
+        | FROM c)
+        |SELECT lang, doc_id, ntok, seq_id,
+        | CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_tok_start,
+        | CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_tok_start,
+        | CAST(least(s + ntok, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_tok
+        |FROM x ORDER BY lang, seq_id, doc_id""".stripMargin)),
+
     // ---- 63. int8 embedding quantization — the storage-compression pass
     //          of an embedding pipeline (4× smaller vectors for ANN tiers
     //          that re-rank with full precision). Per-vector symmetric
