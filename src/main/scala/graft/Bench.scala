@@ -63,7 +63,18 @@ object Bench {
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // Also land the record in a file: the driver's stdout tail-capture has
+    // truncated the one-line JSON two rounds running (BENCH_r03/r04
+    // "parsed": null), leaving no machine-readable per-round artifact.
+    try {
+      val out = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      try out.println(line) finally out.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench file: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

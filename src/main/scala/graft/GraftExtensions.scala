@@ -64,6 +64,7 @@ object GraftExtensions {
         MinHashLSH.A.take(k), MinHashLSH.B.take(k))
     })
     once("cosine_sim")(args => HashExpressions.CosineSim(args(0), args(1)))
+    once("hash60_array")(args => HashExpressions.Hash60Array(args.head))
     once("srp_signature")(args => {
       val n = args(1) match {
         case Literal(v: Int, _) => v
@@ -118,6 +119,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => HashExpressions.CosineSim(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("hash60_array"),
+      info("hash60_array", "_FUNC_(units) - per-element 60-bit md5-prefix hashes"),
+      (args: Seq[Expression]) => HashExpressions.Hash60Array(args.head)))
 
     ext.injectFunction((
       FunctionIdentifier("srp_signature"),

@@ -243,28 +243,49 @@ object Knn {
       (df, bc)
     }
 
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    def finalTopK(partials: DataFrame): DataFrame = partials
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
     // Single shard: stay lazy (one broadcast, freed with the plan). Multi-
     // shard: eagerly materialize each shard's partials (localCheckpoint
     // truncates lineage to the stored blocks) so the shard broadcast can
     // be destroyed immediately — otherwise shard-sized broadcasts
     // accumulate on driver and executors for the life of the session.
-    val partials =
-      if (shards.lengthCompare(1) == 0) shardPartials(shards.head)._1
-      else shards.map { shard =>
+    // The final top-k is then itself checkpointed eagerly so every shard's
+    // P·|shard|·k partial blocks can be freed right here — only the Q·k
+    // ANSWER rows stay in block storage (for the session, the repo-wide
+    // truncated-lineage tradeoff; executor loss mid-query is
+    // unrecoverable, rerun the query).
+    if (shards.lengthCompare(1) == 0) finalTopK(shardPartials(shards.head)._1)
+    else {
+      val eagers = shards.map { shard =>
         val (df, bc) = shardPartials(shard)
         val eager = df.localCheckpoint(eager = true)
         bc.destroy()
         eager
-      }.reduce(_.unionAll(_))
-
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    partials
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      }
+      val result = finalTopK(eagers.reduce(_.unionAll(_)))
+        .localCheckpoint(eager = true)
+      eagers.foreach(freeLocalCheckpoint)
+      result
+    }
   }
+
+  /** Unpersists the RDD blocks behind a `localCheckpoint`'d DataFrame.
+    * `Dataset.unpersist` only clears CacheManager entries, not checkpoint
+    * blocks — those live on the LogicalRDD's backing RDD.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   /** Best cell for a vector given driver-side centroids: argmax of cosine,
     * ties to the LOWEST cell index (struct comparison: cosine first, then

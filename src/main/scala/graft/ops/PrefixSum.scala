@@ -55,9 +55,10 @@ object PrefixSum {
     val keyCols = (groupCols ++ orderCols).map(col)
     val valueCast = col(valueCol).cast(if (isLong) "long" else "double")
     // The partition id is STAMPED into the persisted projection (not
-    // re-derived per pass): offsets are computed against one materialized
-    // range partitioning, and both passes must see the same pid even if
-    // eviction, AQE, or a cache-plan change ever re-ran the shuffle.
+    // re-derived per pass), so both passes read the same pid source; this
+    // guards against rdd-index vs spark_partition_id divergence, NOT
+    // against a recompute (a recompute re-stamps __pid too — the persist
+    // above is the real defense against re-sampled range boundaries).
     val sorted = persistOnce(df
       .select(keyCols :+ valueCast.as("__v"): _*)
       .repartitionByRange(nPart, keyCols: _*)
@@ -99,8 +100,13 @@ object PrefixSum {
         }
         if (!same) {
           curKey = Array.tabulate(nG)(r.get)
+          // Pass 1 emitted a subtotal for every (pid, group) that has rows,
+          // so a miss means the passes saw divergent partitionings — fail
+          // loud rather than silently prefix-sum from 0.
           val off = offs.getOrElse((r.getInt(pidIdx), curKey.toList),
-            if (isLong) 0L else 0.0)
+            throw new IllegalStateException(
+              s"prefix-sum pass divergence: no pass-1 offset for partition=" +
+                s"${r.getInt(pidIdx)} group=${curKey.mkString(",")}"))
           if (isLong) runL = off.asInstanceOf[Long]
           else runD = off.asInstanceOf[Double]
         }

@@ -76,9 +76,10 @@ object Quantiles {
       // physical partitioning (range split points are sampled; a recompute
       // could legally re-draw them). Narrow columns only — this is a
       // (group, double) projection, not the source rows. The partition id
-      // is STAMPED into the projection before persist so both passes read
-      // the materialized value rather than re-deriving it (robust against
-      // eviction-triggered recompute and cache-plan changes).
+      // is STAMPED into the projection so both passes read the same pid
+      // source (guards rdd-index vs spark_partition_id divergence; a
+      // recompute re-stamps __pid too, so the persist is the real defense
+      // against re-sampled range boundaries).
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pidIdx = nG + 1
@@ -145,7 +146,13 @@ object Quantiles {
             if (!same) {
               curKey = Array.tabulate(nG)(r.get)
               curList = curKey.toList
-              curRank = offs.getOrElse((r.getInt(pidIdx), curList), 0L)
+              // Pass 1 counted every (pid, group) that has rows; a miss
+              // means divergent partitionings between passes — fail loud
+              // rather than silently rank from 0.
+              curRank = offs.getOrElse((r.getInt(pidIdx), curList),
+                throw new IllegalStateException(
+                  s"quantile pass divergence: no pass-1 count for partition=" +
+                    s"${r.getInt(pidIdx)} group=${curKey.mkString(",")}"))
               curWant = want.getOrElse(curList, Array.emptyLongArray)
               wi = 0
               while (wi < curWant.length && curWant(wi) <= curRank) wi += 1

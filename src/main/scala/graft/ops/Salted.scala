@@ -20,20 +20,26 @@ object Salted {
 
   /** groupBy(keys) with salted two-stage sum/count over `valueCol`.
     *
-    * The salt is a DETERMINISTIC function of the row (hash of the key and
-    * value columns — the only ones the aggregate reads, so unhashable
-    * bystander columns like maps never break it): any row→salt assignment
-    * is algebraically fine for sum/count, but a non-deterministic one
+    * The salt is a DETERMINISTIC function of the row — a hash of EVERY
+    * hashable column, not just (keys, value). Any row→salt assignment is
+    * algebraically fine for sum/count, but a non-deterministic one
     * (e.g. monotonically_increasing_id) forces Spark to replay the whole
     * stage on partial task loss and blocks reuse/pushdown across it.
-    * Rows identical on (keys, value) share a salt — only a corpus that is
-    * billions of IDENTICAL (key, value) rows would still skew, and that
-    * input is better served by a count-by-value pre-pass than by salting.
+    * Hashing all columns matters when the value column has LOW CARDINALITY
+    * under a hot key (summing a 0/1 flag): a (keys, value)-only salt would
+    * collapse the hot key into ≤|distinct values| buckets, recreating the
+    * straggler. Unhashable columns (maps, or structs/arrays containing
+    * maps) are excluded; only a corpus whose rows are IDENTICAL on every
+    * hashable column would still skew, and that input is better served by
+    * a count-by-value pre-pass than by salting.
     */
   def sumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                buckets: Int = 16): DataFrame = {
+    val hashable = df.schema.fields.filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+    require(hashable.nonEmpty, "no hashable columns to salt on")
     val salted = df.withColumn("__salt",
-      pmod(hash((keys :+ valueCol).map(col): _*), lit(buckets)))
+      pmod(hash(hashable: _*), lit(buckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__c"))
@@ -41,5 +47,18 @@ object Salted {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__s")).as(s"sum_$valueCol"),
         sum(col("__c")).cast("long").as("n"))
+  }
+
+  /** `hash()` rejects MapType at any nesting depth (map ordering is
+    * undefined) — detect it recursively so such columns are skipped.
+    */
+  private[ops] def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
   }
 }
