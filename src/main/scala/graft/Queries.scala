@@ -1096,6 +1096,43 @@ object Queries {
         | CAST(least(s + ntok, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_tok
         |FROM x ORDER BY lang, seq_id, doc_id""".stripMargin)),
 
+    // ---- 65. corpus-level top-V vocabulary — the BPE-trainer / IDF input:
+    //          term frequency AND document frequency for the V most frequent
+    //          tokens. Token frequency is Zipfian — the textbook skewed key —
+    //          so the plan is built skew-safe end to end:
+    //           1. per-(token, doc) counts: the doc id acts as a NATURAL
+    //              salt (hash agg with map-side combine; no single reducer
+    //              ever owns a hot token's raw occurrences);
+    //           2. Salted.sumCount folds the per-doc partials into corpus
+    //              tf + df under an explicit deterministic salt — one call
+    //              yields both (sum of counts = tf, row count = df);
+    //           3. top-V via orderBy+limit = TakeOrderedAndProject: each
+    //              partition keeps V rows, the driver merges — the |vocab|-
+    //              sized count table is never globally sorted.
+    //          (For a pure algebraic count the map-side combine already
+    //          bounds skew; the salted stage is the general form that stays
+    //          safe when the partial agg is disabled or the agg buffer is
+    //          non-algebraic.) ----
+    QDef("q65_vocab_topv",
+      (s, dir) => {
+        import s.implicits._
+        val perDoc = Tables.documents(s, dir)
+          .select($"doc_id", explode(TF.tokens($"text")).as("token"))
+          .groupBy($"token", $"doc_id")
+          .agg(count(lit(1)).as("c"))
+        graft.ops.Salted.sumCount(perDoc, Seq("token"), "c")
+          .select($"token", $"sum_c".as("tf"), $"n".as("df"))
+          .orderBy($"tf".desc, $"token")
+          .limit(100)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        | FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM t GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
+
     // ---- 63. int8 embedding quantization — the storage-compression pass
     //          of an embedding pipeline (4× smaller vectors for ANN tiers
     //          that re-rank with full precision). Per-vector symmetric

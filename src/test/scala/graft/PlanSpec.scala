@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
 
+  test("q65 vocab top-V: partial aggregation and TakeOrderedAndProject, no global sort") {
+    val p = plan("q65_vocab_topv")
+    // two-stage salted count keeps map-side partials ahead of every exchange
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortExec"), p.take(3000))
+  }
+
   test("q47 rolling fingerprint is a narrow scan + sort") {
     val p = plan("q47_rolling_fingerprint")
     assert(!p.contains("Join"), p.take(2000))
