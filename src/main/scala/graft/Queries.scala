@@ -1329,6 +1329,35 @@ object Queries {
         |SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
         |ORDER BY query_id, cos DESC, vec_id""".stripMargin)),
 
+    // ---- 66. cell-partitioned batch k-NN join — q49's semantics with the
+    //          query side a DATAFRAME end to end (nothing driver-resident
+    //          but the centroid list): corpus stamped with trained cells,
+    //          queries exploded to their probe cells, equi-join on
+    //          (cell, salt), candidates folded straight into the k-bounded
+    //          topk_pairs aggregate. nProbe = kCells ⇒ every pair meets
+    //          exactly once ⇒ provably brute-force — the same window SQL
+    //          oracles it. ----
+    QDef("q66_cell_knn_join",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        Knn.cellTopKJoin(emb.filter($"vec_id" < 10), emb,
+            qIdCol = "vec_id", qVecCol = "embedding",
+            cIdCol = "vec_id", cVecCol = "embedding",
+            k = 5, kCells = 4, nProbe = 4, iters = 2)
+          .orderBy($"query_id", $"cos".desc, $"vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |        FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, vec_id,
+        |        round(list_cosine_similarity(qv, cv), 6) AS cos
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY query_id, cos DESC, vec_id""".stripMargin)),
+
     // ---- 50. top-N per group via the BoundedTopK custom aggregate — the
     //          map-side-combining form of q10's window: the exchange moves
     //          at most k pairs per (partition, group), nothing is sorted

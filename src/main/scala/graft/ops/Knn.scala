@@ -287,6 +287,80 @@ object Knn {
       case _ =>
     }
 
+  /** Cell-partitioned batch k-NN join — the unbounded-Q form of
+    * [[topKJoin]]: the query set stays a DataFrame end to end (nothing is
+    * ever collected to the driver except the kCells×dim centroid list).
+    *
+    * Shape: train the coarse quantizer on the corpus ([[kmeansCentroids]] —
+    * at 100 TB, on a `trainFraction` sample), stamp every corpus row with
+    * its best cell (compiled argmax — k inline cosines, no UDF), explode
+    * every query row to its `nProbe` nearest cells, then equi-join on the
+    * cell and fold the candidates straight into a k-bounded
+    * [[graft.functions.BoundedTopK]] aggregate per query. The partial
+    * aggregate runs in the same stage as the join, so the only exchanges
+    * are the cell-keyed join shuffles and a ≤k-pairs-per-(partition, query)
+    * aggregation exchange — the Q×C cross product never materializes and
+    * no row set is bounded by driver or executor heap.
+    *
+    * A hot cell (one dense cluster) would otherwise serialize its
+    * |Q_cell|×|C_cell| probe work onto one join task, so the join key is
+    * (cell, salt): corpus rows take a deterministic salt in [0, splits),
+    * queries replicate across all of them — same pair set, ×splits
+    * parallelism for every cell (the static form of what AQE's skew-join
+    * splitting does, effective even where AQE can't see the compute density
+    * behind small shuffle bytes).
+    *
+    * With `nProbe = kCells` every (query, corpus) pair meets exactly once
+    * — provably identical to [[topKJoin]] (spec-pinned) regardless of how
+    * training converged; smaller nProbe trades recall for reading
+    * ~nProbe/kCells of the corpus per query, exactly like [[ivfTopK]].
+    * Cosine is rounded to 6dp before ranking with id tie-break (the
+    * BoundedTopK order), so results are total-order deterministic.
+    */
+  def cellTopKJoin(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, cIdCol: String, cVecCol: String,
+      k: Int, kCells: Int, nProbe: Int, iters: Int = 3,
+      trainFraction: Double = 1.0, splits: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= kCells, s"nProbe must be in [1, $kCells]")
+    require(splits >= 1, "splits must be >= 1")
+    val cents = kmeansCentroids(corpus, cVecCol, kCells, iters, trainFraction)
+    val c = corpus.select(col(cIdCol).cast("long").as("vec_id"),
+        col(cVecCol).as("__cv"))
+      .withColumn("__cell", assignExpr(col("__cv"), cents))
+      .withColumn("__salt", pmod(hash(col("vec_id")), lit(splits)))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+        col(qVecCol).as("__qv"))
+      .withColumn("__cell", explode(probeCellsExpr(col("__qv"), cents, nProbe)))
+      .withColumn("__salt", explode(sequence(lit(0), lit(splits - 1))))
+    val cos = round(
+      graft.functions.HashExpressions.cosineSim(col("__qv"), col("__cv")), 6)
+    q.join(c, Seq("__cell", "__salt"))
+      .select(col("query_id"), col("vec_id"), cos.as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK
+        .topkPairs(col("cos"), col("vec_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos"))
+  }
+
+  /** The `nProbe` best cells for a vector, best first (cosine desc, ties to
+    * the lowest cell index — consistent with [[assignExpr]]).
+    */
+  private def probeCellsExpr(vec: org.apache.spark.sql.Column,
+                             cents: Seq[Seq[Double]],
+                             nProbe: Int): org.apache.spark.sql.Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(graft.functions.HashExpressions
+        .cosineSim(vec, array(c.map(lit): _*)).as("c"), lit(-j).as("nj"))
+    }
+    // ascending struct sort = (cos asc, nj asc); reversed = cos desc with
+    // ties to the highest nj = lowest cell index
+    transform(slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      s => (s.getField("nj") * -1).cast("int"))
+  }
+
   /** Best cell for a vector given driver-side centroids: argmax of cosine,
     * ties to the LOWEST cell index (struct comparison: cosine first, then
     * negated index). The per-centroid cosine is the COMPILED

@@ -100,6 +100,46 @@ class NearDupKnnSpec extends AnyFunSuite {
     assert(rows(4) === rows(0))
   }
 
+  test("cellTopKJoin with all cells probed is identical to topKJoin; query side never collected") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 9)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"vec_id", $"cos")
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val viaCells = norm(Knn.cellTopKJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 6, kCells = 4, nProbe = 4, iters = 2, splits = 3))
+    val viaBroadcast = norm(Knn.topKJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 6))
+    assert(viaCells === viaBroadcast)
+
+    // splits=1 (no salt replication) must not change the pair set either
+    val unsplit = norm(Knn.cellTopKJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 6, kCells = 4, nProbe = 4, iters = 2, splits = 1))
+    assert(unsplit === viaBroadcast)
+
+    // partial probes: every returned neighbor must still be genuine (a
+    // subset of the brute-force candidates can only lower recall, never
+    // invent pairs) and per-query results keep the (cos desc, id) order
+    val partial = Knn.cellTopKJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 6, kCells = 4, nProbe = 2, iters = 2)
+      .select($"query_id", $"vec_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    val bruteAll = viaBroadcast.toSet
+    val bruteByQ = viaBroadcast.groupBy(_._1)
+    partial.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size <= 6)
+      // each partial hit at least matches some corpus vector exactly as
+      // brute force scored it when it made the top-k; others are valid
+      // lower-cos candidates — all must score <= the brute top-1
+      val bestBrute = bruteByQ(q).map(_._3).max
+      assert(rows.forall(_._3 <= bestBrute + 1e-9))
+    }
+    assert(partial.count(bruteAll.contains) > 0)
+  }
+
   test("ivf with all cells probed == brute force; 1 probe recovers a clustered query") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val query = emb.filter($"vec_id" === 1).select("embedding")
