@@ -671,6 +671,60 @@ object Queries {
         |SELECT lang, count(DISTINCT f) AS n_fingerprints, count(*) AS n_docs
         |FROM fp GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- 67. SQL-registered hash60_array end-to-end: the 1-permutation
+    //          MinHash sketch (min/max token hash) from spark.sql only,
+    //          oracle-matched against the same md5-prefix arithmetic ----
+    QDef("q67_sql_hash60",
+      (s, dir) => {
+        GraftExtensions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+        s.sql("""SELECT doc_id,
+                |  array_min(hash60_array(filter(split(text, ' '), x -> x != ''))) AS min_h,
+                |  array_max(hash60_array(filter(split(text, ' '), x -> x != ''))) AS max_h
+                |FROM documents_v ORDER BY doc_id""".stripMargin)
+      },
+      Some("""WITH h AS (SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id, list_min(hs) AS min_h, list_max(hs) AS max_h
+        |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- 68. SQL-registered cosine_sim + topk_pairs composed from
+    //          spark.sql only: per-label top-3 vectors by cosine to the
+    //          label's probe vector (its min-id member). Equi-joins only —
+    //          the probe dim is 10 rows (broadcast), and the k-bounded
+    //          aggregate keeps the exchange at 3 pairs per (partition,
+    //          label); the window form the oracle runs would sort every
+    //          candidate. ----
+    QDef("q68_sql_topk_cosine",
+      (s, dir) => {
+        GraftExtensions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+        s.sql("""WITH probe AS (
+                |  SELECT label, min(vec_id) AS pid FROM embeddings_v GROUP BY label),
+                |p AS (SELECT probe.label, e.embedding AS pv
+                |      FROM probe JOIN embeddings_v e ON e.vec_id = probe.pid)
+                |SELECT t.label, s.id AS vec_id, s.score AS cos
+                |FROM (SELECT e.label,
+                |        topk_pairs(round(cosine_sim(e.embedding, p.pv), 6),
+                |                   e.vec_id, 3) AS top
+                |      FROM embeddings_v e JOIN p ON e.label = p.label
+                |      GROUP BY e.label) t
+                |LATERAL VIEW explode(t.top) x AS s
+                |ORDER BY t.label, cos DESC, vec_id""".stripMargin)
+      },
+      Some("""WITH probe AS (SELECT label, min(vec_id) AS pid FROM embeddings GROUP BY label),
+        |p AS (SELECT probe.label, CAST(e.embedding AS DOUBLE[]) AS pv
+        |      FROM probe JOIN embeddings e ON e.vec_id = probe.pid),
+        |s AS (SELECT e.label, e.vec_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS cos
+        |      FROM embeddings e JOIN p ON e.label = p.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT label, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY label, cos DESC, vec_id""".stripMargin)),
+
     // ---- 42. ranking-family windows: ntile / percent_rank / cume_dist ----
     QDef("q42_rank_family",
       (s, dir) => {
