@@ -910,6 +910,41 @@ object Queries {
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- 69. incremental near-dup vs a persisted signature store — the
+    //          hourly-ingest shape: the first half of the corpus plays the
+    //          already-deduped store (only its (n, th, sig) projection is
+    //          read), the second half arrives as the new batch. Emits every
+    //          pair TOUCHING the batch; store×store pairs never re-emit.
+    //          Oracle: the brute-force Jaccard SQL restricted to
+    //          batch-touching pairs. Same recall footnote as q33. ----
+    QDef("q69_incremental_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val store = graft.ops.SignatureStore.signatures(
+          docs.filter($"doc_id" < 250), "doc_id", "text")
+        val batch = graft.ops.SignatureStore.signatures(
+          docs.filter($"doc_id" >= 250), "doc_id", "text")
+        graft.ops.SignatureStore.incrementalPairs(store, batch, threshold = 0.5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+        |  AND doc_b >= 250
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- 34. SimHash near-dup (exact chunk-blocked Hamming join) ----
     QDef("q34_simhash",
       (s, dir) => {
