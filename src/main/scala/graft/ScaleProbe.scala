@@ -44,8 +44,10 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "dup") == "win") {
-      winProbe(spark, sfDir, time(_)); spark.stop(); return
+    sys.env.getOrElse("SPARK_GRAFT_PROBE", "dup") match {
+      case "win" => winProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "cc" => ccProbe(spark, sfDir, time(_)); spark.stop(); return
+      case _ => ()
     }
 
     val docs = Tables.documents(spark, sfDir)
@@ -89,6 +91,71 @@ object ScaleProbe {
       s""""naive_sec":$naive,"collapsed_sec":$collapsed,""" +
       s""""exact_collapsed_sec":$exactCollapsed,"groups_sec":$groups,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Connected-components probe on the R×-duplicated corpus (default 10×,
+    * exact dup groups of size R): builds the MEMBER-level near-dup graph —
+    * within-group cliques (C(R,2) edges per content group) plus
+    * cross-group near-dup edges expanded through membership — and runs CC
+    * over it with the distributed path FORCED (driverThreshold = 0),
+    * recording rounds-to-convergence (each round shuffles O(E) edge-label
+    * pairs). The driver union-find path runs on the same graph as the
+    * correctness cross-check and the small-graph baseline.
+    */
+  private def ccProbe(spark: SparkSession, sfDir: String,
+                      time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(r - 1))).as("__r"))
+      .select((col("doc_id") + col("__r") * 10000000L).as("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    val (pairs0, membership0) = graft.ops.MinHashLSH
+      .exactNearDuplicatesCollapsed(docs, "doc_id", "text")
+    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val membership = membership0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // member-level graph: every content group is a clique; every canonical
+    // near-dup pair fans out to members × members
+    val within = membership.as("m1").join(membership.as("m2"),
+        col("m1.canonical_id") === col("m2.canonical_id") &&
+        col("m1.member_id") < col("m2.member_id"))
+      .select(col("m1.member_id").as("doc_a"), col("m2.member_id").as("doc_b"))
+    val cross = pairs
+      .join(membership.select(col("canonical_id").as("doc_a"),
+        col("member_id").as("__ma")), "doc_a")
+      .join(membership.select(col("canonical_id").as("doc_b"),
+        col("member_id").as("__mb")), "doc_b")
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"))
+    val edges = within.unionAll(cross)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    var rounds = -1
+    var distOut: org.apache.spark.sql.DataFrame = null
+    val distSec = time {
+      val (out, n) = graft.ops.ConnectedComponents
+        .runCounted(edges, "doc_a", "doc_b", driverThreshold = 0L)
+      rounds = n; distOut = out; noop(out)
+    }
+    var driverOut: org.apache.spark.sql.DataFrame = null
+    val driverSec = time {
+      driverOut = graft.ops.ConnectedComponents.run(edges, "doc_a", "doc_b")
+      noop(driverOut)
+    }
+    val mismatches = distOut.withColumnRenamed("comp", "c1")
+      .join(driverOut.withColumnRenamed("comp", "c2"), "v")
+      .filter(col("c1") =!= col("c2")).count()
+    val nVerts = distOut.count()
+    println(s"""{"metric":"cc_probe","rep":$r,"docs":$nDocs,""" +
+      s""""edges":$nEdges,"vertices":$nVerts,"rounds":$rounds,""" +
+      s""""dist_sec":$distSec,"driver_sec":$driverSec,""" +
+      s""""label_mismatches":$mismatches,"sf":"$sfDir"}""")
   }
 
   /** Window-family probe at R× key-shifted replication (see object doc). */

@@ -50,7 +50,17 @@ object ConnectedComponents {
     * force the distributed path.
     */
   def run(edges: DataFrame, aCol: String, bCol: String,
-          maxIter: Int = 25, driverThreshold: Long = 1L << 20): DataFrame = {
+          maxIter: Int = 25, driverThreshold: Long = 1L << 20): DataFrame =
+    runCounted(edges, aCol, bCol, maxIter, driverThreshold)._1
+
+  /** [[run]] plus the number of propagation rounds the distributed path
+    * executed (0 = solved on the driver) — the diagnostic surface the
+    * scale probes report (each round shuffles O(E) edge-label pairs, so
+    * rounds × edges is the path's total exchange volume).
+    */
+  def runCounted(edges: DataFrame, aCol: String, bCol: String,
+                 maxIter: Int = 25,
+                 driverThreshold: Long = 1L << 20): (DataFrame, Int) = {
     // Persist the DIRECTED projection, then mirror it: the symmetric union
     // would otherwise embed the caller's edge computation twice (near-dup
     // pair generation is expensive — measured 2× its cost inside q57
@@ -61,7 +71,7 @@ object ConnectedComponents {
     val integralIds = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
     if (integralIds && e0.count() <= driverThreshold)
-      return try runOnDriver(e0, idType)
+      return try (runOnDriver(e0, idType), 0)
       finally e0.unpersist(blocking = false)
     val sym = e0.unionAll(e0.select(col("d").as("s"), col("s").as("d")))
     try {
@@ -99,7 +109,7 @@ object ConnectedComponents {
         labels = jumped
         iter += 1
       }
-      labels
+      (labels, iter)
     } finally e0.unpersist(blocking = false)
   }
 
