@@ -1710,7 +1710,82 @@ object Queries {
         | CASE WHEN len(toks) > 0 THEN round(n_char * 1.0 / len(toks), 6) END AS mean_tok_len,
         | round(CASE WHEN len(toks) > 0 THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END
         |       * least(1.0, len(toks) * 1.0 / 50.0), 6) AS quality
-        |FROM d ORDER BY doc_id""".stripMargin))
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- 70. benchmark decontamination — flag corpus documents sharing
+    //          any 5-gram with an evaluation set (here: docs 0-19 stand in
+    //          for the benchmark). The 100 TB shape: benchmark shingle
+    //          tables are TINY (a few MB for every public eval suite), so
+    //          the hashed shingle set BROADCASTS and the corpus is scanned
+    //          once, never shuffled — the join key is the 60-bit shingle
+    //          hash, not the string. Output: contaminated doc + distinct
+    //          hit count. ----
+    QDef("q70_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter($"doc_id" < 20)
+          .select(explode(TF.shingles($"text", 5)).as("sh"))
+          .select(TF.hash60($"sh").as("__h")).distinct()
+        val corpus = docs.filter($"doc_id" >= 20)
+          .select($"doc_id", explode(TF.shingles($"text", 5)).as("sh"))
+          .select($"doc_id", TF.hash60($"sh").as("__h"))
+        corpus.join(broadcast(bench), "__h")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"__h").as("n_hits"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+        |    THEN list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |b AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_hits
+        |FROM c JOIN b USING (shingle)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- 71. repetition quality signals (the Gopher-rule family):
+    //          duplicate-token fraction and top-2-gram fraction per doc,
+    //          with the keep/drop verdict. The bigram mode is computed as
+    //          rows (explode → count → max), not a per-doc in-memory
+    //          histogram: the shuffle carries one row per DISTINCT
+    //          (doc, gram) — map-side combined — so a pathological 1 GB
+    //          document costs its distinct-gram count, not its length,
+    //          and no task ever holds a whole document's histogram. ----
+    QDef("q71_repetition_stats",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val grams = t.select($"doc_id", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("gram"))
+        val m = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(max($"c").as("mx"), sum($"c").as("tot"))
+        t.join(m, "doc_id")
+          .select($"doc_id", size($"toks").cast("long").as("n_tok"),
+            round(lit(1.0) -
+              size(array_distinct($"toks")).cast("double") / size($"toks"), 6)
+              .as("dup_tok_frac"),
+            round($"mx".cast("double") / $"tot", 6).as("top_bigram_frac"))
+          .withColumn("keep", $"top_bigram_frac" <= 0.2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |        for i in range(1, len(toks))]) AS gram FROM t),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_tok_frac,
+        |  round(m.mx * 1.0 / m.tot, 6) AS top_bigram_frac,
+        |  (round(m.mx * 1.0 / m.tot, 6) <= 0.2) AS keep
+        |FROM t JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -110,6 +110,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortExec"), p.take(3000))
   }
 
+  test("q70 decontamination joins the corpus against a BROADCAST benchmark set") {
+    val p = plan("q70_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q47 rolling fingerprint is a narrow scan + sort") {
     val p = plan("q47_rolling_fingerprint")
     assert(!p.contains("Join"), p.take(2000))
