@@ -1785,7 +1785,40 @@ object Queries {
         |  round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_tok_frac,
         |  round(m.mx * 1.0 / m.tot, 6) AS top_bigram_frac,
         |  (round(m.mx * 1.0 / m.tot, 6) <= 0.2) AS keep
-        |FROM t JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""".stripMargin))
+        |FROM t JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- 72. deterministic corpus shuffle + training-shard assignment —
+    //          the last step before serving sequences to a trainer: order
+    //          the corpus by a seeded hash (reproducible across runs and
+    //          engines), number it globally, cut into fixed-size shards.
+    //          The global rank comes from the distributed prefix sum over
+    //          the hash order (range partition + stitched offsets), NOT a
+    //          row_number() over an unpartitioned window — the window form
+    //          is a single task holding the whole corpus, the one shape
+    //          that can never scale. Oracle = that window form (valid at
+    //          oracle scale). ----
+    QDef("q72_corpus_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val hashed = Tables.documents(s, dir)
+          .select($"doc_id",
+            TF.hash60(concat(lit("shuffle:"), $"doc_id".cast("string"))).as("h"))
+          .withColumn("__g", lit(0)).withColumn("__one", lit(1L))
+        graft.ops.PrefixSum.withRunningSum(hashed,
+            groupCols = Seq("__g"), orderCols = Seq("h", "doc_id"),
+            valueCol = "__one", outCol = "rank")
+          .select($"doc_id", $"h", $"rank",
+            floor(($"rank" - 1) / lit(64)).cast("long").as("shard"))
+          .orderBy($"rank")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+        |    ('0x' || substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, h,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank FROM h)
+        |SELECT doc_id, h, rank,
+        |  CAST(floor((rank - 1) / 64) AS BIGINT) AS shard
+        |FROM r ORDER BY rank""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
