@@ -140,6 +140,29 @@ class NearDupKnnSpec extends AnyFunSuite {
     assert(partial.count(bruteAll.contains) > 0)
   }
 
+  test("cellTopKJoin property: random vectors, random geometry — always identical to topKJoin at full probes") {
+    (0 until 3).foreach { seed =>
+      val rng = new scala.util.Random(100 + seed)
+      val n = 40 + rng.nextInt(30)
+      val dim = 6 + rng.nextInt(6)
+      val emb = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dim)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+      val queries = emb.filter($"vec_id" % 7 === 0)
+      val k = 1 + rng.nextInt(5)
+      val kCells = 2 + rng.nextInt(4)
+      val splits = 1 + rng.nextInt(4)
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select($"query_id", $"vec_id", $"cos")
+        .as[(Long, Long, Double)].collect().sortBy(t => (t._1, -t._3, t._2)).toSeq
+      val cells = norm(Knn.cellTopKJoin(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = k, kCells = kCells, nProbe = kCells, iters = 2, splits = splits))
+      val brute = norm(Knn.topKJoin(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = k))
+      assert(cells === brute, s"seed=$seed n=$n dim=$dim k=$k kCells=$kCells splits=$splits")
+    }
+  }
+
   test("ivf with all cells probed == brute force; 1 probe recovers a clustered query") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val query = emb.filter($"vec_id" === 1).select("embedding")
