@@ -1826,7 +1826,42 @@ object Queries {
         |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank FROM h)
         |SELECT doc_id, h, rank,
         |  CAST(floor((rank - 1) / 64) AS BIGINT) AS shard
-        |FROM r ORDER BY rank""".stripMargin))
+        |FROM r ORDER BY rank""".stripMargin)),
+
+    // ---- 73. per-group percentile filtering — "keep documents at or above
+    //          their language's median quality", the relative-threshold
+    //          curation step (absolute thresholds misfire across languages).
+    //          Composes the distributed exact-quantile operator (no
+    //          whole-group buffer) with a broadcast threshold join: the
+    //          per-lang medians are |langs| rows, the corpus is scanned
+    //          once. Quality = q37's tokenize-once score. ----
+    QDef("q73_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"lang",
+            round(TF.typeTokenRatioOf($"toks") *
+              least(lit(1.0), size($"toks").cast("double") / 50.0), 6)
+              .as("quality"))
+        val med = graft.ops.Quantiles.exact(scored, Seq("lang"), "quality", Seq(0.5))
+          .select($"lang", round(element_at($"quantiles", 1), 6).as("med"))
+        scored.join(broadcast(med), "lang")
+          .filter($"quality" >= $"med")
+          .select($"doc_id", $"lang", $"quality", $"med")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    round(CASE WHEN len(toks) > 0
+        |      THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END
+        |      * least(1.0, len(toks) * 1.0 / 50.0), 6) AS quality FROM d),
+        |m AS (SELECT lang, round(quantile_cont(quality, 0.5), 6) AS med
+        |      FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality, m.med
+        |FROM q JOIN m ON q.lang = m.lang
+        |WHERE q.quality >= m.med ORDER BY q.doc_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
