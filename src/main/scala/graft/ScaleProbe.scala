@@ -47,6 +47,7 @@ object ScaleProbe {
     sys.env.getOrElse("SPARK_GRAFT_PROBE", "dup") match {
       case "win" => winProbe(spark, sfDir, time(_)); spark.stop(); return
       case "cc" => ccProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "knn" => knnProbe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -156,6 +157,56 @@ object ScaleProbe {
       s""""edges":$nEdges,"vertices":$nVerts,"rounds":$rounds,""" +
       s""""dist_sec":$distSec,"driver_sec":$driverSec,""" +
       s""""label_mismatches":$mismatches,"sf":"$sfDir"}""")
+  }
+
+  /** kNN-join probe at R× corpus replication (default 10×): the broadcast
+    * [[graft.ops.Knn.topKJoin]] vs the DataFrame-native
+    * [[graft.ops.Knn.cellTopKJoin]] (nProbe = kCells — exact) over the
+    * same query set, result equality checked. The cell join's win is not
+    * local wall-clock (broadcast + heaps is hard to beat in one JVM); it
+    * is that Q never touches the driver — this probe certifies the exact-
+    * equality claim holds at a corpus the fixture spec never sees.
+    */
+  private def knnProbe(spark: SparkSession, sfDir: String,
+                       time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(r - 1))).as("__r"))
+      .select((col("vec_id") + col("__r") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVecs = emb.count()
+    val queries = emb.filter(col("vec_id") < 20)
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    var broadcastOut: org.apache.spark.sql.DataFrame = null
+    val broadcastSec = time {
+      broadcastOut = graft.ops.Knn.topKJoin(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
+      noop(broadcastOut)
+    }
+    var cellOut: org.apache.spark.sql.DataFrame = null
+    val cellSec = time {
+      cellOut = graft.ops.Knn.cellTopKJoin(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, kCells = 8, nProbe = 8, iters = 2)
+        .localCheckpoint(true)
+      noop(cellOut)
+    }
+    // symmetric multiset difference: zero ⇔ identical (query, id, cos) rows
+    val cols = Seq("query_id", "vec_id", "cos").map(col)
+    val mismatches = broadcastOut.select(cols: _*)
+      .exceptAll(cellOut.select(cols: _*)).count() +
+      cellOut.select(cols: _*)
+        .exceptAll(broadcastOut.select(cols: _*)).count()
+    println(s"""{"metric":"knn_probe","rep":$r,"vectors":$nVecs,""" +
+      s""""queries":20,"broadcast_sec":$broadcastSec,"cell_sec":$cellSec,""" +
+      s""""row_mismatches":$mismatches}""")
   }
 
   /** Window-family probe at R× key-shifted replication (see object doc). */
