@@ -48,6 +48,7 @@ object ScaleProbe {
       case "win" => winProbe(spark, sfDir, time(_)); spark.stop(); return
       case "cc" => ccProbe(spark, sfDir, time(_)); spark.stop(); return
       case "knn" => knnProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "sig" => sigProbe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -157,6 +158,68 @@ object ScaleProbe {
       s""""edges":$nEdges,"vertices":$nVerts,"rounds":$rounds,""" +
       s""""dist_sec":$distSec,"driver_sec":$driverSec,""" +
       s""""label_mismatches":$mismatches,"sf":"$sfDir"}""")
+  }
+
+  /** Signature-store probe: the incremental near-dup claim — per-batch
+    * cost tracks the BATCH, not the corpus. The corpus is R× the fixture
+    * (each replica a one-token mutation → near-dup families of size R);
+    * replicas 0..R-2 play the already-ingested store (signatures
+    * PRE-computed, as a real pipeline would have them on disk), replica
+    * R-1 arrives as the new batch. Timed: batch signatures + incremental
+    * pairs, vs re-running the full-corpus banded pass from text.
+    */
+  private def sigProbe(spark: SparkSession, sfDir: String,
+                       time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    val rep = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(r - 1))).as("__r"))
+      .select((col("doc_id") + col("__r") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" mut"), col("__r")).as("text"), col("__r"))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = rep.count()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // the store's projection is already materialized in a real pipeline —
+    // build it outside the timed window
+    val store = graft.ops.SignatureStore
+      .signatures(rep.filter(col("__r") < r - 1), "doc_id", "text")
+      .localCheckpoint(true)
+    val batchDocs = rep.filter(col("__r") === r - 1).select("doc_id", "text")
+      .localCheckpoint(true)
+    var incPairs = -1L
+    val sigSec = time {
+      graft.ops.SignatureStore.signatures(batchDocs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // batch-vs-empty-store pass first: warms the pair-join code paths so
+    // the headline numbers time plans, not JIT, and gives the batch-only
+    // lower bound
+    val emptyStore = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], store.schema)
+    val batchOnlySec = time {
+      val batch = graft.ops.SignatureStore.signatures(batchDocs, "doc_id", "text")
+      graft.ops.SignatureStore
+        .incrementalPairs(emptyStore, batch, threshold = 0.5).count()
+    }
+    val incSec = time {
+      val batch = graft.ops.SignatureStore.signatures(batchDocs, "doc_id", "text")
+      incPairs = graft.ops.SignatureStore
+        .incrementalPairs(store, batch, threshold = 0.5).count()
+    }
+    var fullPairs = -1L
+    val fullSec = time {
+      fullPairs = graft.ops.MinHashLSH.nearDuplicates(
+        rep.select("doc_id", "text"), "doc_id", "text", threshold = 0.5).count()
+    }
+    println(s"""{"metric":"sig_probe","rep":$r,"docs":$nDocs,""" +
+      s""""batch_docs":${nDocs / r},"sig_sec":$sigSec,""" +
+      s""""batch_only_sec":$batchOnlySec,"inc_sec":$incSec,""" +
+      s""""full_sec":$fullSec,""" +
+      s""""inc_pairs":$incPairs,"full_pairs":$fullPairs}""")
   }
 
   /** kNN-join probe at R× corpus replication (default 10×): the broadcast
