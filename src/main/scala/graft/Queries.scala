@@ -1861,7 +1861,40 @@ object Queries {
         |      FROM q GROUP BY lang)
         |SELECT q.doc_id, q.lang, q.quality, m.med
         |FROM q JOIN m ON q.lang = m.lang
-        |WHERE q.quality >= m.med ORDER BY q.doc_id""".stripMargin))
+        |WHERE q.quality >= m.med ORDER BY q.doc_id""".stripMargin)),
+
+    // ---- 74. Count–Min frequency sketch, tolerance-gated (the q26/q55
+    //          pattern for the heavy-hitters sketch): one mergeable
+    //          fixed-size sketch replaces a groupBy when only approximate
+    //          per-key counts are needed — the map-side partials are the
+    //          sketch itself, so the exchange carries O(width·depth) bytes
+    //          per partition regardless of key cardinality. The sketch
+    //          guarantee (overcount ≤ ε·N at confidence δ) is asserted as
+    //          a boolean against the exact counts, which also oracle the
+    //          row values. ----
+    QDef("q74_cms_counts",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val skBytes = li.select(count_min_sketch($"l_returnflag",
+            lit(0.001), lit(0.99), lit(42)).as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val exact = li.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_exact"))
+        val total = li.count()
+        val est = exact.select($"l_returnflag").as[String].collect()
+          .map(k => k -> cms.estimateCount(k)).toMap
+        val estUdfFree = typedlit(est)   // tiny literal map: |keys| entries
+        exact
+          .select($"l_returnflag", $"n_exact",
+            (abs(element_at(estUdfFree, $"l_returnflag") - $"n_exact")
+              <= lit(0.002 * total)).as("cms_ok"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_exact, true AS cms_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
