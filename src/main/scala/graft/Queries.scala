@@ -1894,7 +1894,65 @@ object Queries {
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag, count(*) AS n_exact, true AS cms_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- 75. corpus-level span dedup (the CCNet/RefinedWeb "line dedup"
+    //          step): cut each doc into 8-token spans, strip every span that
+    //          occurs in ≥2 distinct documents — the sub-document dedup that
+    //          document-level near-dup misses (boilerplate shared by
+    //          otherwise-different pages). Frequency = two-stage hash agg on
+    //          the span string (Zipf head collapses map-side); reassembly
+    //          holds one doc's spans per group — O(doc) state, never
+    //          O(corpus). See ops/SpanDedup scaladoc for the broadcast
+    //          common-span-set variant at extreme scale. ----
+    QDef("q75_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        graft.ops.SpanDedup.dedupSpans(docs, "doc_id", "toks",
+            width = 8, maxDf = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 8.0) AS INT))) AS i FROM t),
+        |sp AS (SELECT doc_id, i,
+        |    array_to_string(toks[i*8+1 : i*8+8], ' ') AS span FROM c),
+        |f AS (SELECT span, count(DISTINCT doc_id) AS df FROM sp GROUP BY span)
+        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS dropped_spans,
+        |  coalesce(string_agg(sp.span, ' ' ORDER BY sp.i)
+        |    FILTER (WHERE f.df < 2), '') AS kept_text
+        |FROM sp JOIN f USING (span)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin)),
+
+    // ---- 76. BPE merge-candidate counts — corpus-wide adjacent-token-pair
+    //          frequencies, top-50 (the inner statistic of a BPE trainer's
+    //          merge step; q65 is the unigram input, this is the pair input).
+    //          Pure two-stage hash agg: per-partition partials absorb the
+    //          Zipfian pair head before the exchange, and the top-50 is a
+    //          TakeOrderedAndProject (per-partition heaps), never a global
+    //          sort. Tie-broken (cnt DESC, pair ASC) so the cut is total. ----
+    QDef("q76_bpe_merge",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        t.select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"pair")
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |        for i in range(1, len(toks))]) AS pair FROM t)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
