@@ -1952,7 +1952,70 @@ object Queries {
         |g AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
         |        for i in range(1, len(toks))]) AS pair FROM t)
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM g
-        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    // ---- 77. BM25 sparse retrieval — top-20 documents for a fixed query
+    //          term set (the curation sweep "find docs about X"). Terms and
+    //          per-term df broadcast; the corpus is scanned once and only
+    //          matched (doc, term) rows shuffle for the per-doc sum; top-k
+    //          is a TakeOrderedAndProject. Contributions rounded before the
+    //          sum so engine libm ulp drift can't surface (see ops/Bm25). ----
+    QDef("q77_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        graft.ops.Bm25.topK(docs, "doc_id", "toks",
+          terms = Seq("spark", "vector", "customer"), k = 20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+        |q AS (SELECT unnest(['spark', 'vector', 'customer']) AS term),
+        |tf AS (SELECT doc_id, term,
+        |    CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf,
+        |    CAST(len(toks) AS DOUBLE) AS dl FROM t, q),
+        |m AS (SELECT * FROM tf WHERE tf > 0),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY term),
+        |sc AS (SELECT m.doc_id,
+        |    round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (m.tf * 2.2) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl)),
+        |      6) AS c
+        |  FROM m JOIN df USING (term), s)
+        |SELECT doc_id, round(sum(c), 6) AS score FROM sc
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- 78. interval (range) join without BNLJ — count/aggregate the
+    //          events falling inside each incident window ([error ts, +1 h)).
+    //          A non-equi join condition alone gives Spark a broadcast-
+    //          nested-loop plan — O(|P|·|I|) compares; ops/RangeJoin
+    //          quantizes time into window-sized cells and equi-joins on the
+    //          cell id (PlanSpec pins the no-BNLJ shape). Oracle = the
+    //          plain inequality join (DuckDB IEJoin). ----
+    QDef("q78_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val pts = ev.select($"event_id", $"ts_us", $"value")
+        val wins = ev.filter($"event_type" === "error")
+          .select($"event_id".as("win_id"), $"ts_us".as("lo_us"),
+            ($"ts_us" + 3600000000L).as("hi_us"))
+        graft.ops.RangeJoin.intervalJoin(pts, "ts_us", wins,
+            "lo_us", "hi_us", bucketUs = 3600000000L)
+          .groupBy($"win_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 4).as("sum_value"))
+          .orderBy($"win_id")
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |w AS (SELECT event_id AS win_id, epoch_us(ts) AS lo_us,
+        |        epoch_us(ts) + 3600000000 AS hi_us
+        |      FROM events WHERE event_type = 'error')
+        |SELECT w.win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(e.value), 4) AS sum_value
+        |FROM w JOIN e ON e.ts_us >= w.lo_us AND e.ts_us < w.hi_us
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
