@@ -2015,7 +2015,78 @@ object Queries {
         |SELECT w.win_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(e.value), 4) AS sum_value
         |FROM w JOIN e ON e.ts_us >= w.lo_us AND e.ts_us < w.hi_us
-        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin))
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin)),
+
+    // ---- 79. snapshot diff (CDC): classify every key as added / removed /
+    //          changed / unchanged between two snapshots of lineitem — a
+    //          rolling retention window (old ≤ 1998-06-30, new ≥ 1997-01-01)
+    //          plus a returns repricing on the overlap. Each side projects
+    //          to (key, md5 payload fingerprint) BEFORE the full-outer
+    //          join, so the exchange carries ~48 B/row however wide the
+    //          table (ops/SnapshotDiff). Rolled up per status with a key
+    //          checksum. ----
+    QDef("q79_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val old = li
+          .filter($"l_shipdate" <= lit("1998-06-30").cast("timestamp_ntz"))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_extendedprice".as("price"))
+        val nu = li
+          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz"))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            when($"l_returnflag" === "R", $"l_extendedprice" * 0.95)
+              .otherwise($"l_extendedprice").as("price"))
+        graft.ops.SnapshotDiff.diff(old, nu, Seq("l_orderkey", "l_linenumber"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_orderkey").cast("long").as("key_sum"))
+          .orderBy($"status")
+      },
+      Some("""WITH o AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        l_extendedprice AS price
+        |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-06-30 00:00:00'),
+        |n AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 0.95
+        |             ELSE l_extendedprice END AS price
+        |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'),
+        |j AS (SELECT coalesce(o.l_orderkey, n.l_orderkey) AS k,
+        |        CASE WHEN o.l_orderkey IS NULL THEN 'added'
+        |             WHEN n.l_orderkey IS NULL THEN 'removed'
+        |             WHEN o.l_quantity IS DISTINCT FROM n.l_quantity
+        |               OR o.price IS DISTINCT FROM n.price THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN n
+        |        ON o.l_orderkey = n.l_orderkey
+        |       AND o.l_linenumber = n.l_linenumber)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ---- 80. bloom-pruned semi-join — revenue of orders whose customer
+    //          clears an account-balance bar. The dim key set goes through
+    //          a Bloom sketch that prunes the fact side BEFORE the join
+    //          exchange (ops/BloomSemiJoin); the trailing real semi-join
+    //          removes the false positives, so the result is EXACTLY the
+    //          plain semi-join the oracle runs. ----
+    QDef("q80_bloom_semijoin",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables.customer(s, dir).filter($"c_acctbal" > 7500)
+        graft.ops.BloomSemiJoin.semiJoin(
+            Tables.orders(s, dir), "o_custkey", dim, "c_custkey",
+            expectedItems = 1L << 17, fpp = 0.01)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            decStr(sum($"o_totalprice".cast(dec38_6))).as("sum_total"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
