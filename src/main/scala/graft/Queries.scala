@@ -2086,7 +2086,167 @@ object Queries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_total
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- 81. ordered conversion funnel — per user: first signup, first
+    //          click AFTER the signup, first purchase AFTER that click
+    //          (strict stage ordering, the product-analytics staple). Three
+    //          narrow min-aggregations chained by joins on the user key —
+    //          each stage's dim shrinks, no window over whole users, no
+    //          self-join explosion. ----
+    QDef("q81_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir).select($"user_id", $"event_type", $"ts_us")
+        val sg = e.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts_us").as("signup_us"))
+        val ck = e.filter($"event_type" === "click").join(sg, "user_id")
+          .filter($"ts_us" > $"signup_us")
+          .groupBy($"user_id").agg(min($"ts_us").as("click_us"))
+        val pu = e.filter($"event_type" === "purchase").join(ck, "user_id")
+          .filter($"ts_us" > $"click_us")
+          .groupBy($"user_id").agg(min($"ts_us").as("purchase_us"))
+        sg.join(ck, Seq("user_id"), "left")
+          .join(pu, Seq("user_id"), "left")
+          .select($"user_id", $"signup_us", $"click_us", $"purchase_us",
+            (lit(1) + when($"click_us".isNotNull, 1).otherwise(0)
+              + when($"purchase_us".isNotNull, 1).otherwise(0))
+              .cast("long").as("stage"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS signup_us FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS click_us FROM e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > s.signup_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS purchase_us FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.click_us
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, s.signup_us, c.click_us, p.purchase_us,
+        |  CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON c.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin)),
+
+    // ---- 82. retention cohorts — users bucketed by first-seen ISO week,
+    //          counted per (cohort, week offset) of later activity. Two
+    //          narrow aggregations over (user, week) projections; the
+    //          cohort dim joins back on the user key. Offsets are exact
+    //          integer arithmetic on week-truncated epochs (UTC, no DST). ----
+    QDef("q82_retention",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", unix_micros(date_trunc("week", $"tstamp")).as("w_us"))
+        val cohort = e.groupBy($"user_id").agg(min($"w_us").as("cohort_us"))
+        e.distinct().join(cohort, "user_id")
+          .groupBy($"cohort_us",
+            (($"w_us" - $"cohort_us") / 604800000000L).cast("long").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"cohort_us", $"week_offset")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+        |        epoch_us(date_trunc('week', ts)) AS w_us FROM events),
+        |f AS (SELECT user_id, min(w_us) AS cohort_us FROM e GROUP BY user_id)
+        |SELECT f.cohort_us,
+        |  CAST((e.w_us - f.cohort_us) // 604800000000 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- 83. deterministic fixed-size sample PER STRATUM — k docs per
+    //          language in seeded-hash order, via the BoundedTopK
+    //          map-side-combining heap aggregate: per-partition heaps of
+    //          size k merge into one k-heap per group, so no stratum is
+    //          ever globally sorted and no task buffers a stratum (q58 is
+    //          the global form; the window oracle is the semantics, not
+    //          the plan). Hash order makes the sample reproducible across
+    //          runs and engines. ----
+    QDef("q83_stratified_fixed",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"lang", $"doc_id",
+          TF.hash60(concat(lit("sample:"), $"doc_id".cast("string")))
+            .cast("double").as("h"))
+        d.groupBy($"lang")
+          .agg(graft.functions.BoundedTopK
+            .topkPairs(-$"h", $"doc_id", 5).as("top"))
+          .select($"lang", posexplode($"top"))
+          .select($"lang", ($"pos" + 1).cast("long").as("rn"),
+            $"col.id".as("doc_id"))
+          .orderBy($"lang", $"rn")
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+        |    CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         AS DOUBLE) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, row_number() OVER (
+        |        PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    // ---- 84. equi-width histogram per group — 20 fixed bins over
+    //          l_extendedprice per return flag. Binning is a pure row
+    //          function (no quantile pass), so the whole query is one
+    //          map-side-combined aggregation; the bin id arithmetic is
+    //          identical double math on both engines. ----
+    QDef("q84_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val lo = 900.0; val w = (105000.0 - 900.0) / 20.0
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag",
+            least(greatest(floor(($"l_extendedprice" - lo) / w), lit(0.0)), lit(19.0))
+              .cast("long").as("bin"))
+          .groupBy($"l_returnflag", $"bin")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"l_returnflag", $"bin")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(least(greatest(floor((l_extendedprice - 900.0) / 5205.0), 0.0), 19.0)
+        |       AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin)),
+
+    // ---- 85. session path analysis — the ordered event-type sequence of
+    //          every session (q14's gaps-and-islands assignment), counted
+    //          into the top-20 navigation paths. Path assembly is a
+    //          per-session sort_array over that session's events — O(session)
+    //          state, the same bound as the session itself; the path
+    //          frequency count is a plain hash agg and the top-20 a
+    //          TakeOrderedAndProject. ----
+    QDef("q85_session_paths",
+      (s, dir) => {
+        import s.implicits._
+        val labeled = graft.ops.Sessionize.assign(
+          Tables.events(s, dir).select($"user_id", $"ts_us", $"event_id", $"event_type"),
+          keys = Seq("user_id"), tsUsCol = "ts_us",
+          tieBreak = Seq("event_id"), gapUs = 1800L * 1000000L)
+        labeled.groupBy($"user_id", $"session_seq")
+          .agg(sort_array(collect_list(struct($"ts_us", $"event_id", $"event_type")))
+            .as("evs"))
+          .select(array_join(transform($"evs", e => e("event_type")), ">").as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy($"n_sessions".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS st
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM m),
+        |p AS (SELECT user_id, session_seq,
+        |        string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |      FROM s GROUP BY user_id, session_seq)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
