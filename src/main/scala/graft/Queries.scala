@@ -2246,7 +2246,58 @@ object Queries {
         |        string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
         |      FROM s GROUP BY user_id, session_seq)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
-        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin))
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
+    // ---- 86. per-group z-score anomaly flags — events more than 3 sample
+    //          standard deviations from their type's mean. The |groups|-row
+    //          stats dim broadcasts back over one corpus scan (the q73
+    //          relative-threshold pattern with moment stats instead of
+    //          quantiles); z is computed with explicit association and
+    //          rounded so both engines agree bit-for-bit. ----
+    QDef("q86_zscore_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"ts_us", $"value")
+        val st = e.groupBy($"event_type")
+          .agg(avg($"value").as("mu"), stddev_samp($"value").as("sigma"))
+        e.join(broadcast(st), "event_type")
+          .select($"event_type", $"event_id", $"ts_us", $"value",
+            round(($"value" - $"mu") / $"sigma", 4).as("z"))
+          .filter(abs($"z") > 3.0)
+          .orderBy($"event_type", $"event_id")
+      },
+      Some("""WITH st AS (SELECT event_type, avg(value) AS mu,
+        |        stddev_samp(value) AS sigma FROM events GROUP BY event_type),
+        |z AS (SELECT e.event_type, e.event_id, epoch_us(e.ts) AS ts_us, e.value,
+        |        round((e.value - st.mu) / st.sigma, 4) AS z
+        |      FROM events e JOIN st USING (event_type))
+        |SELECT event_type, event_id, ts_us, value, z FROM z
+        |WHERE abs(z) > 3.0 ORDER BY event_type, event_id""".stripMargin)),
+
+    // ---- 87. Z-order (Morton) clustering key — the multi-dimension
+    //          layout key behind writeClustered (Delta/Iceberg OPTIMIZE
+    //          ZORDER BY re-expressed on public primitives): files sorted
+    //          by the interleave cover small (x, y) rectangles, so footer
+    //          min/max stats prune scans on EITHER dimension. The compiled
+    //          mask-spread expression (functions/ZOrderFunctions) is
+    //          oracled here against DuckDB replaying the interleave
+    //          bit-by-bit. ----
+    QDef("q87_zorder_key",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_partkey",
+            graft.functions.ZOrderFunctions.zorder($"l_orderkey", $"l_partkey")
+              .as("z"))
+          .orderBy($"z")
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_partkey,
+        |  CAST(list_sum([((l_orderkey >> i) & 1) * (1::BIGINT << (2*i))
+        |               + ((l_partkey >> i) & 1) * (1::BIGINT << (2*i+1))
+        |                 for i in range(0, 31)]) AS BIGINT) AS z
+        |FROM lineitem ORDER BY z LIMIT 100""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -49,6 +49,8 @@ object ScaleProbe {
       case "cc" => ccProbe(spark, sfDir, time(_)); spark.stop(); return
       case "knn" => knnProbe(spark, sfDir, time(_)); spark.stop(); return
       case "sig" => sigProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "span" => spanProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "range" => rangeProbe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -326,5 +328,98 @@ object ScaleProbe {
     println(s"""{"metric":"window_probe","rep":$r,"rows":$nRows,""" +
       s""""lag_sec":$lagSec,"mavg_sec":$mavgSec,"sessionize_sec":$sessSec,""" +
       s""""asof_sec":$asofSec,"quantile_sec":$quantSec,"sf":"$sfDir"}""")
+  }
+
+  /** Span-dedup scaling (q75): time [[graft.ops.SpanDedup.dedupSpans]] at 1×
+    * and at R× (key-shifted replicas: every replica re-shares the same span
+    * text, so the span-frequency key space stays FIXED while rows scale R× —
+    * the worst case for the df aggregation, whose Zipf head now repeats in
+    * every replica). Near-R× wall-clock = the two-stage agg + join-back
+    * absorbed the hot keys map-side; superlinear growth would indicate a
+    * straggler on the shared spans.
+    */
+  private def spanProbe(spark: SparkSession, sfDir: String,
+                        time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = base.count()
+    noop(graft.ops.SpanDedup.dedupSpans(base.limit(500), "doc_id", "toks", 8, 2)) // warm
+    val oneX = time(noop(graft.ops.SpanDedup.dedupSpans(base, "doc_id", "toks", 8, 2)))
+
+    val rep = base
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), lit(r - 1))).as("__r"))
+      .select((col("doc_id") + col("__r") * 10000000L).as("doc_id"), col("toks"))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nR = rep.count()
+    val rX = time(noop(graft.ops.SpanDedup.dedupSpans(rep, "doc_id", "toks", 8, 2)))
+
+    println(s"""{"metric":"span_probe","rep":$r,"docs_1x":$n1,"docs_rx":$nR,""" +
+      s""""onex_sec":$oneX,"rx_sec":$rX,"sf":"$sfDir"}""")
+  }
+
+  /** Range-join scaling (q78): the bucketed equi-join vs the naive non-equi
+    * BNLJ at 1× (the plan-shape claim, measured), then the bucketed join at
+    * R× points AND R× intervals — O(|P|·|I|) would grow R²×; the cell join
+    * grows with output size (matches also scale R× here since replicas live
+    * in disjoint key... time ranges are SHARED across replicas, so matches
+    * grow R²× too — the probe therefore shifts each replica into its own
+    * time era to keep matches linear, the realistic shape).
+    */
+  private def rangeProbe(spark: SparkSession, sfDir: String,
+                         time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val hourUs = 3600000000L
+    val eraUs = 100L * 365 * 24 * hourUs // replicas in disjoint time eras
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts_us"), col("value"), col("event_type"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts1 = ev.select(col("event_id"), col("ts_us"), col("value"))
+    val win1 = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts_us").as("lo_us"),
+        (col("ts_us") + hourUs).as("hi_us"))
+    ev.count()
+
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy(col("win_id")).agg(count(lit(1)).as("n"))
+    noop(agg(graft.ops.RangeJoin.intervalJoin(pts1.limit(1000), "ts_us",
+      win1.limit(100), "lo_us", "hi_us", hourUs))) // warm
+    val bucket1x = time(noop(agg(graft.ops.RangeJoin.intervalJoin(
+      pts1, "ts_us", win1, "lo_us", "hi_us", hourUs))))
+    val naive1x = time(noop(agg(win1.join(pts1,
+      col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us")))))
+
+    val rep = ev
+      .select(col("event_id"), col("ts_us"), col("value"), col("event_type"),
+        explode(sequence(lit(0L), lit(r - 1))).as("__r"))
+      .select((col("event_id") + col("__r") * 10000000000L).as("event_id"),
+        (col("ts_us") + col("__r") * eraUs).as("ts_us"),
+        col("value"), col("event_type"))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nR = rep.count()
+    val ptsR = rep.select(col("event_id"), col("ts_us"), col("value"))
+    val winR = rep.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts_us").as("lo_us"),
+        (col("ts_us") + hourUs).as("hi_us"))
+    val bucketRx = time(noop(agg(graft.ops.RangeJoin.intervalJoin(
+      ptsR, "ts_us", winR, "lo_us", "hi_us", hourUs))))
+
+    println(s"""{"metric":"range_probe","rep":$r,"rows_rx":$nR,""" +
+      s""""bucket_1x_sec":$bucket1x,"naive_1x_sec":$naive1x,""" +
+      s""""bucket_rx_sec":$bucketRx,"sf":"$sfDir"}""")
   }
 }

@@ -44,4 +44,47 @@ object PartitionedStore {
   /** Read it back; month-range predicates prune directories automatically. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Write `df` clustered on the Z-ORDER of two dimension columns (the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` layout, composed from public
+    * primitives): rank each dimension into 31-bit space, range-partition
+    * by the Morton interleave, sort files by it. Every output file then
+    * covers a small rectangle of (dimX, dimY), so parquet min/max footer
+    * stats prune scans filtered on EITHER dimension — single-column sort
+    * prunes only its own column.
+    *
+    * Each dimension maps into rank space first (rank, not value, so skewed
+    * dimensions cluster evenly) via sample-based range bucketing — the same
+    * approximation `repartitionByRange` and Delta's ZORDER use: a
+    * driver-bounded approx-quantile sketch yields k sorted boundaries per
+    * dimension, and a compiled binary-search expression
+    * ([[graft.functions.ZOrderFunctions.BoundaryBucket]]) assigns buckets
+    * in O(log k) per row. No global-rank window (the q62/q72 single-task
+    * anti-pattern), no join-back; write cost = one sketch pass per
+    * dimension + the range exchange the sorted write needs anyway. Writes
+    * amortize over every later scan (the ClickHouse ORDER-BY lesson this
+    * store already encodes).
+    */
+  def writeClustered(
+      df: DataFrame,
+      dimX: String,
+      dimY: String,
+      dir: String,
+      files: Int = 8,
+      tiles: Int = 1 << 12): Unit = {
+    val probes = (1 until tiles).map(_.toDouble / tiles).toArray
+    def boundaries(c: String): Array[Double] = {
+      val b = df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probes, 0.001)
+      b.distinct.sorted
+    }
+    val zf = graft.functions.ZOrderFunctions
+    df.withColumn("__z", zf.zorder(
+        zf.boundaryBucket(boundaries(dimX), col(dimX).cast("double")),
+        zf.boundaryBucket(boundaries(dimY), col(dimY).cast("double"))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }
