@@ -72,6 +72,8 @@ object GraftExtensions {
       }
       HashExpressions.SrpSignature(args.head, n)
     })
+    once("zorder2")(args =>
+      graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1)))
     once("topk_pairs")(args => {
       val k = args(2) match {
         case Literal(v: Int, _) => v
@@ -130,6 +132,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("srp_signature", "_FUNC_(vec, nPlanes) - signed-random-projection bits"),
       (args: Seq[Expression]) =>
         HashExpressions.SrpSignature(args.head, intArg(args(1), "nPlanes"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2", "_FUNC_(x, y) - 62-bit Morton interleave of two integral coordinates"),
+      (args: Seq[Expression]) =>
+        graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1))))
 
     ext.injectFunction((
       FunctionIdentifier("topk_pairs"),

@@ -2297,6 +2297,60 @@ object Queries {
         |  CAST(list_sum([((l_orderkey >> i) & 1) * (1::BIGINT << (2*i))
         |               + ((l_partkey >> i) & 1) * (1::BIGINT << (2*i+1))
         |                 for i in range(0, 31)]) AS BIGINT) AS z
+        |FROM lineitem ORDER BY z LIMIT 100""".stripMargin)),
+
+    // ---- 88. FORWARD as-of join — each purchase aligned to the next error
+    //          in its user's stream (rightTs >= leftTs, earliest wins):
+    //          the mirror of q15's backward alignment, same union-sort
+    //          plan (one shuffle per key family, no row-pair blowup),
+    //          forward-looking first(ignoreNulls) frame. Oracle = DuckDB's
+    //          native ASOF with the <= inequality. ----
+    QDef("q88_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts_us", $"value")
+        val errors = Dedup.keepLast(
+            ev.filter($"event_type" === "error")
+              .select($"user_id", $"ts_us", $"event_id", $"value"),
+            keys = Seq("user_id", "ts_us"), version = Seq("event_id"))
+          .select($"user_id", $"ts_us",
+            $"ts_us".as("err_ts_us"), $"value".as("err_value"))
+        AsOf.joinForward(purchases, errors,
+            keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+            valueCols = Seq("err_ts_us", "err_value"))
+          .orderBy($"user_id", $"ts_us", $"event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |       FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, ts_us, value FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM e0) t WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts_us, p.value,
+        |  e.ts_us AS err_ts_us, e.value AS err_value
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.ts_us <= e.ts_us
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin)),
+
+    // ---- 89. zorder2 on the SQL surface (X2) — the q87 clustering key
+    //          computed through spark.sql against the session-registered
+    //          function only. ----
+    QDef("q89_sql_zorder",
+      (s, dir) => {
+        GraftExtensions.registerAll(s)
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_orderkey, l_partkey,
+                |  zorder2(l_orderkey, l_partkey) AS z
+                |FROM lineitem_v ORDER BY z LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_partkey,
+        |  CAST(list_sum([((l_orderkey >> i) & 1) * (1::BIGINT << (2*i))
+        |               + ((l_partkey >> i) & 1) * (1::BIGINT << (2*i+1))
+        |                 for i in range(0, 31)]) AS BIGINT) AS z
         |FROM lineitem ORDER BY z LIMIT 100""".stripMargin))
   )
 

@@ -72,4 +72,60 @@ object AsOf {
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"__filled.$c").as(c))): _*)
   }
+
+  /** Forward as-of: for each left row, attach `valueCols` from the EARLIEST
+    * right row with `right(rightTs) >= left(leftTs)` within `keys`
+    * (inclusive). The mirror of [[joinBackward]] — "next quote after the
+    * trade" / "next error after the deploy" alignment — via the same
+    * union-sort technique with a forward-looking `first(ignoreNulls)`
+    * frame; identical one-shuffle-per-key cost model, no row-pair blowup.
+    *
+    * Among right rows sharing (keys, rightTs), the highest `rightVersion`
+    * wins (keep-last semantics, matching the backward join).
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      rightVersion: Seq[String] = Seq.empty): DataFrame = {
+
+    val rv = struct(valueCols.map(col): _*)
+    val vNames = rightVersion.indices.map(i => s"__v$i")
+    val vCols = rightVersion.zip(vNames).map { case (c, n) => col(c).as(n) }
+    val rightTagged = right.select(
+      (keys.map(col) ++ Seq(col(rightTs).as("__t")) ++ vCols :+ rv.as("__rv")): _*)
+    val rvType = rightTagged.schema("__rv").dataType
+    val vTypes = vNames.map(n => rightTagged.schema(n).dataType)
+
+    // __side: left=0 sorts before right=1 at equal time → the forward frame
+    // (current row → following) still sees a same-timestamp right row:
+    // inclusive forward.
+    val r = rightTagged.withColumn("__side", lit(1))
+    val leftCols = left.columns
+    val lExtra =
+      Seq(col(leftTs).as("__t")) ++
+      vNames.zip(vTypes).map { case (n, t) => lit(null).cast(t).as(n) } ++
+      Seq(lit(null).cast(rvType).as("__rv"), lit(0).as("__side"))
+    val l = left.select((leftCols.map(col) ++ lExtra): _*)
+
+    val rAligned = r.select(
+      (leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
+        ++ Seq(col("__t")) ++ vNames.map(col) ++ Seq(col("__rv"), col("__side"))): _*)
+
+    // Versions sort DESC so `first` inside an equal-(t, side) run picks the
+    // highest version — keep-last tie semantics in a forward scan.
+    val ordCols: Seq[Column] =
+      col("__t") +: col("__side") +: vNames.map(n => col(n).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordCols: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l.unionByName(rAligned)
+      .withColumn("__filled", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"__filled.$c").as(c))): _*)
+  }
 }
