@@ -2351,7 +2351,89 @@ object Queries {
         |  CAST(list_sum([((l_orderkey >> i) & 1) * (1::BIGINT << (2*i))
         |               + ((l_partkey >> i) & 1) * (1::BIGINT << (2*i+1))
         |                 for i in range(0, 31)]) AS BIGINT) AS z
-        |FROM lineitem ORDER BY z LIMIT 100""".stripMargin))
+        |FROM lineitem ORDER BY z LIMIT 100""".stripMargin)),
+
+    // ---- 90. MAD robust outliers — documents whose quality deviates from
+    //          their language's MEDIAN by more than 3 scaled median absolute
+    //          deviations (the moment-free counterpart of q86: immune to the
+    //          very outliers it hunts). Composes the distributed exact-
+    //          quantile operator TWICE (median, then median of deviations),
+    //          each result a |langs|-row broadcast — the corpus is scanned,
+    //          never buffered per group. ----
+    QDef("q90_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"lang",
+            round(TF.typeTokenRatioOf($"toks") *
+              least(lit(1.0), size($"toks").cast("double") / 50.0), 6)
+              .as("quality"))
+        val med = graft.ops.Quantiles.exact(scored, Seq("lang"), "quality", Seq(0.5))
+          .select($"lang", round(element_at($"quantiles", 1), 6).as("med"))
+        val dev = scored.join(broadcast(med), "lang")
+          .withColumn("dev", round(abs($"quality" - $"med"), 6))
+        val mad = graft.ops.Quantiles.exact(dev, Seq("lang"), "dev", Seq(0.5))
+          .select($"lang", round(element_at($"quantiles", 1), 6).as("mad"))
+        dev.join(broadcast(mad), "lang")
+          .filter($"dev" > lit(3.0) * lit(1.4826) * $"mad")
+          .select($"doc_id", $"lang", $"quality", $"med", $"mad")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    round(CASE WHEN len(toks) > 0
+        |      THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END
+        |      * least(1.0, len(toks) * 1.0 / 50.0), 6) AS quality FROM d),
+        |m AS (SELECT lang, round(quantile_cont(quality, 0.5), 6) AS med
+        |      FROM q GROUP BY lang),
+        |v AS (SELECT q.doc_id, q.lang, q.quality, m.med,
+        |        round(abs(q.quality - m.med), 6) AS dev
+        |      FROM q JOIN m ON q.lang = m.lang),
+        |s AS (SELECT lang, round(quantile_cont(dev, 0.5), 6) AS mad
+        |      FROM v GROUP BY lang)
+        |SELECT v.doc_id, v.lang, v.quality, v.med, s.mad
+        |FROM v JOIN s ON v.lang = s.lang
+        |WHERE v.dev > 3.0 * 1.4826 * s.mad
+        |ORDER BY v.doc_id""".stripMargin)),
+
+    // ---- 91. quantile bucketing (deciles) — every document assigned its
+    //          corpus decile of n_chars: exact decile boundaries from the
+    //          distributed quantile operator (9 rows, driver-bounded),
+    //          bucket assignment via the compiled BoundaryBucket binary
+    //          search (the writeClustered rank mapper on an analytic
+    //          path) — one scan, no window, no per-group buffer.
+    //          Boundaries rounded identically on both engines before the
+    //          ≤ comparison, so bucket edges cannot drift. ----
+    QDef("q91_decile_bucket",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars".cast("double").as("v"))
+          .withColumn("__g", lit(0))
+        val probs = (1 to 9).map(_ / 10.0)
+        val bs = graft.ops.Quantiles.exact(docs, Seq("__g"), "v", probs)
+          .select(transform($"quantiles", q => round(q, 6)).as("bs"))
+          .as[Seq[Double]].head().toArray
+        docs.select($"doc_id",
+            graft.functions.ZOrderFunctions.boundaryBucket(bs, $"v").as("decile"),
+            $"v".cast("long").as("n_chars"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+          .orderBy($"decile")
+      },
+      Some("""WITH b AS (SELECT list_transform(
+        |    quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS bs FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(b.bs, x -> x <= n_chars)) AS BIGINT) AS decile
+        |  FROM documents, b)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -85,6 +85,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 span df is a two-stage agg (no Expand), and spans shuffle once for the verdict") {
+    val p = plan("q75_span_dedup")
+    // distinct-doc frequency is (span, doc) partial -> count, not a
+    // count(DISTINCT) Expand pass doubling the exploded span table
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q80 bloom predicate prunes the fact side BEFORE the join exchange") {
+    val p = plan("q80_bloom_semijoin")
+    assert(p.contains("bloom_might_contain"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    // the formatted details number nodes leaf-up: the node DIRECTLY above
+    // the orders scan (id + 1) must be the Filter carrying the bloom
+    // predicate — i.e. rows are pruned before anything else touches them
+    val scanId = """\((\d+)\) Scan parquet\s*\n[^(]*orders\.parquet""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(scanId.isDefined, s"orders scan not found:\n${p.take(3000)}")
+    // the Filter details block is header + Input + Condition (~200 chars);
+    // the bounded non-greedy window keeps the match inside this block
+    val parentBlock = (s"\\(${scanId.get + 1}\\) Filter" +
+      "[\\s\\S]{0,400}?bloom_might_contain").r
+    assert(parentBlock.findFirstIn(p).isDefined,
+      s"bloom filter is not the orders scan's parent:\n${p.take(3000)}")
+  }
+
   test("q56 stratified sample: broadcast rate dim, corpus never shuffled, text never read") {
     val p = plan("q56_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
