@@ -32,6 +32,13 @@ object Queries {
   /** epoch micros from a (possibly NTZ) timestamp column; session tz is UTC. */
   private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** q92's EWMA lag weights: α(1-α)^j, α = 0.3, last 10 observations.
+    * Computed once in Scala and printed into the oracle SQL at 17
+    * significant digits so both engines multiply the SAME doubles.
+    */
+  private val ewmaWeights: Seq[Double] =
+    (0 until 10).map(j => 0.3 * math.pow(0.7, j))
+
   private val dec38_6 = DecimalType(38, 6)
   private val dec18_6 = DecimalType(18, 6)
   private val dec12_6 = DecimalType(12, 6)
@@ -2354,7 +2361,7 @@ object Queries {
         |FROM lineitem ORDER BY z LIMIT 100""".stripMargin)),
 
     // ---- 90. MAD robust outliers — documents whose quality deviates from
-    //          their language's MEDIAN by more than 3 scaled median absolute
+    //          their language's MEDIAN by more than 2 scaled median absolute
     //          deviations (the moment-free counterpart of q86: immune to the
     //          very outliers it hunts). Composes the distributed exact-
     //          quantile operator TWICE (median, then median of deviations),
@@ -2376,7 +2383,7 @@ object Queries {
         val mad = graft.ops.Quantiles.exact(dev, Seq("lang"), "dev", Seq(0.5))
           .select($"lang", round(element_at($"quantiles", 1), 6).as("mad"))
         dev.join(broadcast(mad), "lang")
-          .filter($"dev" > lit(3.0) * lit(1.4826) * $"mad")
+          .filter($"dev" > lit(2.0) * lit(1.4826) * $"mad")
           .select($"doc_id", $"lang", $"quality", $"med", $"mad")
           .orderBy($"doc_id")
       },
@@ -2395,7 +2402,7 @@ object Queries {
         |      FROM v GROUP BY lang)
         |SELECT v.doc_id, v.lang, v.quality, v.med, s.mad
         |FROM v JOIN s ON v.lang = s.lang
-        |WHERE v.dev > 3.0 * 1.4826 * s.mad
+        |WHERE v.dev > 2.0 * 1.4826 * s.mad
         |ORDER BY v.doc_id""".stripMargin)),
 
     // ---- 91. quantile bucketing (deciles) — every document assigned its
@@ -2433,7 +2440,158 @@ object Queries {
         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
-        |FROM d GROUP BY decile ORDER BY decile""".stripMargin))
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // ---- 92. windowed EWMA — exponentially-weighted moving average over
+    //          the last 10 observations per user (the bounded-window form:
+    //          the recursive EWMA needs either state (AnomalyStream) or
+    //          numerically-unstable inverse powers; 10 lags inside one
+    //          window pass is the plan-friendly batch shape). Weights are
+    //          Scala-computed doubles printed into the oracle at 17
+    //          significant digits, terms summed in identical left-assoc
+    //          order — bit-equal arithmetic on both engines before the
+    //          final rounding. ----
+    QDef("q92_ewma", { (s, dir) =>
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val terms = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+          val v = if (j == 0) $"value" else lag($"value", j).over(w)
+          (coalesce(v * wt, lit(0.0)), when(v.isNotNull, lit(wt)).otherwise(lit(0.0)))
+        }
+        val num = terms.map(_._1).reduceLeft(_ + _)
+        val den = terms.map(_._2).reduceLeft(_ + _)
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"ts_us", $"value")
+          .withColumn("ewma", round(num / den, 6))
+          .orderBy($"user_id", $"ts_us", $"event_id")
+      },
+      Some {
+        val terms = ewmaWeights.zipWithIndex.map { case (wt, j) =>
+          val v = if (j == 0) "value" else s"lag(value, $j) OVER w"
+          (f"coalesce(($v) * $wt%.17g, 0.0)",
+           f"CASE WHEN ($v) IS NOT NULL THEN $wt%.17g ELSE 0.0 END")
+        }
+        val num = terms.map(_._1).mkString(" + ")
+        val den = terms.map(_._2).mkString(" + ")
+        s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          | round(($num) / ($den), 6) AS ewma
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+          |ORDER BY user_id, ts_us, event_id""".stripMargin
+      }),
+
+    // ---- 93. rolling 7-day distinct users per active day — the windowed
+    //          COUNT(DISTINCT) Spark windows cannot express: re-expressed
+    //          as the bucketed interval join (each active day becomes a
+    //          (d-6, d] window over per-(user, day) activity points) plus a
+    //          two-stage distinct count. Activity is pre-projected to
+    //          DISTINCT (user, day) before the join, so the join input is
+    //          |users|·|active days|, not |events|. ----
+    QDef("q93_rolling_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val dayUs = 86400000000L
+        val act = Tables.events(s, dir)
+          .select($"user_id", unix_micros(date_trunc("day", $"tstamp")).as("d_us"))
+          .distinct()
+        val wins = act.select($"d_us").distinct()
+          .select($"d_us".as("day_us"), ($"d_us" - 6 * dayUs).as("lo_us"),
+            ($"d_us" + 1).as("hi_us"))
+        graft.ops.RangeJoin.intervalJoin(act, "d_us", wins,
+            "lo_us", "hi_us", bucketUs = 7 * dayUs)
+          .select($"day_us", $"user_id").distinct()
+          .groupBy($"day_us").agg(count(lit(1)).as("n_users"))
+          .orderBy($"day_us")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM e)
+        |SELECT epoch_us(days.d) AS day_us,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM days JOIN e ON e.d > days.d - INTERVAL 7 DAY AND e.d <= days.d
+        |GROUP BY days.d ORDER BY day_us""".stripMargin)),
+
+    // ---- 94. mergeable distinct-count sketches — per-type HLL sketches of
+    //          the user set, UNIONED into the overall count without
+    //          rescanning (the pre-aggregation pattern: at 100 TB, daily
+    //          sketches persist and any date-range distinct count is a
+    //          sketch merge, not a scan). Estimates tolerance-gated
+    //          against the exact counts (q26/q74 pattern) — datasketches
+    //          HLL at default lgK=12 is well within 2% at these
+    //          cardinalities. ----
+    QDef("q94_hll_union",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir).select($"event_type", $"user_id")
+        val perType = e.groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+            count_distinct($"user_id").as("n_exact"))
+        val all = perType.agg(
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+          first(lit(0L)).as("_z"))
+          .select(lit("_all").as("event_type"),
+            lit(null).cast("long").as("n_exact_type"), $"est")
+        val allExact = e.select($"user_id").distinct().count()
+        val typed = perType.select($"event_type", $"n_exact",
+            hll_sketch_estimate($"sk").as("est"))
+          .select($"event_type", $"n_exact",
+            (abs($"est" - $"n_exact") <= $"n_exact" * 0.02 + 1).as("hll_ok"))
+        val union = all.select($"event_type", lit(allExact).as("n_exact"),
+          (abs($"est" - allExact) <= allExact * 0.02 + 1).as("hll_ok"))
+        typed.unionByName(union).orderBy($"event_type")
+      },
+      Some("""SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact, true AS hll_ok
+        |FROM (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |        FROM events GROUP BY event_type
+        |      UNION ALL
+        |      SELECT '_all', count(DISTINCT user_id) FROM events)
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- 95. calendar gap fill + forward fill — densify each type's
+    //          hourly series over its own [min, max] hour range (explode of
+    //          a sequence: |hours| rows per type, generated distributed,
+    //          never a driver loop) and carry the last observed close
+    //          forward across empty hours. The fill is one window pass per
+    //          type; empty hours join as nulls and cost nothing extra. ----
+    QDef("q95_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val wd = Window.partitionBy($"event_type", $"h")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+        val hourly = ev
+          .withColumn("h", date_trunc("hour", $"tstamp"))
+          .withColumn("rn", row_number().over(wd))
+          .groupBy($"event_type", $"h")
+          .agg(count(lit(1)).as("n"),
+            max(when($"rn" === 1, $"value")).as("close"))
+        val cal = hourly.groupBy($"event_type")
+          .agg(min($"h").as("h0"), max($"h").as("h1"))
+          .select($"event_type",
+            explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+        val wf = Window.partitionBy($"event_type").orderBy($"h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(hourly, Seq("event_type", "h"), "left")
+          .select($"event_type", unix_micros($"h").as("h_us"),
+            coalesce($"n", lit(0L)).as("n_events"),
+            round(last($"close", ignoreNulls = true).over(wf), 4).as("close_ff"))
+          .orderBy($"event_type", $"h_us")
+      },
+      Some("""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events),
+        |hh AS (SELECT event_type, h, count(*) AS n,
+        |        max(CASE WHEN rn = 1 THEN value END) AS close
+        |      FROM b GROUP BY 1, 2),
+        |cal AS (SELECT event_type,
+        |        unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |      FROM hh GROUP BY event_type),
+        |j AS (SELECT cal.event_type, cal.h, hh.n, hh.close
+        |      FROM cal LEFT JOIN hh ON cal.event_type = hh.event_type AND cal.h = hh.h)
+        |SELECT event_type, epoch_us(h) AS h_us,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  round(last_value(close IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING), 4) AS close_ff
+        |FROM j ORDER BY event_type, h_us""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
