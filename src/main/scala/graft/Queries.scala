@@ -2591,7 +2591,77 @@ object Queries {
         |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
         |  round(last_value(close IGNORE NULLS) OVER (
         |    PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING), 4) AS close_ff
-        |FROM j ORDER BY event_type, h_us""".stripMargin))
+        |FROM j ORDER BY event_type, h_us""".stripMargin)),
+
+    // ---- 96. hybrid retrieval — BM25 (sparse) and embedding-cosine
+    //          (dense) rankings fused by reciprocal rank, the standard
+    //          two-tower retrieval stack head. Each leg is its own bounded
+    //          top-50 (broadcast terms / one compiled-cosine scan +
+    //          TakeOrderedAndProject); the fusion joins two 50-row dims —
+    //          driver-free, corpus scanned twice total. Scores round
+    //          BEFORE ranking on both engines so ulp drift cannot reorder
+    //          near-ties (id tie-break totalizes). ----
+    QDef("q96_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val bm = graft.ops.Bm25.topK(docs, "doc_id", "toks",
+            terms = Seq("spark", "vector", "customer"), k = 50)
+          .withColumn("r_b", row_number().over(
+            Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+          .select($"doc_id", $"r_b")
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter($"vec_id" === 0)
+          .select($"embedding").as[Seq[Float]].head()
+        val kn = emb.select($"vec_id".as("doc_id"),
+            round(graft.functions.HashExpressions.cosineSim(
+              $"embedding", typedlit(qv)), 6).as("cos"))
+          .orderBy($"cos".desc, $"doc_id").limit(50)
+          .withColumn("r_k", row_number().over(
+            Window.orderBy($"cos".desc, $"doc_id")).cast("long"))
+          .select($"doc_id", $"r_k")
+        bm.join(kn, Seq("doc_id"), "full_outer")
+          .select($"doc_id", $"r_b", $"r_k",
+            round(coalesce(lit(1.0) / (lit(60.0) + $"r_b"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + $"r_k"), lit(0.0)), 6).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+        |q AS (SELECT unnest(['spark', 'vector', 'customer']) AS term),
+        |tf AS (SELECT doc_id, term,
+        |    CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf,
+        |    CAST(len(toks) AS DOUBLE) AS dl FROM t, q),
+        |m AS (SELECT * FROM tf WHERE tf > 0),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY term),
+        |sc AS (SELECT m.doc_id,
+        |    round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (m.tf * 2.2) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl)),
+        |      6) AS c
+        |  FROM m JOIN df USING (term), s),
+        |bm0 AS (SELECT doc_id, round(sum(c), 6) AS score FROM sc
+        |        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |bm AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY score DESC, doc_id) AS BIGINT) AS r_b FROM bm0),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS doc_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv.v) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos
+        |  FROM embeddings, qv),
+        |kn0 AS (SELECT doc_id, cos FROM cs ORDER BY cos DESC, doc_id LIMIT 50),
+        |kn AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY cos DESC, doc_id) AS BIGINT) AS r_k FROM kn0)
+        |SELECT coalesce(bm.doc_id, kn.doc_id) AS doc_id, bm.r_b, kn.r_k,
+        |  round(coalesce(1.0 / (60.0 + bm.r_b), 0.0) +
+        |        coalesce(1.0 / (60.0 + kn.r_k), 0.0), 6) AS rrf
+        |FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -45,6 +45,59 @@ object PartitionedStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Compact the small files continuous ingest accumulates — the
+    * maintenance op every streaming-written table needs (each micro-batch
+    * writes ≥1 file per touched partition; a month of hourly batches is
+    * ~720 tiny files whose open/footer overhead dominates scans).
+    *
+    * Per month partition: if the file count exceeds
+    * ceil(bytes / targetBytes), rewrite that partition as
+    * `repartitionByRange(sortCols)` + sorted files — restoring BOTH the
+    * file count and the disjoint per-file min/max ranges that make footer
+    * pruning effective (a plain `repartition(n)` would shrink the count
+    * but overlap every file's key range). Months are driver-side metadata
+    * (bounded — the IncrementalIngest precedent); each partition rewrites
+    * independently via dynamic partition overwrite, so a compaction can
+    * run incrementally behind the ingest without touching hot months.
+    *
+    * @return per-ym (filesBefore, filesAfter) for the rewritten months
+    */
+  def compact(spark: SparkSession, dir: String, sortCols: Seq[String],
+              targetBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ym="))
+    val plan = parts.flatMap { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.length > want)
+        Some(p.getPath.getName.stripPrefix("ym=") -> (files.length, want))
+      else None
+    }.toMap
+
+    if (plan.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try plan.foreach { case (ym, (_, want)) =>
+        // localCheckpoint = the repo's read-then-overwrite-same-path write
+        // barrier (IncrementalIngest precedent): rows are materialized on
+        // executors before the partition they came from is replaced
+        spark.read.parquet(dir).filter(col("ym") === ym)
+          .repartitionByRange(want, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .localCheckpoint()
+          .write.mode("overwrite").partitionBy("ym").parquet(dir)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    plan.map { case (ym, (before, want)) => ym -> (before, want) }
+  }
+
   /** Write `df` clustered on the Z-ORDER of two dimension columns (the
     * Delta/Iceberg `OPTIMIZE ZORDER BY` layout, composed from public
     * primitives): rank each dimension into 31-bit space, range-partition
