@@ -2661,7 +2661,74 @@ object Queries {
         |  round(coalesce(1.0 / (60.0 + bm.r_b), 0.0) +
         |        coalesce(1.0 / (60.0 + kn.r_k), 0.0), 6) AS rrf
         |FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- 97. unigram LM perplexity — score every document by the
+    //          add-one-smoothed unigram language model of the corpus
+    //          itself (the CCNet-style quality signal: gibberish and
+    //          boilerplate sit far from the corpus distribution). The
+    //          token-probability join is SHUFFLED on the token (at web
+    //          scale the vocabulary is 10^8+ — never broadcast, never
+    //          collected); corpus totals are two driver scalars. Per-doc
+    //          log-prob sums round to 6 before output, absorbing libm and
+    //          partial-merge-order ulp drift. ----
+    QDef("q97_lm_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val toks = t.select($"doc_id", explode($"toks").as("tok"))
+        val counts = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        val Array(bigT, vocabV) = counts
+          .agg(sum($"c"), count(lit(1))).head.toSeq.map(_.asInstanceOf[Long]).toArray
+        toks.join(counts, "tok")
+          .select($"doc_id",
+            log(($"c" + 1.0) / lit((bigT + vocabV).toDouble)).as("lp"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round(-avg($"lp"), 6).as("avg_nll"))
+          .select($"doc_id", $"n_tok", $"avg_nll",
+            round(exp($"avg_nll"), 4).as("ppl"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |d AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, count(*) AS c FROM d GROUP BY tok),
+        |s AS (SELECT sum(c) AS T, count(*) AS V FROM c),
+        |j AS (SELECT d.doc_id, ln((c.c + 1.0) / CAST(s.T + s.V AS DOUBLE)) AS lp
+        |      FROM d JOIN c USING (tok), s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(-avg(lp), 6) AS avg_nll,
+        |  round(exp(round(-avg(lp), 6)), 4) AS ppl
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- 98. GROUPING SETS — the explicit-sets member of the q19/q39
+    //          rollup/cube family, through the SQL surface (Spark's
+    //          DataFrame API exposes only rollup/cube): per-status and
+    //          per-priority marginals plus the grand total in ONE scan
+    //          (Expand ×3), with grouping() flags disambiguating the
+    //          aggregated-out nulls. ----
+    QDef("q98_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+                |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+                |  count(*) AS n,
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS sum_total
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
