@@ -2728,7 +2728,66 @@ object Queries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ---- 99. skew-safe salted JOIN — lineitem × part on the part key
+    //          through ops/Salted.saltedJoin: fact rows spread over 16
+    //          deterministic salt buckets, the dim replicated per bucket,
+    //          equi-join on (key, salt). The manual form of AQE's
+    //          skew-join split that works even where AQE can't see the
+    //          skew; result ≡ the plain join, which is exactly what the
+    //          oracle runs. (q41 is the aggregation-skew sibling.) ----
+    QDef("q99_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_extendedprice", $"l_discount")
+        val pt = Tables.part(s, dir).select($"p_partkey", $"p_brand")
+        graft.ops.Salted.saltedJoin(
+            li.withColumnRenamed("l_partkey", "p_partkey"), pt,
+            key = "p_partkey", buckets = 16)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            decStr(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+          .orderBy($"p_brand")
+      },
+      Some(s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST($revenueSql AS VARCHAR) AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- 100. RAG chunking — overlapping sliding windows (size 64,
+    //          stride 32) over each document's tokens, the retrieval-
+    //          ingest sibling of q64's budgeted packing (non-overlapping)
+    //          and q75's spans (dedup-oriented). Pure per-row transform +
+    //          posexplode: chunk rows are a bounded constant factor of
+    //          the corpus and never hit a shuffle until the caller
+    //          embeds/indexes them. ----
+    QDef("q100_rag_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val winTok = 64; val stride = 32
+        Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .select($"doc_id", posexplode(
+            transform(
+              sequence(lit(0),
+                ceil(size($"toks").cast("double") / stride).cast("int") - 1),
+              i => array_join(slice($"toks", i * stride + 1, lit(winTok)), " ")))
+            .as(Seq("chunk_id", "chunk")))
+          .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+            size(split($"chunk", " ")).cast("long").as("n_tok"),
+            $"chunk")
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(least(64, len(toks) - i*32) AS BIGINT) AS n_tok,
+        |  array_to_string(toks[i*32+1 : i*32+64], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

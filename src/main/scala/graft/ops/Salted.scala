@@ -49,6 +49,31 @@ object Salted {
         sum(col("__c")).cast("long").as("n"))
   }
 
+  /** Skew-safe equi-join: the FACT side's rows fan out over `buckets`
+    * pseudo-keys via a deterministic row-hash salt; the DIM side is
+    * replicated once per bucket (explode of a literal sequence — dim cost
+    * × buckets, the price of the spread) and the join runs on
+    * (key, salt). No reducer sees more than ~1/buckets of a hot key's fact
+    * rows. Result ≡ the plain inner join (each fact row meets its dim row
+    * in exactly its own salt bucket).
+    *
+    * Use when one probe key dominates and the dim is too large to
+    * broadcast (else broadcast wins) — the manual form of AQE's skew-join
+    * split, but effective even where AQE can't see the skew (first
+    * shuffle of a stage, or a key so hot a single AQE sub-split still
+    * stalls). Dim must be unique per `key` (join multiplicity is the
+    * caller's contract, as with any equi-join).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val hashable = fact.schema.fields.filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+    val f = fact.withColumn("__salt", pmod(hash(hashable: _*), lit(buckets)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** `hash()` rejects MapType at any nesting depth (map ordering is
     * undefined) — detect it recursively so such columns are skipped.
     */

@@ -43,6 +43,26 @@ class SaltedSpec extends AnyFunSuite {
     assert(narrow === 1L)
   }
 
+  test("saltedJoin == plain inner join, and the hot key spreads") {
+    // 90% of fact rows hit one key — the straggler shape
+    val fact = (1 to 3000).map { i =>
+      (if (i % 10 == 0) i.toLong % 50 else 7L, i.toLong, i * 1.5)
+    }.toDF("fk", "row_id", "v")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("fk", "label")
+
+    val got = Salted.saltedJoin(fact, dim, "fk", buckets = 8)
+      .select("row_id", "label")
+    val want = fact.join(dim, "fk").select("row_id", "label")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // the hot key's fact rows occupy many salt buckets pre-join
+    val hashable = fact.schema.fields.map(f => col(f.name))
+    val spread = fact.filter($"fk" === 7L)
+      .select(pmod(hash(hashable: _*), lit(8)).as("b"))
+      .distinct().count()
+    assert(spread >= 7, s"hot key occupies only $spread of 8 buckets")
+  }
+
   test("containsMap detects maps at any nesting depth") {
     import org.apache.spark.sql.types._
     assert(Salted.containsMap(MapType(StringType, IntegerType)))
