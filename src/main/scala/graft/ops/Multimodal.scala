@@ -77,4 +77,57 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         j => (pmod(xxhash64(col(payloadCol), j), lit(1000L)).cast("double") / 1000.0)
           .cast("float")))
+
+  /** Byte-stream downsample ("resize"): keep every ⌈n/target⌉-th byte so
+    * the payload lands at ≤ `targetBytes`. This really is the
+    * stride-decimation shape of a nearest-neighbor image downscale — the
+    * codec-specific part (decode → pixel grid) is what `decodeStub`
+    * stands in for; the byte plumbing here is real. Narrow map, payload
+    * never shuffled, output strictly smaller — run it BEFORE any exchange
+    * that must carry media.
+    */
+  def resize(media: Dataset[Media], targetBytes: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val n = m.payload.length
+        if (n <= targetBytes) m
+        else {
+          val stride = math.ceil(n.toDouble / targetBytes).toInt
+          val out = Array.ofDim[Byte]((n + stride - 1) / stride)
+          var i = 0; var j = 0
+          while (i < n) { out(j) = m.payload(i); i += stride; j += 1 }
+          m.copy(payload = out)
+        }
+      }
+    }
+  }
+
+  /** One sampled frame of a fixed-frame-size payload. */
+  case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Frame sampling: treat the payload as concatenated `frameBytes`-sized
+    * frames and emit every `everyK`-th one (plus the possibly-short tail
+    * frame if sampled). The video-ingest shape: a flatMap whose output is
+    * 1/everyK of its input bytes, so the expensive per-frame work
+    * downstream (decode, embed) sees only sampled frames. Stays a narrow
+    * op — nothing here shuffles the blob.
+    */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int,
+                   everyK: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && everyK > 0)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val n = m.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, everyK).map { f =>
+          val from = f * frameBytes
+          Frame(m.id, f,
+            java.util.Arrays.copyOfRange(m.payload, from,
+              math.min(from + frameBytes, n)))
+        }
+      }
+    }
+  }
 }
