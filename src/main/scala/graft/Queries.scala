@@ -2787,7 +2787,41 @@ object Queries {
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         |  CAST(least(64, len(toks) - i*32) AS BIGINT) AS n_tok,
         |  array_to_string(toks[i*32+1 : i*32+64], ' ') AS chunk
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- 101. schema-evolution union — an old feed that predates a
+    //          column unioned with the new feed via
+    //          unionByName(allowMissingColumns): the absent column nulls
+    //          in, exactly the long-lived-table reality every ingest
+    //          pipeline hits (the reference's cache tables grew columns
+    //          across versions). Rolled up so the null-bucket is visible
+    //          and hash-stable. ----
+    QDef("q101_union_evolve",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.orders(s, dir)
+        val oldFeed = orders
+          .filter($"o_orderdate" < lit("1996-01-01").cast("timestamp_ntz"))
+          .select($"o_orderkey", $"o_totalprice")
+        val newFeed = orders
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz"))
+          .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        oldFeed.unionByName(newFeed, allowMissingColumns = true)
+          .groupBy(coalesce($"o_orderpriority", lit("(pre-schema)")).as("prio"))
+          .agg(count(lit(1)).as("n"),
+            decStr(sum($"o_totalprice".cast(dec38_6))).as("sum_total"))
+          .orderBy($"prio")
+      },
+      Some("""WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT coalesce(o_orderpriority, '(pre-schema)') AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_total
+        |FROM u GROUP BY 1 ORDER BY prio""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
