@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   *   - the verdict join back to spans shuffles on the span string once; the
   *     reassembly groupBy(doc) holds one document's spans per group — the
   *     same O(doc) state the raw text row already costs, never O(corpus).
-  *   - an alternative at extreme scale: broadcast only the common-span SET
-  *     (df ≥ maxDf survivors are typically ≪ 1% of distinct spans) as a
-  *     bloom/hash side input and skip the join-back shuffle entirely; kept
-  *     exact-join here because exactness is the contract the oracle checks.
+  *   - at extreme scale, [[dedupSpansBroadcast]] broadcasts only the
+  *     common-span SET (df ≥ maxDf survivors — the short Zipf head) as
+  *     hashed side input and skips the join-back shuffle, accepting a
+  *     2^-64 per-pair hash-collision risk (the SnapshotDiff class of
+  *     trade); [[dedupSpans]] joins on the literal span and is the
+  *     oracle-exact form.
   *
   * Determinism: spans are keyed by their literal text (not a hash), so the
   * result is engine-reproducible and the DuckDB oracle can replay it
@@ -79,6 +81,44 @@ object SpanDedup {
         size(filter(col("__sp"), s => s("__df") >= maxDf)).cast("long").as("dropped_spans"),
         array_join(
           transform(filter(col("__sp"), s => s("__df") < maxDf), s => s("__span")),
+          " ").as("kept_text"))
+  }
+
+  /** The extreme-scale variant the exact join trades against: only the
+    * COMMON spans (df ≥ maxDf — typically ≪ 1% of distinct spans: the
+    * Zipf head is short) are kept, hashed, and broadcast; the verdict is
+    * then a broadcast semi-lookup instead of shuffling the whole span
+    * table back through a join. One corpus-sized shuffle (the df count)
+    * instead of two. Identical output to [[dedupSpans]] — spec-pinned —
+    * as long as the common-span set fits the broadcast budget
+    * (`maxCommonSpans` fails loud rather than silently OOMing the
+    * driver; at that point use the exact join, which has no such bound).
+    */
+  def dedupSpansBroadcast(docs: DataFrame, idCol: String, toksCol: String,
+                          width: Int, maxDf: Int,
+                          maxCommonSpans: Long = 10000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val spans = docs
+      .select(col(idCol), posexplode(spanArray(col(toksCol), width)).as(Seq("__i", "__span")))
+    val common = spans.select(col(idCol), col("__span")).distinct()
+      .groupBy(col("__span")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDf)
+      .select(xxhash64(col("__span")).as("__h"))
+    val nCommon = common.count()
+    require(nCommon <= maxCommonSpans,
+      s"$nCommon common spans exceed the broadcast budget $maxCommonSpans — " +
+        "use dedupSpans (exact join) instead")
+    spans
+      .join(broadcast(common), xxhash64(col("__span")) === col("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__span"),
+        col("__h").isNotNull.as("__drop")))).as("__sp"))
+      .select(
+        col(idCol),
+        size(col("__sp")).cast("long").as("n_spans"),
+        size(filter(col("__sp"), s => s("__drop"))).cast("long").as("dropped_spans"),
+        array_join(
+          transform(filter(col("__sp"), s => !s("__drop")), s => s("__span")),
           " ").as("kept_text"))
   }
 }

@@ -55,6 +55,33 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out === Seq("", ""))
   }
 
+  test("broadcast variant == exact join, on fixtures and the real corpus") {
+    val hand = Seq(
+      (1L, toks("the same old header unique one x y")),
+      (2L, toks("the same old header other two p q")),
+      (3L, toks("completely unrelated words here again now"))
+    ).toDF("doc_id", "toks")
+    for (df <- Seq(hand)) {
+      val a = SpanDedup.dedupSpans(df, "doc_id", "toks", 4, 2)
+      val b = SpanDedup.dedupSpansBroadcast(df, "doc_id", "toks", 4, 2)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id",
+        graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val a = SpanDedup.dedupSpans(corpus, "doc_id", "toks", 8, 2)
+    val b = SpanDedup.dedupSpansBroadcast(corpus, "doc_id", "toks", 8, 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("broadcast variant fails loud past the common-span budget") {
+    val df = Seq((1L, toks("a b c d")), (2L, toks("a b c d"))).toDF("doc_id", "toks")
+    val e = intercept[IllegalArgumentException] {
+      SpanDedup.dedupSpansBroadcast(df, "doc_id", "toks", 2, 2, maxCommonSpans = 0L)
+    }
+    assert(e.getMessage.contains("broadcast budget"))
+  }
+
   test("a span repeated WITHIN one doc only is kept (df counts documents)") {
     val df = Seq(
       (1L, toks("x y x y")),           // span "x y" occurs twice, same doc
