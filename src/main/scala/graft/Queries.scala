@@ -2821,7 +2821,64 @@ object Queries {
         |SELECT coalesce(o_orderpriority, '(pre-schema)') AS prio,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_total
-        |FROM u GROUP BY 1 ORDER BY prio""".stripMargin))
+        |FROM u GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    // ---- 102. unpivot (melt) — wide per-flag quantity/price aggregates
+    //          re-shaped to long (metric, value) rows via the native
+    //          `unpivot` operator (the q25 pivot's inverse; the tidy-data
+    //          step feeding generic metric sinks). Decimal values are
+    //          rendered hash-stable AFTER the melt. ----
+    QDef("q102_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        val wide = Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(sum($"l_quantity".cast(dec38_6)).as("qty"),
+            sum($"l_extendedprice".cast(dec38_6)).as("price"))
+        wide.unpivot(
+            ids = Array($"l_returnflag"),
+            values = Array($"qty", $"price"),
+            variableColumnName = "metric", valueColumnName = "v")
+          .select($"l_returnflag", $"metric", decStr($"v").as("value"))
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""WITH w AS (SELECT l_returnflag,
+        |    sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, CAST(v AS VARCHAR) AS value
+        |FROM w UNPIVOT (v FOR metric IN (qty, price))
+        |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ---- 103. share-of-total (ratio_to_report) — each brand's revenue as
+    //          a fraction of its return-flag group: a window aggregate
+    //          OVER an aggregate, the two-level rollup every BI layer
+    //          asks for. The window partitions by the 3-value flag after
+    //          the groupBy has already collapsed the data to |groups|
+    //          rows, so the "window over everything" is over a tiny
+    //          relation — the aggregation did the heavy lifting. Exact
+    //          decimal ratio, rounded once. ----
+    QDef("q103_share_of_total",
+      (s, dir) => {
+        import s.implicits._
+        val agg = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"l_returnflag", $"p_brand")
+          .agg(revenue($"l_extendedprice", $"l_discount").as("rev"))
+        val w = Window.partitionBy($"l_returnflag")
+        agg.select($"l_returnflag", $"p_brand",
+            decStr($"rev").as("rev"),
+            round(($"rev" / sum($"rev").over(w)).cast("double"), 6).as("share"))
+          .orderBy($"l_returnflag", $"p_brand")
+      },
+      Some(s"""WITH a AS (SELECT l_returnflag, p_brand, $revenueSql AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY l_returnflag, p_brand)
+        |SELECT l_returnflag, p_brand, CAST(rev AS VARCHAR) AS rev,
+        |  round(CAST(rev / sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6) AS share
+        |FROM a ORDER BY l_returnflag, p_brand""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

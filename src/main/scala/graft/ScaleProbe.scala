@@ -361,9 +361,11 @@ object ScaleProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nR = rep.count()
     val rX = time(noop(graft.ops.SpanDedup.dedupSpans(rep, "doc_id", "toks", 8, 2)))
+    // the broadcast common-span variant: one corpus shuffle instead of two
+    val rXb = time(noop(graft.ops.SpanDedup.dedupSpansBroadcast(rep, "doc_id", "toks", 8, 2)))
 
     println(s"""{"metric":"span_probe","rep":$r,"docs_1x":$n1,"docs_rx":$nR,""" +
-      s""""onex_sec":$oneX,"rx_sec":$rX,"sf":"$sfDir"}""")
+      s""""onex_sec":$oneX,"rx_sec":$rX,"rx_broadcast_sec":$rXb,"sf":"$sfDir"}""")
   }
 
   /** Range-join scaling (q78): the bucketed equi-join vs the naive non-equi
