@@ -1946,7 +1946,10 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
-        t.select(explode(zip_with(
+        // size ≤ 1 docs yield no pairs; filtering first also keeps the
+        // slice length (size-1) non-negative (empty docs would throw).
+        t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
             slice($"toks", lit(1), size($"toks") - 1),
             slice($"toks", lit(2), size($"toks") - 1),
             (a, b) => concat(a, lit(" "), b))).as("pair"))
@@ -2363,10 +2366,10 @@ object Queries {
     // ---- 90. MAD robust outliers — documents whose quality deviates from
     //          their language's MEDIAN by more than 2 scaled median absolute
     //          deviations (the moment-free counterpart of q86: immune to the
-    //          very outliers it hunts). Composes the distributed exact-
-    //          quantile operator TWICE (median, then median of deviations),
-    //          each result a |langs|-row broadcast — the corpus is scanned,
-    //          never buffered per group. ----
+    //          very outliers it hunts). Quantiles.medianAbsDev computes
+    //          median AND deviation-median from one persisted narrow
+    //          projection (one source scan + tokenization, not three); its
+    //          |langs|-row result broadcasts into the single output scan. ----
     QDef("q90_mad_outliers",
       (s, dir) => {
         import s.implicits._
@@ -2376,14 +2379,14 @@ object Queries {
             round(TF.typeTokenRatioOf($"toks") *
               least(lit(1.0), size($"toks").cast("double") / 50.0), 6)
               .as("quality"))
-        val med = graft.ops.Quantiles.exact(scored, Seq("lang"), "quality", Seq(0.5))
-          .select($"lang", round(element_at($"quantiles", 1), 6).as("med"))
-        val dev = scored.join(broadcast(med), "lang")
-          .withColumn("dev", round(abs($"quality" - $"med"), 6))
-        val mad = graft.ops.Quantiles.exact(dev, Seq("lang"), "dev", Seq(0.5))
-          .select($"lang", round(element_at($"quantiles", 1), 6).as("mad"))
-        dev.join(broadcast(mad), "lang")
-          .filter($"dev" > lit(2.0) * lit(1.4826) * $"mad")
+        // med+mad from ONE source scan (Quantiles.medianAbsDev persists the
+        // narrow projection internally); the final plan is a single corpus
+        // scan + one broadcast join against the per-lang stats.
+        val stats = graft.ops.Quantiles.medianAbsDev(
+          scored, Seq("lang"), "quality", roundTo = 6)
+        scored.join(broadcast(stats), "lang")
+          .filter(round(abs($"quality" - $"med"), 6) >
+            lit(2.0) * lit(1.4826) * $"mad")
           .select($"doc_id", $"lang", $"quality", $"med", $"mad")
           .orderBy($"doc_id")
       },
@@ -2468,8 +2471,11 @@ object Queries {
       Some {
         val terms = ewmaWeights.zipWithIndex.map { case (wt, j) =>
           val v = if (j == 0) "value" else s"lag(value, $j) OVER w"
-          (f"coalesce(($v) * $wt%.17g, 0.0)",
-           f"CASE WHEN ($v) IS NOT NULL THEN $wt%.17g ELSE 0.0 END")
+          // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+          // on comma-decimal locales would render "0,3..." — invalid SQL.
+          val wts = String.format(java.util.Locale.ROOT, "%.17g", Double.box(wt))
+          (s"coalesce(($v) * $wts, 0.0)",
+           s"CASE WHEN ($v) IS NOT NULL THEN $wts ELSE 0.0 END")
         }
         val num = terms.map(_._1).mkString(" + ")
         val den = terms.map(_._2).mkString(" + ")
@@ -2771,8 +2777,13 @@ object Queries {
           .select($"doc_id", TF.tokens($"text").as("toks"))
           .select($"doc_id", posexplode(
             transform(
-              sequence(lit(0),
-                ceil(size($"toks").cast("double") / stride).cast("int") - 1),
+              // Guard: Spark's sequence counts DOWN when start > stop, so an
+              // empty token array would yield [0, -1] (two bogus chunks)
+              // where the oracle's range(0, 0) yields none.
+              when(size($"toks") > 0,
+                sequence(lit(0),
+                  ceil(size($"toks").cast("double") / stride).cast("int") - 1))
+                .otherwise(array().cast("array<int>")),
               i => array_join(slice($"toks", i * stride + 1, lit(winTok)), " ")))
             .as(Seq("chunk_id", "chunk")))
           .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
@@ -2878,7 +2889,51 @@ object Queries {
         |  GROUP BY l_returnflag, p_brand)
         |SELECT l_returnflag, p_brand, CAST(rev AS VARCHAR) AS rev,
         |  round(CAST(rev / sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6) AS share
-        |FROM a ORDER BY l_returnflag, p_brand""".stripMargin))
+        |FROM a ORDER BY l_returnflag, p_brand""".stripMargin)),
+
+    // ---- 104. IVF recall vs nProbe — the ANN accuracy/cost trade-off as
+    //          an ORACLED surface (q54 probes all cells, so its recall is
+    //          definitionally 1; here nProbe = kCells/2 reads ~half the
+    //          corpus per query and the achieved recall is measured).
+    //          Exactly-checkable columns: each query's best and 10th-best
+    //          cosine from the brute-force top-10 (min/max over the set —
+    //          order-independent, no summation drift). The gate column
+    //          follows the q26/q74 tolerance-boolean pattern: recall@10
+    //          ≥ 0.3 at half the probes. Measured floor (ScaleProbe
+    //          `recall`): min_hit 5–6, mean ~7.7 across sf0.001/0.01/0.1 —
+    //          the 0.3 gate leaves ≥2 hits of slack against centroid-
+    //          training float-sum drift. ----
+    QDef("q104_ivf_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter($"vec_id" < 20)
+        val exact = graft.ops.Knn.topKJoin(queries, emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        val ivf = graft.ops.Knn.cellTopKJoin(queries, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, kCells = 8, nProbe = 4, iters = 3)
+        val hits = exact.join(ivf.select($"query_id", $"vec_id"),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy($"query_id")
+          .agg(max($"cos").as("best_cos"), min($"cos").as("kth_cos"))
+          .join(hits, Seq("query_id"), "left")
+          .select($"query_id", $"best_cos", $"kth_cos",
+            (coalesce($"n_hit", lit(0L)) >= 3).as("recall_ok"))
+          .orderBy($"query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, max(cos) AS best_cos, min(cos) AS kth_cos,
+        |  true AS recall_ok
+        |FROM r WHERE rn <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -51,6 +51,7 @@ object ScaleProbe {
       case "sig" => sigProbe(spark, sfDir, time(_)); spark.stop(); return
       case "span" => spanProbe(spark, sfDir, time(_)); spark.stop(); return
       case "range" => rangeProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "recall" => recallProbe(spark, sfDir); spark.stop(); return
       case _ => ()
     }
 
@@ -423,5 +424,27 @@ object ScaleProbe {
     println(s"""{"metric":"range_probe","rep":$r,"rows_rx":$nR,""" +
       s""""bucket_1x_sec":$bucket1x,"naive_1x_sec":$naive1x,""" +
       s""""bucket_rx_sec":$bucketRx,"sf":"$sfDir"}""")
+  }
+
+  /** q104's gate margin: per-query recall@10 at nProbe = kCells/2, so the
+    * 0.5 threshold's distance from the observed distribution is measured,
+    * not assumed. */
+  private def recallProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = graft.ops.Knn.topKJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val ivf = graft.ops.Knn.cellTopKJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, kCells = 8, nProbe = 4, iters = 3)
+    val hits = exact.join(ivf.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      .select(col("n_hit")).collect().map(_.getLong(0))
+    val dist = hits.groupBy(identity).view.mapValues(_.length).toMap
+    println(s"""{"metric":"ivf_recall_probe","sf":"$sfDir",""" +
+      s""""min_hit":${hits.min},"mean_hit":${hits.sum.toDouble / hits.length},""" +
+      s""""dist":"${dist.toSeq.sortBy(_._1).mkString(";")}"}""")
   }
 }

@@ -77,8 +77,9 @@ object AsOf {
     * right row with `right(rightTs) >= left(leftTs)` within `keys`
     * (inclusive). The mirror of [[joinBackward]] — "next quote after the
     * trade" / "next error after the deploy" alignment — via the same
-    * union-sort technique with a forward-looking `first(ignoreNulls)`
-    * frame; identical one-shuffle-per-key cost model, no row-pair blowup.
+    * union-sort technique, time-reversed: a DESCENDING sort with an
+    * incremental `last(ignoreNulls)` running frame; identical
+    * one-shuffle-per-key, O(n log n)-per-key cost model, no row-pair blowup.
     *
     * Among right rows sharing (keys, rightTs), the highest `rightVersion`
     * wins (keep-last semantics, matching the backward join).
@@ -100,9 +101,9 @@ object AsOf {
     val rvType = rightTagged.schema("__rv").dataType
     val vTypes = vNames.map(n => rightTagged.schema(n).dataType)
 
-    // __side: left=0 sorts before right=1 at equal time → the forward frame
-    // (current row → following) still sees a same-timestamp right row:
-    // inclusive forward.
+    // __side: in the DESCENDING scan below, right=1 sorts before left=0 at
+    // equal time (side desc), so a same-timestamp right row is already in the
+    // preceding frame when the left row is evaluated: inclusive forward.
     val r = rightTagged.withColumn("__side", lit(1))
     val leftCols = left.columns
     val lExtra =
@@ -115,16 +116,22 @@ object AsOf {
       (leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
         ++ Seq(col("__t")) ++ vNames.map(col) ++ Seq(col("__rv"), col("__side"))): _*)
 
-    // Versions sort DESC so `first` inside an equal-(t, side) run picks the
-    // highest version — keep-last tie semantics in a forward scan.
+    // Time sorts DESC and the frame is unboundedPreceding→currentRow: Spark's
+    // SlidingWindowFunctionFrame evaluates `last(ignoreNulls)` incrementally
+    // (O(n) per key), whereas a currentRow→unboundedFollowing frame rescans to
+    // partition end for every row (O(n²) per key — a stall on hot keys).
+    // `last` in the descending scan = the right row with the SMALLEST
+    // __t >= leftTs. Versions sort ASC so, within an equal-(t, side) run, the
+    // highest version sits closest to the current row and wins — keep-last
+    // tie semantics, mirroring joinBackward.
     val ordCols: Seq[Column] =
-      col("__t") +: col("__side") +: vNames.map(n => col(n).desc)
+      col("__t").desc +: col("__side").desc +: vNames.map(n => col(n).asc)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ordCols: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(rAligned)
-      .withColumn("__filled", first(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__filled", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"__filled.$c").as(c))): _*)
   }

@@ -173,18 +173,29 @@ object Knn {
     *
     * CONTRACT: the query set is collected to the driver — Q must fit driver
     * heap (the broadcast-dimension shape; `maxShardQueries` bounds executor
-    * memory only). Beyond ~10⁶ queries use [[cellTopKJoin]], which keeps
-    * the query side a DataFrame end-to-end.
+    * memory only). Misuse fails loud: at most `maxDriverQueries + 1` rows
+    * are ever fetched (the collect is limit-bounded, so the check itself
+    * cannot OOM the driver), and exceeding the bound throws with a pointer
+    * to [[cellTopKJoin]], which keeps the query side a DataFrame end-to-end.
     */
   def topKJoin(
       queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qVecCol: String, cIdCol: String, cVecCol: String,
-      k: Int, maxShardQueries: Int = 0): DataFrame = {
+      k: Int, maxShardQueries: Int = 0,
+      maxDriverQueries: Int = 1 << 20): DataFrame = {
+    require(maxDriverQueries >= 1 && maxDriverQueries < Int.MaxValue,
+      "maxDriverQueries must be in [1, Int.MaxValue)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qIdCol).cast("long"), col(qVecCol))
+      .limit(maxDriverQueries + 1)
       .as[(Long, Array[Float])].collect()
+    require(qs.length <= maxDriverQueries,
+      s"query side exceeds maxDriverQueries=$maxDriverQueries rows — " +
+        "topKJoin collects queries to the driver (broadcast-dimension " +
+        "contract); use Knn.cellTopKJoin for unbounded query sets " +
+        "(keeps the query side a DataFrame end-to-end)")
 
     // Sharding bounds EXECUTOR-side memory for huge query sets: each task's
     // heap array is |shard|·k entries (not Q·k) and each broadcast ships

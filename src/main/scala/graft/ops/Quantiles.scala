@@ -192,4 +192,46 @@ object Quantiles {
         spark.sparkContext.parallelize(out, 1), schema)
     } finally narrow.unpersist(blocking = false)
   }
+
+  /** Per-group median + median-absolute-deviation in ONE source scan.
+    *
+    * The naive composition (`exact` for the median, join, `exact` again for
+    * the deviation median) reads — and re-derives — the source twice; when
+    * the value is computed (tokenize + score), that doubles the expensive
+    * part. Here the narrow (group…, value) projection is persisted once:
+    * the median selection, the deviation derivation, and the MAD selection
+    * all read the cached two-column projection, so the source is scanned
+    * exactly once. The MAD still requires its own range sort (deviation
+    * order is not value order), but that sort reads the cache, not the
+    * source. Both `exact` calls are eager (driver-side selection), so the
+    * cache is dropped before returning — the result is a tiny driver-local
+    * frame (one row per group), broadcast-join it downstream.
+    *
+    * `roundTo` rounds the median BEFORE deviations are formed (and the
+    * emitted med/mad) so downstream recomputation of |v − med| is
+    * representation-stable across engines.
+    *
+    * Output: groupCols…, `med`, `mad`, `n` (non-null count).
+    */
+  def medianAbsDev(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   roundTo: Int = 6, partitions: Int = 0): DataFrame = {
+    val narrow = df
+      .select((groupCols.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val med = exact(narrow, groupCols, "__v", Seq(0.5), partitions)
+        .select(groupCols.map(col) :+
+          round(element_at(col("quantiles"), 1), roundTo).as("med"): _*)
+      val dev = narrow.join(broadcast(med), groupCols)
+        .withColumn("__d", round(abs(col("__v") - col("med")), roundTo))
+      val mad = exact(dev, groupCols, "__d", Seq(0.5), partitions)
+        .select(groupCols.map(col) ++ Seq(
+          round(element_at(col("quantiles"), 1), roundTo).as("mad"),
+          col("n")): _*)
+      // med and mad are both driver-built one-row-per-group frames by now;
+      // the join is trivial and references nothing persisted.
+      med.join(mad, groupCols.toSeq)
+    } finally narrow.unpersist(blocking = false)
+  }
 }

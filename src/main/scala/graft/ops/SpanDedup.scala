@@ -103,7 +103,10 @@ object SpanDedup {
     val common = spans.select(col(idCol), col("__span")).distinct()
       .groupBy(col("__span")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= maxDf)
-      .select(xxhash64(col("__span")).as("__h"))
+      // distinct: two different common spans colliding in xxhash64 must not
+      // produce duplicate __h rows — the left join below would fan out and
+      // double-count spans (silent corruption, not just a false drop).
+      .select(xxhash64(col("__span")).as("__h")).distinct()
     val nCommon = common.count()
     require(nCommon <= maxCommonSpans,
       s"$nCommon common spans exceed the broadcast budget $maxCommonSpans — " +

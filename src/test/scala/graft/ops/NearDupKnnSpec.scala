@@ -100,6 +100,24 @@ class NearDupKnnSpec extends AnyFunSuite {
     assert(rows(4) === rows(0))
   }
 
+  test("topKJoin fails loud past maxDriverQueries, naming cellTopKJoin; at the bound it works") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 11)   // 11 queries
+    val ex = intercept[IllegalArgumentException] {
+      Knn.topKJoin(queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, maxDriverQueries = 10)
+    }
+    assert(ex.getMessage.contains("cellTopKJoin"))
+    assert(ex.getMessage.contains("maxDriverQueries=10"))
+    // exactly at the bound: normal result, same as the unbounded default
+    def rows(maxQ: Int) =
+      Knn.topKJoin(queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, maxDriverQueries = maxQ)
+        .select($"query_id", $"vec_id", $"cos")
+        .as[(Long, Long, Double)].collect().sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(rows(11) === rows(1 << 20))
+  }
+
   test("cellTopKJoin with all cells probed is identical to topKJoin; query side never collected") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 9)

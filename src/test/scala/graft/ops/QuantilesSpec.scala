@@ -99,4 +99,36 @@ class QuantilesSpec extends AnyFunSuite {
     // output is correct and bounded instead.
     assert(out.count() === 2)
   }
+
+  test("medianAbsDev == two-pass exact composition, per group") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map { i =>
+      ("g" + (i % 3), rnd.nextGaussian() * 10 + (i % 3))
+    }.toDF("g", "v").repartition(5)
+    val got = Quantiles.medianAbsDev(df, Seq("g"), "v", roundTo = 6)
+      .select($"g", $"med", $"mad", $"n")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // reference: the naive two-pass composition this operator replaces
+    val med = Quantiles.exact(df, Seq("g"), "v", Seq(0.5))
+      .select($"g", round(element_at($"quantiles", 1), 6).as("med"))
+    val dev = df.join(med, "g")
+      .withColumn("d", round(abs($"v" - $"med"), 6))
+    val mad = Quantiles.exact(dev, Seq("g"), "d", Seq(0.5))
+      .select($"g", round(element_at($"quantiles", 1), 6).as("mad"), $"n")
+    val want = med.join(mad, "g")
+      .select($"g", $"med", $"mad", $"n")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+  }
+
+  test("medianAbsDev excludes nulls and leaves nothing persisted") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(5.0))).toDF("g", "v")
+    val out = Quantiles.medianAbsDev(df, Seq("g"), "v")
+      .select($"g", $"med", $"mad", $"n")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("a", 2.0, 1.0, 2L), ("b", 5.0, 0.0, 1L)))
+    // eager operator must not leak cache entries into the session
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
