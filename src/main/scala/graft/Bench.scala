@@ -68,12 +68,19 @@ object Bench {
     // Also land the record in a file: the driver's stdout tail-capture has
     // truncated the one-line JSON two rounds running (BENCH_r03/r04
     // "parsed": null), leaving no machine-readable per-round artifact.
-    try {
-      val out = new java.io.PrintWriter(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-      try out.println(line) finally out.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench file: ${e.getMessage}")
+    // BENCH_round.json is a second copy for the per-round judge artifact:
+    // BENCH_LOCAL.json may be superseded by a quieter manual rerun, while
+    // BENCH_round.json always holds the latest full run as-executed.
+    val outFiles = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"),
+      "BENCH_round.json")
+    outFiles.distinct.foreach { f =>
+      try {
+        val out = new java.io.PrintWriter(f)
+        try out.println(line) finally out.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -52,6 +52,7 @@ object ScaleProbe {
       case "span" => spanProbe(spark, sfDir, time(_)); spark.stop(); return
       case "range" => rangeProbe(spark, sfDir, time(_)); spark.stop(); return
       case "recall" => recallProbe(spark, sfDir); spark.stop(); return
+      case "fam6" => fam6Probe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -426,6 +427,52 @@ object ScaleProbe {
       s""""bucket_rx_sec":$bucketRx,"sf":"$sfDir"}""")
   }
 
+  /** Round-5/6 query families at REP× (default 10×) — q96 RRF, q97
+    * perplexity, q99 salted join, q100 RAG chunks, q101 union-evolve,
+    * q102 unpivot, q103 share-of-total, q104 IVF recall. The probe writes a
+    * key-shifted REP× replica of the tables these queries touch (replica 0
+    * is the identity, so driver-side singleton lookups like q96's query
+    * vector still resolve) and runs the EXACT production query functions
+    * against the replica dir — no probe-only reimplementation to drift. */
+  private def fam6Probe(spark: SparkSession, sfDir: String,
+                        time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/dev/shm/graft_fam6")
+    val shift = 10000000L
+
+    def rep(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+            name: String): Unit = {
+      val cols = df.columns.map { c =>
+        if (keyCols.contains(c)) (col(c) + col("__r") * shift).as(c) else col(c)
+      }
+      df.withColumn("__r", explode(sequence(lit(0L), lit(r - 1))))
+        .select(cols.toIndexedSeq: _*)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    rep(Tables.documents(spark, sfDir), Seq("doc_id"), "documents")
+    rep(Tables.embeddings(spark, sfDir), Seq("vec_id"), "embeddings")
+    rep(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey"), "lineitem")
+    rep(Tables.part(spark, sfDir), Seq("p_partkey"), "part")
+    rep(Tables.orders(spark, sfDir), Seq("o_orderkey"), "orders")
+
+    val fams = Seq("q96_hybrid_rrf", "q97_lm_perplexity", "q99_salted_join",
+      "q100_rag_chunks", "q101_union_evolve", "q102_unpivot",
+      "q103_share_of_total", "q104_ivf_recall")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val rows = fams.map { name =>
+      val fn = Queries.byName(name).fn
+      noop(fn(spark, sfDir))                        // warm codegen/JIT
+      val t1 = time(noop(fn(spark, sfDir)))
+      val tR = time(noop(fn(spark, out)))
+      s""""$name":{"t1x_sec":$t1,"t${r}x_sec":$tR}"""
+    }
+    println(s"""{"metric":"fam6_probe","rep":$r,"sf":"$sfDir",""" +
+      rows.mkString(",") + "}")
+  }
+
   /** q104's gate margin: per-query recall@10 at nProbe = kCells/2, so the
     * 0.5 threshold's distance from the observed distribution is measured,
     * not assumed. */
@@ -437,7 +484,7 @@ object ScaleProbe {
       "vec_id", "embedding", "vec_id", "embedding", k = 10)
     val ivf = graft.ops.Knn.cellTopKJoin(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding",
-      k = 10, kCells = 8, nProbe = 4, iters = 3)
+      k = 10, kCells = 8, nProbe = 4, iters = 3, trainFraction = 0.5)
     val hits = exact.join(ivf.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))

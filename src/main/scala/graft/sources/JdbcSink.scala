@@ -24,6 +24,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - `truncate=true` turns overwrite into TRUNCATE+INSERT, preserving the
   *    target's DDL (codecs, sort keys) instead of DROP+CREATE from Spark's
   *    inferred schema — essential when the DBA owns the table definition.
+  *
+  * CLICKHOUSE MAPPING LIMITS (what this sink does and does not reproduce):
+  *  - No `columnar=True` analog: the native ClickHouse protocol ships whole
+  *    column blocks; JDBC ships row batches. Same few-large-inserts
+  *    discipline, lower wire efficiency — if a ClickHouse JDBC driver is on
+  *    the classpath its batched INSERT still server-side-converts to column
+  *    parts, so the storage outcome is identical.
+  *  - No ReplacingMergeTree: the reference leans on the ENGINE to collapse
+  *    re-fetched duplicates at merge time (`utils_clickhouse.py` DDL,
+  *    ORDER BY key + version column). Over JDBC the target is a plain
+  *    table, so dedup is this engine's job: upsert = append the overlap,
+  *    then keep-last on read ([[readDeduped]], same semantics as ClickHouse
+  *    `SELECT ... FINAL`) — or merge before shipping
+  *    ([[graft.streaming.IncrementalIngest.upsertBatch]]) so the warehouse
+  *    only ever sees collapsed rows.
+  *  - At-least-once, not exactly-once: a retried writer task may re-append
+  *    its batch (Spark JDBC has no transactional sink). Harmless under the
+  *    keep-last read, the same way the reference tolerates re-fetch overlap.
   */
 object JdbcSink {
 
@@ -53,6 +71,15 @@ object JdbcSink {
       .mode(mode)
       .save()
   }
+
+  /** Read the table back collapsed to the latest version per key — the
+    * JDBC-side analog of ClickHouse `SELECT ... FINAL` over a
+    * ReplacingMergeTree: appended re-fetches/retries dedup away here
+    * instead of at engine merge time.
+    */
+  def readDeduped(spark: SparkSession, cfg: Config,
+                  keys: Seq[String], version: Seq[String]): DataFrame =
+    graft.ops.Dedup.keepLast(read(spark, cfg), keys, version)
 
   /** Read the table back (round-trip verification / dimension reload). */
   def read(spark: SparkSession, cfg: Config): DataFrame = {

@@ -124,11 +124,18 @@ class QuantilesSpec extends AnyFunSuite {
   test("medianAbsDev excludes nulls and leaves nothing persisted") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
       ("b", Some(5.0))).toDF("g", "v")
+    // delta, not global emptiness: other suites share the session and may
+    // legitimately hold caches of their own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Quantiles.medianAbsDev(df, Seq("g"), "v")
       .select($"g", $"med", $"mad", $"n")
       .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
     assert(out === Seq(("a", 2.0, 1.0, 2L), ("b", 5.0, 0.0, 1L)))
-    // eager operator must not leak cache entries into the session
-    assert(spark.sharedState.cacheManager.isEmpty)
+    // eager operator must not leak NEW cache entries (unpersist is async —
+    // poll briefly)
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 }

@@ -50,4 +50,37 @@ class JdbcSinkSpec extends AnyFunSuite {
     JdbcSink.write(wide, cfg.copy(table = "klines_capped"), SaveMode.Overwrite)
     assert(JdbcSink.read(spark, cfg.copy(table = "klines_capped")).count() === 3L)
   }
+
+  test("upsert round trip: append overlap, keep-last read-back (ReplacingMergeTree FINAL analog)") {
+    val c = cfg.copy(table = "klines_upsert")
+    val run1 = Seq(
+      ("BTCUSDT", 1L, 100.5, 1L), ("BTCUSDT", 2L, 101.0, 1L),
+      ("ETHUSDT", 1L, 10.25, 1L)
+    ).toDF("symbol", "ts", "close", "ingest_seq")
+    // run 2 re-fetches bar ts=2 with a correction and adds ts=3
+    val run2 = Seq(
+      ("BTCUSDT", 2L, 999.0, 2L), ("BTCUSDT", 3L, 102.0, 2L)
+    ).toDF("symbol", "ts", "close", "ingest_seq")
+
+    JdbcSink.write(run1, c, SaveMode.Overwrite)
+    JdbcSink.write(run2, c, SaveMode.Append)       // overlap appends, not updates
+    assert(JdbcSink.read(spark, c).count() === 5L) // raw table keeps both versions
+
+    val fin = JdbcSink.readDeduped(spark, c,
+        keys = Seq("symbol", "ts"), version = Seq("ingest_seq"))
+      .select("symbol", "ts", "close")
+      .as[(String, Long, Double)].collect().toSet
+    assert(fin === Set(
+      ("BTCUSDT", 1L, 100.5), ("BTCUSDT", 2L, 999.0),  // run 2 won the overlap
+      ("BTCUSDT", 3L, 102.0), ("ETHUSDT", 1L, 10.25)))
+
+    // idempotence: re-appending run2 verbatim (a retried writer task)
+    // changes nothing after the keep-last read
+    JdbcSink.write(run2, c, SaveMode.Append)
+    val again = JdbcSink.readDeduped(spark, c,
+        keys = Seq("symbol", "ts"), version = Seq("ingest_seq"))
+      .select("symbol", "ts", "close")
+      .as[(String, Long, Double)].collect().toSet
+    assert(again === fin)
+  }
 }
