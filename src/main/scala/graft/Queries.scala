@@ -2910,12 +2910,15 @@ object Queries {
         val queries = emb.filter($"vec_id" < 20)
         val exact = graft.ops.Knn.topKJoin(queries, emb,
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
-        // trainFraction=0.5: Lloyd's on a half-sample (the at-scale shape —
-        // centroid quality, and hence recall, is insensitive to the sample;
-        // the ScaleProbe margin is measured with this setting)
+        // Full-corpus training: at sf0.001 (500 vectors) a half-sample
+        // measurably drops the recall floor (min_hit 5→3, ScaleProbe
+        // `recall`), and training cost here is scheduler-latency-bound, so
+        // sampling buys nothing. At real scale cellTopKJoin's
+        // trainFraction is the knob — on 10⁹ vectors a 1% sample trains
+        // identically-placed centroids.
         val ivf = graft.ops.Knn.cellTopKJoin(queries, emb,
           "vec_id", "embedding", "vec_id", "embedding",
-          k = 10, kCells = 8, nProbe = 4, iters = 3, trainFraction = 0.5)
+          k = 10, kCells = 8, nProbe = 4, iters = 3)
         val hits = exact.join(ivf.select($"query_id", $"vec_id"),
             Seq("query_id", "vec_id"), "left_semi")
           .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))

@@ -324,12 +324,40 @@ object ScaleProbe {
     val asofSec = time(noop(graft.ops.AsOf.joinBackward(purchases, views,
       keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
       valueCols = Seq("view_ts_us", "view_value"))))
+    val asofFwdSec = time(noop(graft.ops.AsOf.joinForward(purchases, views,
+      keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+      valueCols = Seq("view_ts_us", "view_value"))))
     val quantSec = time(noop(graft.ops.Quantiles.exact(rep,
       Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))))
 
+    // Hot-key witness: EVERY fixture row on one key — a single
+    // partition-length sorted run. joinForward's reversed incremental frame
+    // must track joinBackward here; the naive forward frame
+    // (currentRow→unboundedFollowing first()) rescans to run end per row,
+    // O(n²) in the run length — the ADVICE-flagged stall this row pins.
+    val hot = Tables.events(spark, sfDir)
+      .select(lit(0L).as("user_id"), col("event_id"), col("ts_us"),
+        col("value"), col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hot.count()
+    def hotSide(t: String) = hot.filter(col("event_type") === t)
+    val hp = hotSide("purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val hv = hotSide("view").select(col("user_id"), col("ts_us"),
+      col("ts_us").as("view_ts_us"), col("value").as("view_value"))
+    val hotBackSec = time(noop(graft.ops.AsOf.joinBackward(hp, hv,
+      keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+      valueCols = Seq("view_ts_us", "view_value"))))
+    val hotFwdSec = time(noop(graft.ops.AsOf.joinForward(hp, hv,
+      keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+      valueCols = Seq("view_ts_us", "view_value"))))
+    hot.unpersist(blocking = false)
+
     println(s"""{"metric":"window_probe","rep":$r,"rows":$nRows,""" +
       s""""lag_sec":$lagSec,"mavg_sec":$mavgSec,"sessionize_sec":$sessSec,""" +
-      s""""asof_sec":$asofSec,"quantile_sec":$quantSec,"sf":"$sfDir"}""")
+      s""""asof_sec":$asofSec,"asof_fwd_sec":$asofFwdSec,""" +
+      s""""asof_hotkey_back_sec":$hotBackSec,"asof_hotkey_fwd_sec":$hotFwdSec,""" +
+      s""""quantile_sec":$quantSec,"sf":"$sfDir"}""")
   }
 
   /** Span-dedup scaling (q75): time [[graft.ops.SpanDedup.dedupSpans]] at 1×
@@ -484,7 +512,7 @@ object ScaleProbe {
       "vec_id", "embedding", "vec_id", "embedding", k = 10)
     val ivf = graft.ops.Knn.cellTopKJoin(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding",
-      k = 10, kCells = 8, nProbe = 4, iters = 3, trainFraction = 0.5)
+      k = 10, kCells = 8, nProbe = 4, iters = 3)
     val hits = exact.join(ivf.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
