@@ -1774,7 +1774,11 @@ object Queries {
         import s.implicits._
         val t = Tables.documents(s, dir)
           .select($"doc_id", TF.tokens($"text").as("toks"))
-        val grams = t.select($"doc_id", explode(zip_with(
+        // size ≤ 1 docs yield no bigrams (and the inner join with m drops
+        // them, matching the oracle's range(1, len)); filtering first keeps
+        // the slice length (size-1) non-negative — empty docs would throw.
+        val grams = t.filter(size($"toks") > 1)
+          .select($"doc_id", explode(zip_with(
             slice($"toks", lit(1), size($"toks") - 1),
             slice($"toks", lit(2), size($"toks") - 1),
             (a, b) => concat(a, lit(" "), b))).as("gram"))
@@ -2879,16 +2883,20 @@ object Queries {
           .groupBy($"l_returnflag", $"p_brand")
           .agg(revenue($"l_extendedprice", $"l_discount").as("rev"))
         val w = Window.partitionBy($"l_returnflag")
+        // NULL share when the group total is zero (all-discounted group):
+        // decimal division by zero throws under ANSI on both engines;
+        // NULLIF mirrors the guard in the oracle.
+        val tot = sum($"rev").over(w)
         agg.select($"l_returnflag", $"p_brand",
             decStr($"rev").as("rev"),
-            round(($"rev" / sum($"rev").over(w)).cast("double"), 6).as("share"))
+            round(($"rev" / when(tot =!= 0, tot)).cast("double"), 6).as("share"))
           .orderBy($"l_returnflag", $"p_brand")
       },
       Some(s"""WITH a AS (SELECT l_returnflag, p_brand, $revenueSql AS rev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY l_returnflag, p_brand)
         |SELECT l_returnflag, p_brand, CAST(rev AS VARCHAR) AS rev,
-        |  round(CAST(rev / sum(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6) AS share
+        |  round(CAST(rev / NULLIF(sum(rev) OVER (PARTITION BY l_returnflag), 0) AS DOUBLE), 6) AS share
         |FROM a ORDER BY l_returnflag, p_brand""".stripMargin)),
 
     // ---- 104. IVF recall vs nProbe — the ANN accuracy/cost trade-off as

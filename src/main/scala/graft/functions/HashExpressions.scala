@@ -200,7 +200,10 @@ object HashExpressions {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      // zero-norm convention: cosine 0.0 (see VectorFunctions.safeCos) —
+      // 0/0 would yield NaN, which poisons downstream BigDecimal rounding
+      if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -224,7 +227,8 @@ object HashExpressions {
           |  double $y = ${acc(b, right)};
           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           |}
-          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+          |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         """.stripMargin
       })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =

@@ -19,9 +19,20 @@ object VectorFunctions {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double[] vectors. */
+  /** ZERO-NORM CONVENTION (all cosine paths in this engine — here,
+    * [[graft.functions.HashExpressions.CosineSim]], and the mapPartitions
+    * kernels in ops/Knn): a zero vector has cosine 0.0 to everything.
+    * Under ANSI mode a plain column division throws DIVIDE_BY_ZERO the
+    * first time a degenerate embedding reaches it (and the JVM-side 0/0
+    * NaN poisons BigDecimal rounding) — a data-dependent crash no test
+    * corpus triggers. `try_divide` + coalesce keeps the plan codegen'd.
+    */
+  private def safeCos(num: Column, den: Column): Column =
+    coalesce(try_divide(num, den), lit(0.0))
+
+  /** Cosine similarity of two double[] vectors (0.0 if either is zero). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    safeCos(dot(a, b), l2Norm(a) * l2Norm(b))
 
   /** Cosine against a pre-normalized constant query vector: precompute the
     * query's norm once on the driver; per row only one dot + one norm.
@@ -29,6 +40,6 @@ object VectorFunctions {
   def cosineToQuery(v: Column, query: Seq[Double]): Column = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val q = array(query.map(lit): _*)
-    dot(v, q) / (l2Norm(v) * lit(qNorm))
+    safeCos(dot(v, q), l2Norm(v) * lit(qNorm))
   }
 }

@@ -36,9 +36,15 @@ object BloomSemiJoin {
   def semiJoin(fact: DataFrame, factKey: String,
                dim: DataFrame, dimKey: String,
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val pruned = fact.filter(
-      BloomFunctions.mightContainLong(BloomFunctions.serialize(bf), col(factKey)))
+    // An EMPTY dim yields a bloom whose serialization NPEs (null bit
+    // buffer inside Spark's sketch); any build/serialize failure degrades
+    // to the plain semi-join — still exact, just unpruned. (The empty-dim
+    // semi-join is empty regardless, so the pre-filter buys nothing there.)
+    val bfSer: Option[Array[Byte]] = scala.util.Try(
+      BloomFunctions.serialize(
+        dim.stat.bloomFilter(dimKey, expectedItems, fpp))).toOption
+    val pruned = bfSer.fold(fact)(ser =>
+      fact.filter(BloomFunctions.mightContainLong(ser, col(factKey))))
     pruned.join(dim.select(col(dimKey).as(factKey)).distinct(),
       Seq(factKey), "left_semi")
   }

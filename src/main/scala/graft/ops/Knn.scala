@@ -217,6 +217,8 @@ object Knn {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
+      // zero-norm convention: cosine 0.0 (BigDecimal.valueOf(NaN) throws)
+      if (na == 0.0 || nb == 0.0) return 0.0
       // Spark round(_, 6) semantics: BigDecimal HALF_UP
       java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

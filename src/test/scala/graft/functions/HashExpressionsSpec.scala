@@ -33,6 +33,27 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(both.filter($"fast" =!= $"ref").isEmpty)
   }
 
+  test("zero-norm cosine convention: 0.0 on both codegen and interpreted paths, and in VectorFunctions") {
+    val rows = Seq(
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 2.0f, 3.0f)),   // zero left
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.0f, 0.0f, 0.0f)),   // zero right
+      (Seq(0.0f, 0.0f, 0.0f), Seq(0.0f, 0.0f, 0.0f)),   // both zero
+      (Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f, 0.0f))    // sanity: cos=1
+    ).toDF("a", "b")
+    val viaExpr = rows.select(
+      HashExpressions.cosineSim($"a", $"b").as("c")).as[Double].collect().toSeq
+    assert(viaExpr === Seq(0.0, 0.0, 0.0, 1.0))
+    // the HOF column path (ANSI mode would throw DIVIDE_BY_ZERO unguarded)
+    val viaHof = rows.select(round(VectorFunctions.cosine(
+        VectorFunctions.toDouble($"a"), VectorFunctions.toDouble($"b")), 6).as("c"))
+      .as[Double].collect().toSeq
+    assert(viaHof === Seq(0.0, 0.0, 0.0, 1.0))
+    val viaQuery = rows.select(round(VectorFunctions.cosineToQuery(
+        VectorFunctions.toDouble($"a"), Seq(0.0, 0.0, 0.0)), 6).as("c"))
+      .as[Double].collect().toSeq
+    assert(viaQuery === Seq(0.0, 0.0, 0.0, 0.0))        // zero QUERY vector
+  }
+
   test("hash60Bytes matches the SQL-visible conv(substring(md5,1,15),16,10)") {
     val vals = Seq("", "a", "spark window batch", "日本語").toDF("s")
     val both = vals.select(

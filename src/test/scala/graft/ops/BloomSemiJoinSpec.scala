@@ -65,4 +65,12 @@ class BloomSemiJoinSpec extends AnyFunSuite {
     }.toSet
     assert(compiled === interpreted)
   }
+
+  test("empty dim side: no crash, empty exact result (bloom build degrades to plain semi-join)") {
+    val fact = (0L until 50L).toDF("k")
+    val dim = Seq.empty[Long].toDF("dk")
+    val out = graft.ops.BloomSemiJoin.semiJoin(fact, "k", dim, "dk",
+      expectedItems = 100L, fpp = 0.01)
+    assert(out.count() === 0L)
+  }
 }
