@@ -2427,9 +2427,12 @@ object Queries {
           .select($"doc_id", $"n_chars".cast("double").as("v"))
           .withColumn("__g", lit(0))
         val probs = (1 to 9).map(_ / 10.0)
+        // headOption: an EMPTY corpus has no quantile row — the query must
+        // return empty (zero docs to bucket), not crash on head()
         val bs = graft.ops.Quantiles.exact(docs, Seq("__g"), "v", probs)
           .select(transform($"quantiles", q => round(q, 6)).as("bs"))
-          .as[Seq[Double]].head().toArray
+          .as[Seq[Double]].collect().headOption
+          .map(_.toArray).getOrElse(Array.empty[Double])
         docs.select($"doc_id",
             graft.functions.ZOrderFunctions.boundaryBucket(bs, $"v").as("decile"),
             $"v".cast("long").as("n_chars"))

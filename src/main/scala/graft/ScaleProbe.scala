@@ -477,6 +477,23 @@ object ScaleProbe {
             .SeqHasAsJava(rows).asJava), schema)
         .repartition(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
+    // SPARK_GRAFT_DEGEN_EMPTY=1: zero-row variant of every table (the
+    // empty-partition/empty-day case). Queries that seed from a specific
+    // row (a query vector, a trained quantizer) fail loud by design; all
+    // others must return empty, not crash.
+    if (sys.env.get("SPARK_GRAFT_DEGEN_EMPTY").contains("1")) {
+      Seq("documents" -> Tables.documentsSchema,
+        "embeddings" -> Tables.embeddingsSchema,
+        "region" -> Tables.regionSchema, "nation" -> Tables.nationSchema,
+        "customer" -> Tables.customerSchema,
+        "supplier" -> Tables.supplierSchema, "part" -> Tables.partSchema,
+        "orders" -> Tables.ordersSchema, "lineitem" -> Tables.lineitemSchema,
+        "events" -> Tables.eventsRawSchema)
+        .foreach { case (n, s) => write(n, s, Seq.empty) }
+      runAll(spark, dir)
+      return
+    }
+
     val ts0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
     write("documents", Tables.documentsSchema, Seq(
       R(0L, "", "en", "web", 0L),                       // empty text
@@ -521,6 +538,10 @@ object ScaleProbe {
       R(4L, nano0 + 3600L * 1000000000L, 2L, "error", -1.0, """{"k": -9}"""),
       R(5L, nano0 + 7200L * 1000000000L, 2L, "view", 0.0, """not json""")))
 
+    runAll(spark, dir)
+  }
+
+  private def runAll(spark: SparkSession, dir: String): Unit = {
     val failures = Queries.all.flatMap { q =>
       try {
         q.fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -46,7 +46,13 @@ object Bm25 {
     // sweep (rightly) bans; an extra tiny stats job is the better trade.
     val statsRow = t.agg(count(lit(1)).cast("double").as("__n"),
       avg($"__dl").as("__avgdl")).head
-    val (nDocs, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val nDocs = statsRow.getDouble(0)
+    // EMPTY corpus: avgdl aggregates to NULL (getDouble would throw) and
+    // top-k of nothing is nothing — return the empty frame with the
+    // output schema instead of crashing.
+    if (nDocs == 0.0)
+      return docs.select(col(idCol), lit(0.0).as("score")).limit(0)
+    val avgdl = statsRow.getDouble(1)
 
     // one corpus scan: per-(doc, term) term frequency, zero-tf rows pruned.
     // Terms fan out via explode of a LITERAL array — no join node at all
