@@ -2917,7 +2917,12 @@ object Queries {
     QDef("q104_ivf_recall",
       (s, dir) => {
         import s.implicits._
+        // Persist across the query's MANY eager driver jobs (k-means
+        // seeding + iterations + cell probes + the brute leg all rescan
+        // the corpus otherwise); dropped before returning, so the final
+        // lazy write re-reads parquet once and nothing leaks.
         val emb = Tables.embeddings(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = emb.filter($"vec_id" < 20)
         val exact = graft.ops.Knn.topKJoin(queries, emb,
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
@@ -2933,12 +2938,14 @@ object Queries {
         val hits = exact.join(ivf.select($"query_id", $"vec_id"),
             Seq("query_id", "vec_id"), "left_semi")
           .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-        exact.groupBy($"query_id")
+        val out = exact.groupBy($"query_id")
           .agg(max($"cos").as("best_cos"), min($"cos").as("kth_cos"))
           .join(hits, Seq("query_id"), "left")
           .select($"query_id", $"best_cos", $"kth_cos",
             (coalesce($"n_hit", lit(0L)) >= 3).as("recall_ok"))
           .orderBy($"query_id")
+        emb.unpersist(blocking = false)   // eager phase over; plan recomputes
+        out
       },
       Some("""WITH q AS (SELECT vec_id AS query_id,
         |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),

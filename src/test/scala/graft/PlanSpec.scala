@@ -85,6 +85,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 MAD output plan scans documents ONCE (medianAbsDev pre-computed, broadcast back)") {
+    // The med/mad stats are computed eagerly inside Quantiles.medianAbsDev
+    // (its own single persisted scan); the RETURNED plan must be one
+    // corpus scan + a broadcast join against the tiny stats frame — the
+    // old two-pass composition left two scans in the final plan.
+    val p = plan("q90_mad_outliers")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 documents scan in the q90 plan, got $scans")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q75 span df is a two-stage agg (no Expand), and spans shuffle once for the verdict") {
     val p = plan("q75_span_dedup")
     // distinct-doc frequency is (span, doc) partial -> count, not a
