@@ -2957,7 +2957,34 @@ object Queries {
         |  FROM s)
         |SELECT query_id, max(cos) AS best_cos, min(cos) AS kth_cos,
         |  true AS recall_ok
-        |FROM r WHERE rn <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin))
+        |FROM r WHERE rn <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
+    // ---- 105. SemDeDup — within-cluster semantic near-dup pruning (the
+    //          embedding-space dedup that document-hash dedup cannot see:
+    //          re-encodings, translations, paraphrases). Cluster = the
+    //          `label` column here (at 100 TB: trained quantizer cells,
+    //          the q48/q54 precedent); pairs generate ONLY inside a cell
+    //          via the block-tiled join with the cell as an extra equi-key
+    //          — Σ|cell|² work, never |corpus|². Keep-lowest-id greedy is
+    //          execution-order-independent. The 0.40 threshold is tuned to
+    //          the fixture's diffuse synthetic embeddings (max within-cell
+    //          cosine ≈ 0.47; drops 5/5/84 rows at sf0.001/0.01/0.1) —
+    //          real text embeddings cluster far tighter and use ~0.95. ----
+    QDef("q105_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.SemDeDup.prune(Tables.embeddings(s, dir),
+            "vec_id", "embedding", "label", threshold = 0.40)
+          .select($"vec_id", $"label".cast("long").as("label"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT a.vec_id FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND b.vec_id < a.vec_id
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.40)
+        |ORDER BY vec_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

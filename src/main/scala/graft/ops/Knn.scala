@@ -52,12 +52,18 @@ object Knn {
     */
   def nearDuplicatePairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      blocks: Int = 0): DataFrame = {
+      blocks: Int = 0, cellCol: Option[String] = None): DataFrame = {
     val par = emb.sparkSession.sparkContext.defaultParallelism
     // ~2 tiles per core by default: tiles = nb·(nb+1)/2 ≈ 2·par
     val nb = math.max(2, if (blocks > 0) blocks else math.ceil(math.sqrt(4.0 * par)).toInt)
-    val withG = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      pmod(hash(col(idCol)), lit(nb)).as("__g"))
+    // Optional cell scoping (ops/SemDeDup): the cell joins as an extra
+    // equi-key, so only same-cell pairs are generated — the pair count
+    // drops from |corpus|² to Σ|cell|², which is the entire point of
+    // cluster-bounded dedup. The tile structure is unchanged (pairs still
+    // meet exactly once).
+    val cellKey = cellCol.map(c => col(c).as("__cell")).toSeq
+    val withG = emb.select(Seq(col(idCol).as("__id"), col(vecCol).as("__v"),
+      pmod(hash(col(idCol)), lit(nb)).as("__g")) ++ cellKey: _*)
     // role A serves tiles (g, j ≥ g); role B serves tiles (i ≤ g, g): an
     // unordered pair from blocks (gx ≤ gy) meets exactly once, in tile
     // (gx, gy) — twice (both orientations) only on diagonal tiles, where
@@ -72,17 +78,23 @@ object Knn {
     // stragglers (2-3 heavy tiles in one partition) bound wall-clock —
     // measured 143s → 23s at 200M pairs / 32 cores.
     val nTilePartitions = nb * (nb + 1) / 2 * 4
-    val a = withG.select(col("__id").as("vec_a"), col("__v").as("__va"),
-        col("__g").as("__ga"), explode(sequence(col("__g"), lit(nb - 1))).as("__tj"))
+    val cellA = cellCol.map(_ => col("__cell").as("__cella")).toSeq
+    val cellB = cellCol.map(_ => col("__cell").as("__cellb")).toSeq
+    val a = withG.select(Seq(col("__id").as("vec_a"), col("__v").as("__va"),
+        col("__g").as("__ga"),
+        explode(sequence(col("__g"), lit(nb - 1))).as("__tj")) ++ cellA: _*)
       .withColumn("__tile", col("__ga") * nb + col("__tj"))
       .repartition(math.max(par, nTilePartitions), col("__tile"))
-    val b = withG.select(col("__id").as("vec_b"), col("__v").as("__vb"),
-        col("__g").as("__gb"), explode(sequence(lit(0), col("__g"))).as("__ti"))
+    val b = withG.select(Seq(col("__id").as("vec_b"), col("__v").as("__vb"),
+        col("__g").as("__gb"),
+        explode(sequence(lit(0), col("__g"))).as("__ti")) ++ cellB: _*)
       .withColumn("__tile", col("__ti") * nb + col("__gb"))
       .repartition(math.max(par, nTilePartitions), col("__tile"))
     val cos = round(
       graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6)
-    a.join(b, a("__tile") === b("__tile") &&
+    val sameCell = cellCol.fold(lit(true))(_ =>
+      col("__cella") === col("__cellb"))
+    a.join(b, a("__tile") === b("__tile") && sameCell &&
         (col("__ga") =!= col("__gb") || col("vec_a") < col("vec_b")) &&
         cos >= threshold)
       .withColumn("cos", cos)
