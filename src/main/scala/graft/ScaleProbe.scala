@@ -501,12 +501,14 @@ object ScaleProbe {
       R(2L, "solo", "en", "web", 4L),                   // single token
       R(3L, "a a a a a a a a", "fr", "book", 15L),      // one repeated token
       R(4L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
-      R(5L, ("tok " * 200).trim, "fr", "book", 799L)))  // long uniform run
+      R(5L, ("tok " * 200).trim, "fr", "book", 799L),   // long uniform run
+      R(6L, null, "en", "web", null)))                  // NULL text + n_chars
     val dim = 8
     write("embeddings", Tables.embeddingsSchema,
       (0 until 30).map { i =>
         val v: Seq[Float] =
           if (i == 7) Seq.fill(dim)(0.0f)               // ZERO vector
+          else if (i == 11) null                        // NULL embedding
           else Seq.tabulate(dim)(j => ((i + j) % 5 - 2).toFloat)
         R(i.toLong, v, i % 3)
       })

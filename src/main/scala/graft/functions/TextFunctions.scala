@@ -14,8 +14,15 @@ object TextFunctions {
   /** Whitespace tokens with empties removed (split on single space — the
     * corpus is single-space separated; empty filter handles edge runs).
     */
+  /** NULL-text convention: tokenizes to the EMPTY array (coalesce at the
+    * source). A raw split(null) propagates a null array, and composites
+    * like [[shingles]] then build arrays with NULL ELEMENTS — which crash
+    * compiled expressions (UTF8String.getBytes on a null element) deep in
+    * whatever operator touches them first. Null text = no tokens, decided
+    * once, here.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    filter(split(coalesce(text, lit("")), " "), t => t =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -26,7 +26,8 @@ object Knn {
   def topKByCosine(
       emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame =
-    emb.select(col(idCol),
+    emb.filter(col(vecCol).isNotNull)  // null-vector exclusion (see topKJoin)
+      .select(col(idCol),
         round(VF.cosineToQuery(VF.toDouble(col(vecCol)), query), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
@@ -199,8 +200,12 @@ object Knn {
       "maxDriverQueries must be in [1, Int.MaxValue)")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // NULL-vector exclusion (repo-wide kNN convention): a null embedding
+    // cannot participate in similarity — it would NPE the JVM kernels and
+    // driver collects that a codegen'd null check never sees.
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qIdCol).cast("long"), col(qVecCol))
+      .filter(col(qVecCol).isNotNull)
       .limit(maxDriverQueries + 1)
       .as[(Long, Array[Float])].collect()
     require(qs.length <= maxDriverQueries,
@@ -240,6 +245,7 @@ object Knn {
         : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]) = {
       val bc = spark.sparkContext.broadcast(shard)
       val df = corpus.select(col(cIdCol).cast("long"), col(cVecCol))
+        .filter(col(cVecCol).isNotNull)
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           val queryArr = bc.value
@@ -352,10 +358,12 @@ object Knn {
     val cents = kmeansCentroids(corpus, cVecCol, kCells, iters, trainFraction)
     val c = corpus.select(col(cIdCol).cast("long").as("vec_id"),
         col(cVecCol).as("__cv"))
+      .filter(col("__cv").isNotNull)   // null-vector exclusion (see topKJoin)
       .withColumn("__cell", assignExpr(col("__cv"), cents))
       .withColumn("__salt", pmod(hash(col("vec_id")), lit(splits)))
     val q = queries.select(col(qIdCol).cast("long").as("query_id"),
         col(qVecCol).as("__qv"))
+      .filter(col("__qv").isNotNull)
       .withColumn("__cell", explode(probeCellsExpr(col("__qv"), cents, nProbe)))
       .withColumn("__salt", explode(sequence(lit(0), lit(splits - 1))))
     val cos = round(
@@ -439,6 +447,7 @@ object Knn {
     // Keep the RAW element type (float or double): CosineSim resolves its
     // accessors statically per side, so no per-scan array cast is needed.
     val base = emb.select(col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)    // null-vector exclusion (see topKJoin)
     val train0 = if (trainFraction < 1.0)
       base.sample(withReplacement = false, trainFraction, seed = 42) else base
     val train = train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -62,7 +62,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // Real impl: initialize the codec ONCE here, then stream the batch.
-      it.map { m =>
+      // NULL payloads (missing/unfetched media) are SKIPPED — the decode of
+      // nothing is nothing, and a real codec would reject them anyway; at
+      // scale these rows route to a dead-letter table upstream.
+      it.filter(_.payload != null).map { m =>
         decodeStub(m.payload, dim).copy(id = m.id, format = m.format)
       }
     }
