@@ -595,7 +595,7 @@ object ScaleProbe {
 
     val fams = Seq("q96_hybrid_rrf", "q97_lm_perplexity", "q99_salted_join",
       "q100_rag_chunks", "q101_union_evolve", "q102_unpivot",
-      "q103_share_of_total", "q104_ivf_recall")
+      "q103_share_of_total", "q104_ivf_recall", "q105_semdedup")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val rows = fams.map { name =>
