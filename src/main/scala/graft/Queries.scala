@@ -2984,7 +2984,37 @@ object Queries {
         |  ON a.label = b.label AND b.vec_id < a.vec_id
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.40)
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // ---- 106. incremental embedding near-dup vs a vector store — the
+    //          embedding twin of q69's text signature store: a re-delivered
+    //          batch (25 exact copies of store vectors under new ids)
+    //          checks ONLY batch-touching pairs; the store×store quadrant
+    //          is never re-generated or re-emitted. SRP recall for the
+    //          planted exact dups is 1 by construction (identical vectors
+    //          share every band — the q44 device), so the exact-join
+    //          oracle is deterministic. ----
+    QDef("q106_incremental_embed",
+      (s, dir) => {
+        import s.implicits._
+        val store = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val batch = store.filter($"vec_id" < 25)
+          .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+        graft.ops.Knn.srpIncrementalPairs(batch, store,
+            "vec_id", "embedding", threshold = 0.95)
+          .orderBy($"new_id", $"dup_id")
+      },
+      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id + 200000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 25),
+        |u AS (SELECT * FROM s UNION ALL SELECT * FROM b)
+        |SELECT n.vec_id AS new_id, e.vec_id AS dup_id,
+        |  round(list_cosine_similarity(n.v, e.v), 6) AS cos
+        |FROM b n JOIN u e
+        |  ON ((e.vec_id < 200000 AND e.vec_id <> n.vec_id)
+        |      OR (e.vec_id >= 200000 AND n.vec_id < e.vec_id))
+        | AND round(list_cosine_similarity(n.v, e.v), 6) >= 0.95
+        |ORDER BY new_id, dup_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

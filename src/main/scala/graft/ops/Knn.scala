@@ -167,6 +167,58 @@ object Knn {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Incremental SRP near-dup: verified pairs that TOUCH the new batch —
+    * the embedding twin of [[SignatureStore.incrementalPairs]] (text
+    * minhash, q69). The store×store quadrant is never generated: those
+    * pairs were emitted when their rows were new, so a daily batch costs
+    * |batch|-driven bucket work, not a corpus re-pairing. Store vectors
+    * are never re-read beyond their (id, signature, vector) projection;
+    * at scale, persist the signature table and this join touches only
+    * matching (chunk, value) buckets.
+    *
+    * Pair accounting: batch×store pairs emit as (new_id, dup_id) with no
+    * order constraint (the store partner was never paired with this row
+    * before); batch×batch pairs emit once (id order). Ids must be unique
+    * across batch ∪ store. Candidates re-verify with exact cosine, so
+    * false bucket collisions never escape; recall for exact/near-1 dups
+    * is 1 by construction (identical vectors share every band).
+    */
+  def srpIncrementalPairs(
+      batch: DataFrame, store: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int = 48, rowsPerBand: Int = 8): DataFrame = {
+    val bands = nPlanes / rowsPerBand
+    val mask = (1L << rowsPerBand) - 1
+    def banded(df: DataFrame, isNew: Boolean): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        graft.functions.HashExpressions.srpSignature(col(vecCol), nPlanes).as("__sig"))
+      .select(col("__id"), lit(isNew).as("__new"),
+        explode(array((0 until bands).map { i =>
+          struct(lit(i).as("chunk"),
+            shiftright(col("__sig"), i * rowsPerBand).bitwiseAND(lit(mask)).as("cval"))
+        }: _*)).as("__c"))
+      .select(col("__id"), col("__new"), col("__c.chunk"), col("__c.cval"))
+    val nb = banded(batch, isNew = true)
+    val all = nb.unionByName(banded(store, isNew = false))
+    val cand = nb.as("x").join(all.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+        col("x.cval") === col("y.cval") &&
+        // store partner: any distinct id; batch partner: ordered (emit once)
+        ((!col("y.__new") && col("x.__id") =!= col("y.__id")) ||
+          (col("y.__new") && col("x.__id") < col("y.__id"))))
+      .select(col("x.__id").as("new_id"), col("y.__id").as("dup_id"))
+      .distinct()
+    val va = batch.select(col(idCol).as("new_id"), col(vecCol).as("__va"))
+    val vb = batch.unionByName(store)
+      .select(col(idCol).as("dup_id"), col(vecCol).as("__vb"))
+    cand.join(va, "new_id").join(vb, "dup_id")
+      .withColumn("cos", round(
+        graft.functions.HashExpressions.cosineSim(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("new_id"), col("dup_id"), col("cos"))
+  }
+
   /** Batch k-NN join: for EVERY query vector, the top-k corpus neighbors by
     * cosine — the retrieval join of an embedding pipeline (dedup against a
     * reference set, nearest-example lookup, hard-negative mining).

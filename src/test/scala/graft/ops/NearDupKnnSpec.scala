@@ -73,6 +73,26 @@ class NearDupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("srpIncrementalPairs: batch-touching pairs only; store×store never re-emitted") {
+    val base = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f)),            // store-internal exact dup of 1
+      (4L, Seq(0f, 0f, 1f, 0f)))
+    val store = base.toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),           // dup of store 1 and 3 (and batch 11)
+      (11L, Seq(1f, 0f, 0f, 0f)),           // dup of the same family
+      (12L, Seq(0f, 0f, 0f, 1f)))           // genuinely new
+      .toDF("vec_id", "embedding")
+    val out = Knn.srpIncrementalPairs(batch, store,
+        "vec_id", "embedding", threshold = 0.95)
+      .select($"new_id", $"dup_id").as[(Long, Long)].collect().toSet
+    // batch×store pairs, plus the batch×batch pair exactly once (id order);
+    // the store-internal (1,3) dup is ABSENT — already known to the store
+    assert(out === Set((10L, 1L), (10L, 3L), (11L, 1L), (11L, 3L),
+      (10L, 11L)))
+  }
+
   test("batch topKJoin agrees with per-query brute-force topK") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val joined = Knn.topKJoin(emb.filter($"vec_id" < 5), emb,
