@@ -70,10 +70,12 @@ object Bench {
     // "parsed": null), leaving no machine-readable per-round artifact.
     // BENCH_round.json is a second copy for the per-round judge artifact:
     // BENCH_LOCAL.json may be superseded by a quieter manual rerun, while
-    // BENCH_round.json always holds the latest full run as-executed.
-    val outFiles = Seq(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"),
-      "BENCH_round.json")
+    // BENCH_round.json always holds the latest FULL run as-executed.
+    // Filtered runs (SPARK_GRAFT_BENCH_ONLY) are targeted profiling — they
+    // must not clobber the round artifact with a partial query set.
+    val outFiles =
+      Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")) ++
+        (if (only.isEmpty) Seq("BENCH_round.json") else Seq.empty)
     outFiles.distinct.foreach { f =>
       try {
         val out = new java.io.PrintWriter(f)
