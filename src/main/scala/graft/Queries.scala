@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{AsOf, Dedup, Knn, MinHashLSH, Multimodal, Resample, Sessionize, SimHash}
+import graft.ops.{AsOf, Dedup, Knn, MinHashLSH, Multimodal, Redact, Resample, Sessionize, SimHash, Split}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** One named query per operator of SURVEY.md §2 (+ the LLM-pipeline
@@ -3014,7 +3014,73 @@ object Queries {
         |  ON ((e.vec_id < 200000 AND e.vec_id <> n.vec_id)
         |      OR (e.vec_id >= 200000 AND n.vec_id < e.vec_id))
         | AND round(list_cosine_similarity(n.v, e.v), 6) >= 0.95
-        |ORDER BY new_id, dup_id""".stripMargin))
+        |ORDER BY new_id, dup_id""".stripMargin)),
+
+    // ---- 107. PII redaction — the scrub pass before tokenization. PII is
+    //          injected deterministically from doc_id (the corpus itself is
+    //          synthetic and PII-free), then Redact.scrub counts and
+    //          replaces per type. Patterns live in the Java∩RE2 common
+    //          subset so the oracle replays them VERBATIM; replacement
+    //          order (email→ssn→phone→ip) is identical on both sides.
+    //          Scale: pure narrow codegen map, no shuffle — scan-bound. ----
+    QDef("q107_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val injected = Tables.documents(s, dir).withColumn("text", concat($"text",
+          when($"doc_id" % 7 === 0, concat(lit(" contact user"),
+            $"doc_id".cast("string"), lit("@ex-mail.org now"))).otherwise(lit("")),
+          when($"doc_id" % 11 === 0, concat(lit(" call 415-555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when($"doc_id" % 13 === 0, concat(lit(" ssn 123-45-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when($"doc_id" % 17 === 0, concat(lit(" from 10.0."),
+            ($"doc_id" % 256).cast("string"), lit("."),
+            (($"doc_id" * 7) % 256).cast("string"))).otherwise(lit(""))))
+        Redact.scrub(injected, "text")
+          .select($"doc_id", $"n_email", $"n_ssn", $"n_phone", $"n_ip",
+            md5($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-mail.org now' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        |  AS text FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS fp
+        |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // ---- 108. deterministic train/val/test split — hash-of-key banding
+    //          (q56's portable md5 construction), so assignment is stable
+    //          under re-runs, re-partitioning, and corpus growth. Verified
+    //          as per-(lang, split) counts: the oracle recomputes the same
+    //          bands from the same md5 draw. Scale: one codegen'd md5 per
+    //          row, no shuffle until the count. ----
+    QDef("q108_train_split",
+      (s, dir) => {
+        import s.implicits._
+        Split.assign(Tables.documents(s, dir), "doc_id")
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"lang", $"split")
+      },
+      Some("""WITH u AS (SELECT lang,
+        |  CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    / 1152921504606846976.0 AS r
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN r < 0.90 THEN 'train' WHEN r < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
