@@ -3080,7 +3080,28 @@ object Queries {
         |SELECT lang,
         |  CASE WHEN r < 0.90 THEN 'train' WHEN r < 0.95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_docs
-        |FROM u GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+        |FROM u GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // ---- 109. fuzzy self-join at edit distance ≤ 1 — deletion-neighborhood
+    //          (SymSpell) blocking: candidates meet on an exploded 1-deletion
+    //          variant EQUI-join (never all pairs), then re-verify with exact
+    //          levenshtein. The DuckDB oracle IS the all-pairs form on the
+    //          same keyed subset, so the blocking's recall is value-checked,
+    //          not assumed. ----
+    QDef("q109_fuzzy_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+          .select($"id_a", $"id_b", $"dist")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 10 < 2)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
