@@ -3101,7 +3101,39 @@ object Queries {
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         |FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- 110. SCD Type-2 dimension build — change log → [valid_from,
+    //          valid_to) validity intervals + is_current, with consecutive
+    //          no-change rows compressed. The log is derived deterministically
+    //          (per customer×date min priority) so (key, ts) is unique.
+    //          One key shuffle, two O(n) incremental frames (lag + lead)
+    //          over the same partitioning. ----
+    QDef("q110_scd2",
+      (s, dir) => {
+        import s.implicits._
+        val log = Tables.orders(s, dir)
+          .groupBy($"o_custkey", $"o_orderdate")
+          .agg(min($"o_orderpriority").as("prio"))
+        graft.ops.Scd.buildType2(log, Seq("o_custkey"), "o_orderdate",
+            Seq("prio"))
+          .select($"o_custkey".as("custkey"), $"prio",
+            epochUs($"valid_from").as("valid_from_us"),
+            epochUs($"valid_to").as("valid_to_us"),
+            $"is_current")
+          .orderBy($"custkey", $"valid_from_us")
+      },
+      Some("""WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts,
+        |    min(o_orderpriority) AS prio
+        |  FROM orders GROUP BY 1, 2),
+        |chg AS (SELECT k, ts, prio,
+        |    lag(prio) OVER (PARTITION BY k ORDER BY ts) AS prev FROM log),
+        |kept AS (SELECT k, ts, prio FROM chg WHERE prev IS NULL OR prio <> prev)
+        |SELECT k AS custkey, prio,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY k ORDER BY ts)) AS valid_to_us,
+        |  (lead(ts) OVER (PARTITION BY k ORDER BY ts)) IS NULL AS is_current
+        |FROM kept ORDER BY custkey, valid_from_us""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
