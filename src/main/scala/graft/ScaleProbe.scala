@@ -53,6 +53,7 @@ object ScaleProbe {
       case "range" => rangeProbe(spark, sfDir, time(_)); spark.stop(); return
       case "recall" => recallProbe(spark, sfDir); spark.stop(); return
       case "fam6" => fam6Probe(spark, sfDir, time(_)); spark.stop(); return
+      case "fam7" => fam7Probe(spark, sfDir, time(_)); spark.stop(); return
       case "degen" => degenProbe(spark); spark.stop(); return
       case _ => ()
     }
@@ -606,6 +607,57 @@ object ScaleProbe {
       s""""$name":{"t1x_sec":$t1,"t${r}x_sec":$tR}"""
     }
     println(s"""{"metric":"fam6_probe","rep":$r,"sf":"$sfDir",""" +
+      rows.mkString(",") + "}")
+  }
+
+  /** 10× replication witness for the round-6 continuation families
+    * (q107 redact, q108 split, q109 fuzzy join, q110 SCD2), same design as
+    * [[fam6Probe]]: replicate inputs into /dev/shm with shifted keys and
+    * run the EXACT production query functions against both dirs.
+    * q109's replicas get a distance-2 name suffix (digit twice) so
+    * cross-replica pairs stay semantically absent — growth measures the
+    * blocking join, not an artificial 10×-duplicate corpus; q110 shifts
+    * o_custkey only, so each key's history length is unchanged and the
+    * witness isolates the per-key window frames + key-count growth. */
+  private def fam7Probe(spark: SparkSession, sfDir: String,
+                        time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/dev/shm/graft_fam7")
+    val shift = 10000000L
+    val par = spark.sparkContext.defaultParallelism
+
+    def explodeR(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__r", explode(sequence(lit(0L), lit(r - 1))))
+    explodeR(Tables.documents(spark, sfDir))
+      .select((col("doc_id") + col("__r") * shift).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    explodeR(Tables.customer(spark, sfDir))
+      .select((col("c_custkey") + col("__r") * shift).as("c_custkey"),
+        concat(col("c_name"), repeat(col("__r").cast("string"), 2)).as("c_name"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    explodeR(Tables.orders(spark, sfDir))
+      .select(col("o_orderkey"), (col("o_custkey") + col("__r") * shift).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val fams = Seq("q107_pii_redact", "q108_train_split", "q109_fuzzy_join",
+      "q110_scd2")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val rows = fams.map { name =>
+      val fn = Queries.byName(name).fn
+      noop(fn(spark, sfDir))                        // warm codegen/JIT
+      val t1 = time(noop(fn(spark, sfDir)))
+      val tR = time(noop(fn(spark, out)))
+      s""""$name":{"t1x_sec":$t1,"t${r}x_sec":$tR}"""
+    }
+    println(s"""{"metric":"fam7_probe","rep":$r,"sf":"$sfDir",""" +
       rows.mkString(",") + "}")
   }
 
