@@ -3133,7 +3133,93 @@ object Queries {
         |  epoch_us(ts) AS valid_from_us,
         |  epoch_us(lead(ts) OVER (PARTITION BY k ORDER BY ts)) AS valid_to_us,
         |  (lead(ts) OVER (PARTITION BY k ORDER BY ts)) IS NULL AS is_current
-        |FROM kept ORDER BY custkey, valid_from_us""".stripMargin))
+        |FROM kept ORDER BY custkey, valid_from_us""".stripMargin)),
+
+    // ---- 111. temperature-scaled domain mixing (α = 0.5): target_i ∝
+    //          √n_i — the multilingual-LM resampling rule that upweights
+    //          tail domains. Targets come from a window over the |langs|-row
+    //          aggregate (q103 pattern, never the fact table); the sample
+    //          itself is the deterministic hash draw (q56), so membership
+    //          is reproducible. α = 0.5 uses sqrt, which is IEEE
+    //          correctly-rounded on BOTH engines (pow is only 1-ulp, q92's
+    //          print-the-weights trick would be needed for other α);
+    //          rate = n_target/n_docs divides two identical integers, so
+    //          the draw threshold is bit-equal too. ----
+    QDef("q111_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val wAll = Window.partitionBy()
+        val targets = d.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("n_target", least($"n_docs",
+            floor(sum($"n_docs").over(wAll) * sqrt($"n_docs".cast("double")) /
+              sum(sqrt($"n_docs".cast("double"))).over(wAll)).cast("long")))
+        val u = TF.hash60(concat(lit("temp:"), $"doc_id".cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        val sampled = d.join(broadcast(targets), "lang")
+          .filter(u < $"n_target".cast("double") / $"n_docs".cast("double"))
+          .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+        targets.join(sampled, Seq("lang"), "left")
+          .select($"lang", $"n_docs", $"n_target",
+            coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+          .orderBy($"lang")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs, least(n_docs,
+        |    CAST(floor(sum(n_docs) OVER () * sqrt(n_docs)
+        |      / sum(sqrt(n_docs)) OVER ()) AS BIGINT)) AS n_target
+        |  FROM c),
+        |s AS (SELECT d.lang AS slang, CAST(count(*) AS BIGINT) AS n_sampled
+        |  FROM documents d JOIN w ON d.lang = w.lang
+        |  WHERE CAST(('0x' || substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        / 1152921504606846976.0 < CAST(n_target AS DOUBLE) / n_docs
+        |  GROUP BY 1)
+        |SELECT w.lang, n_docs, n_target,
+        |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+        |FROM w LEFT JOIN s ON w.lang = s.slang ORDER BY w.lang""".stripMargin)),
+
+    // ---- 112. hard-negative mining — per anchor, the top-5 most-similar
+    //          vectors with a DIFFERENT label (embedding-training's negative
+    //          sampling step). The label≠ predicate is re-expressed as an
+    //          EQUI-join: each anchor explodes over the label set minus its
+    //          own (the distinct-label collect is bounded bookkeeping, like
+    //          IVF centroids), then candidates arrive by cand_label equality
+    //          and a k-bounded topk_pairs heap folds each group — no
+    //          BNLJ/cartesian anywhere (whole-surface PlanSpec sweep), no
+    //          per-group sort. One anchor per label via min(vec_id), the
+    //          q68 probe device. ----
+    QDef("q112_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        GraftExtensions.registerAll(s)
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.groupBy($"label").agg(min($"vec_id").as("pid"))
+          .join(emb.select($"vec_id".as("pid"), $"embedding".as("pv")), "pid")
+        val labels = emb.select($"label").distinct()
+          .as[Int].collect().sorted // bounded: |labels| ≪ corpus
+        val qexp = probes.withColumn("cand_label",
+          explode(array_remove(typedlit(labels), $"label")))
+        qexp.join(emb.select($"label".as("cand_label"), $"vec_id", $"embedding"),
+            "cand_label")
+          .groupBy($"label")
+          .agg(expr("topk_pairs(round(cosine_sim(embedding, pv), 6), vec_id, 5)")
+            .as("top"))
+          .select($"label", explode($"top").as("s"))
+          .select($"label", $"s.id".as("vec_id"), $"s.score".as("cos"))
+          .orderBy($"label", $"cos".desc, $"vec_id")
+      },
+      Some("""WITH probe AS (SELECT label, min(vec_id) AS pid
+        |  FROM embeddings GROUP BY label),
+        |p AS (SELECT probe.label, CAST(e.embedding AS DOUBLE[]) AS pv
+        |      FROM probe JOIN embeddings e ON e.vec_id = probe.pid),
+        |s AS (SELECT p.label, e.vec_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS cos
+        |      FROM embeddings e JOIN p ON e.label <> p.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT label, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY label, cos DESC, vec_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
