@@ -645,9 +645,14 @@ object ScaleProbe {
         col("o_orderpriority"))
       .repartition(par)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    explodeR(Tables.embeddings(spark, sfDir))
+      .select((col("vec_id") + col("__r") * shift).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val fams = Seq("q107_pii_redact", "q108_train_split", "q109_fuzzy_join",
-      "q110_scd2")
+      "q110_scd2", "q111_temperature_mix", "q112_hard_negatives")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val rows = fams.map { name =>
