@@ -3219,7 +3219,43 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY label
         |        ORDER BY cos DESC, vec_id) AS rn FROM s)
         |SELECT label, vec_id, cos FROM r WHERE rn <= 5
-        |ORDER BY label, cos DESC, vec_id""".stripMargin))
+        |ORDER BY label, cos DESC, vec_id""".stripMargin)),
+
+    // ---- 113. point-in-time enrichment — q110's SCD2 dimension CONSUMED:
+    //          each fact row gets the attribute valid AT its timestamp.
+    //          Because Type-2 interval starts are exactly the change
+    //          instants, interval membership ≡ backward as-of on
+    //          valid_from — so the lookup is AsOf.joinBackward's
+    //          one-shuffle union-sort plan, not a range join. The oracle
+    //          replays it with DuckDB's native ASOF JOIN. ----
+    QDef("q113_pit_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val log = o.groupBy($"o_custkey", $"o_orderdate")
+          .agg(min($"o_orderpriority").as("prio"))
+        val dim = graft.ops.Scd.buildType2(log, Seq("o_custkey"),
+          "o_orderdate", Seq("prio"))
+        AsOf.joinBackward(
+            o.select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+            dim.select($"o_custkey", $"valid_from", $"prio"),
+            keys = Seq("o_custkey"), leftTs = "o_orderdate",
+            rightTs = "valid_from", valueCols = Seq("prio"))
+          .select($"o_orderkey".as("orderkey"), $"o_custkey".as("custkey"),
+            epochUs($"o_orderdate").as("orderdate_us"), $"prio")
+          .orderBy($"orderkey")
+      },
+      Some("""WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts,
+        |    min(o_orderpriority) AS prio
+        |  FROM orders GROUP BY 1, 2),
+        |chg AS (SELECT k, ts, prio,
+        |    lag(prio) OVER (PARTITION BY k ORDER BY ts) AS prev FROM log),
+        |kept AS (SELECT k, ts, prio FROM chg WHERE prev IS NULL OR prio <> prev)
+        |SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+        |  epoch_us(o.o_orderdate) AS orderdate_us, kept.prio
+        |FROM orders o ASOF JOIN kept
+        |  ON o.o_custkey = kept.k AND o.o_orderdate >= kept.ts
+        |ORDER BY orderkey""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
