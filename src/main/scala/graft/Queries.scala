@@ -3255,7 +3255,34 @@ object Queries {
         |  epoch_us(o.o_orderdate) AS orderdate_us, kept.prio
         |FROM orders o ASOF JOIN kept
         |  ON o.o_custkey = kept.k AND o.o_orderdate >= kept.ts
-        |ORDER BY orderkey""".stripMargin))
+        |ORDER BY orderkey""".stripMargin)),
+
+    // ---- 114. triangle support over the fuzzy-match graph — q109's edges
+    //          consumed as a similarity graph: per-vertex triangle counts
+    //          via the degree-ordered wedge join (out-degree bounded
+    //          O(√m) after orientation, so no hub vertex goes quadratic;
+    //          every join equi). The cohesion complement of connected
+    //          components: triangles say "mutually confirming cluster",
+    //          reachability only says "chained". Oracle: brute 3-way
+    //          self-join over the same all-pairs edge set. ----
+    QDef("q114_triangle_support",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        graft.ops.Triangles.perVertexSupport(edges, "id_a", "id_b")
+          .orderBy($"id")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |e AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.s, b.s) <= 1),
+        |t AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS v FROM t)
+        |GROUP BY 1 ORDER BY id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting — per-vertex triangle support over an
+  * undirected edge list, by the degree-ordered wedge join (the MapReduce
+  *-classic MGT/Cohen algorithm). Triangle density is the standard
+  * cohesion signal over similarity graphs: how much of a near-dup /
+  * fuzzy-match graph is mutually-confirming clusters vs chance pairs
+  * (complements [[ConnectedComponents]], which only says "reachable").
+  *
+  * Why degree orientation: wedges are generated from each vertex's
+  * OUT-edges after directing every edge from its lower-(degree, id)
+  * endpoint to the higher one. Out-degree is then bounded by O(√m) for
+  * any degree distribution, so wedge count is O(m^1.5) worst-case
+  * instead of Σ deg(v)² — hub vertices (a common token, a popular near-
+  * dup cluster) stop being quadratic stragglers. Every triangle is
+  * emitted exactly once, from its minimum-rank vertex.
+  *
+  * Scale shape: three equi-joins (degree attach ×2, wedge close), no
+  * inequality join anywhere; the wedge self-join shuffles on the pivot
+  * vertex, the close join on the (v, w) pair. All skew valves are the
+  * orientation itself.
+  */
+object Triangles {
+
+  /** (vertex id, n_tri) for every vertex in ≥ 1 triangle. Edges may
+    * arrive in any orientation, with duplicates and self-loops (cleaned
+    * here).
+    */
+  def perVertexSupport(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // total order rank = (degree, id); orient low → high
+    val withRanks = e
+      .join(deg.select(col("v").as("a"),
+        struct(col("d"), col("v").as("id")).as("ra")), "a")
+      .join(deg.select(col("v").as("b"),
+        struct(col("d"), col("v").as("id")).as("rb")), "b")
+    val oriented = withRanks.select(
+        when(col("ra") < col("rb"), struct(col("a").as("u"), col("b").as("w"),
+          col("rb").as("rw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("ra").as("rw"))).as("__e"))
+      .select(col("__e.u"), col("__e.w"), col("__e.rw"))
+    // wedges (v, w) pivoting at u, rank(v) < rank(w); the closing edge —
+    // if it exists — is oriented v → w by rank transitivity
+    val wedges = oriented.select(col("u"), col("w").as("v"), col("rw").as("rv"))
+      .join(oriented.select(col("u"), col("w"), col("rw")), "u")
+      .filter(col("rv") < col("rw"))
+      .select(col("u"), col("v"), col("w"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("w")), Seq("v", "w"), "left_semi")
+    closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+}
