@@ -3282,7 +3282,53 @@ object Queries {
         |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_tri
         |FROM (SELECT unnest([a, b, c]) AS v FROM t)
-        |GROUP BY 1 ORDER BY id""".stripMargin))
+        |GROUP BY 1 ORDER BY id""".stripMargin)),
+
+    // ---- 115. deterministic random negative sampling — q112's complement
+    //          (uniform negatives, not hard ones): negative j of anchor q
+    //          is the corpus row at global slot hash(q, j) mod N, fetched
+    //          by an EQUI-join on the distributed prefix-sum rank — random
+    //          access by rank without collecting the corpus, reproducible
+    //          across runs/partitionings. Self-collisions drop (effective
+    //          k ≤ 5, standard practice); N is one driver long. ----
+    QDef("q115_random_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val n = emb.count() // bounded bookkeeping: a single scalar
+        val ranked = graft.ops.PrefixSum.withRunningSum(
+            emb.select($"vec_id", $"label")
+              .withColumn("__g", lit(0)).withColumn("__one", lit(1L)),
+            // label rides the order key (vec_id is unique, so the order is
+            // unchanged) — withRunningSum keeps only participating columns
+            groupCols = Seq("__g"), orderCols = Seq("vec_id", "label"),
+            valueCol = "__one", outCol = "rank")
+          .select(($"rank" - 1).as("slot"), $"vec_id".as("neg_id"),
+            $"label".as("neg_label"))
+        emb.filter($"vec_id" < 20).select($"vec_id".as("anchor_id"))
+          .withColumn("j", explode(sequence(lit(0), lit(4))))
+          .withColumn("slot", pmod(TF.hash60(concat(lit("neg:"),
+            $"anchor_id".cast("string"), lit(":"), $"j".cast("string"))), lit(n)))
+          .join(ranked, "slot")
+          .filter($"neg_id" =!= $"anchor_id")
+          .select($"anchor_id", $"j".cast("long").as("j"), $"neg_id",
+            $"neg_label".cast("long").as("neg_label"))
+          .orderBy($"anchor_id", $"j")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+        |r AS (SELECT vec_id AS neg_id, label AS neg_label,
+        |      CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS slot
+        |      FROM embeddings),
+        |a AS (SELECT e.vec_id AS anchor_id, t.j
+        |      FROM embeddings e, generate_series(0, 4) AS t(j)
+        |      WHERE e.vec_id < 20),
+        |s AS (SELECT anchor_id, j,
+        |      ('0x' || substring(md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % n.n AS slot
+        |      FROM a, n)
+        |SELECT anchor_id, CAST(j AS BIGINT) AS j, neg_id,
+        |  CAST(neg_label AS BIGINT) AS neg_label
+        |FROM s JOIN r USING (slot) WHERE neg_id <> anchor_id
+        |ORDER BY anchor_id, j""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
