@@ -39,6 +39,41 @@ object Queries {
   private val ewmaWeights: Seq[Double] =
     (0 until 10).map(j => 0.3 * math.pow(0.7, j))
 
+  /** q116's oracle: the fixed-point PageRank recurrence of
+    * [[graft.ops.PageRank]] unrolled to `iterations` CTEs. Because the
+    * operator is pure integer arithmetic (sums + floor divisions), the
+    * replay is EXACT — no tolerance gate needed for an iterative graph
+    * algorithm. Damping 17/20, scale 1e12, dangling mass uniform —
+    * mirror the operator's defaults.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |e AS (SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |vx AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vx),
+        |d AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |p0 AS (SELECT vx.v, 1000000000000 // n.n AS pr FROM vx, n)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      val prev = s"p${i - 1}"
+      s"""p$i AS (SELECT vx.v,
+         |    (3 * (1000000000000 // n.n)) // 20
+         |      + (17 * (COALESCE(c.cin, 0) + dg.dang // n.n)) // 20 AS pr
+         |  FROM vx
+         |  LEFT JOIN (SELECT e.b AS v, SUM(p.pr // d.deg) AS cin
+         |             FROM e JOIN $prev p ON p.v = e.a JOIN d ON d.v = e.a
+         |             GROUP BY 1) c ON c.v = vx.v,
+         |  (SELECT COALESCE(SUM(p.pr), 0) AS dang
+         |   FROM $prev p LEFT JOIN d ON d.v = p.v WHERE d.v IS NULL) dg, n)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT v AS token, CAST(pr AS BIGINT) AS pr FROM p$iterations" +
+      "\nORDER BY pr DESC, token LIMIT 50"
+  }
+
   private val dec38_6 = DecimalType(38, 6)
   private val dec18_6 = DecimalType(18, 6)
   private val dec12_6 = DecimalType(12, 6)
@@ -3328,7 +3363,34 @@ object Queries {
         |SELECT anchor_id, CAST(j AS BIGINT) AS j, neg_id,
         |  CAST(neg_label AS BIGINT) AS neg_label
         |FROM s JOIN r USING (slot) WHERE neg_id <> anchor_id
-        |ORDER BY anchor_id, j""".stripMargin))
+        |ORDER BY anchor_id, j""".stripMargin)),
+
+    // ---- 116. TextRank keywords — PageRank over the corpus token-
+    //          adjacency graph (Mihalcea & Tarau 2004, at corpus scale:
+    //          edges = distinct bigrams). Fixed-point integer PageRank
+    //          (ops/PageRank) makes the iterative result bit-exact under
+    //          any partitioning, so the oracle replays the SAME integer
+    //          recurrence as 4 unrolled CTEs and compares exact values —
+    //          an iterative graph algorithm under the hash gate, not a
+    //          tolerance gate. ----
+    QDef("q116_textrank",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        // size ≤ 1 docs yield no bigrams; filter first so slice lengths
+        // stay non-negative (the q76 guard).
+        val edges = t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"bg.a", $"bg.b")
+        graft.ops.PageRank.ranks(edges, "a", "b", iterations = 4)
+          .select($"v".as("token"), $"pr")
+          .orderBy($"pr".desc, $"token")
+          .limit(50)
+      },
+      Some(pageRankOracleSql(iterations = 4)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
