@@ -3390,7 +3390,71 @@ object Queries {
           .orderBy($"pr".desc, $"token")
           .limit(50)
       },
-      Some(pageRankOracleSql(iterations = 4)))
+      Some(pageRankOracleSql(iterations = 4))),
+
+    // ---- 117. canonical selection per near-dup cluster — the pipeline
+    //          step AFTER grouping (q61): per group keep exactly one
+    //          representative, by richest vocabulary, then longest, then
+    //          smallest id. The argmax is max(struct(...)) — partially
+    //          aggregable (map-side combine), so a pathological million-
+    //          member dup cluster costs one combiner chain, not a
+    //          per-group window sort. Exact integer/boolean output. ----
+    QDef("q117_canonical_select",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val groups = graft.ops.Dedup.nearDupGroups(docs,
+          idCol = "doc_id", textCol = "text",
+          w = 3, threshold = 0.5, maxDf = 256)
+        val toks = TF.tokens(coalesce($"text", lit("")))
+        val scored = docs.select($"doc_id",
+          size(array_distinct(toks)).cast("long").as("n_vocab"),
+          size(toks).cast("long").as("n_tok"))
+        val joined = groups.join(scored, "doc_id")
+        val winners = joined.groupBy($"group_id")
+          .agg(max(struct($"n_vocab", $"n_tok", (-$"doc_id").as("neg_id")))
+            .as("w"))
+          .select($"group_id", (-$"w.neg_id").as("canon_id"))
+        joined.join(winners, "group_id")
+          .select($"doc_id", $"group_id", ($"doc_id" === $"canon_id").as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE canon AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS cid, text FROM documents),
+        |cdocs AS (SELECT cid AS doc_id, any_value(text) AS text FROM canon GROUP BY cid),
+        |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM cdocs),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT doc_a, doc_b FROM cnt
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |verts AS (SELECT DISTINCT s AS v FROM sym),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT sym.s, reach.m FROM sym JOIN reach ON sym.d = reach.v),
+        |comp AS (SELECT v, min(m) AS component FROM reach GROUP BY v),
+        |mem AS (SELECT c.doc_id, COALESCE(comp.component, c.cid) AS group_id
+        |  FROM canon c LEFT JOIN comp ON comp.v = c.cid),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_vocab,
+        |    CAST(len(tk) AS BIGINT) AS n_tok
+        |  FROM (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+        |      x -> x <> '') AS tk FROM documents)),
+        |win AS (SELECT group_id, doc_id AS canon_id,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY n_vocab DESC, n_tok DESC, doc_id) AS rk
+        |  FROM mem JOIN sc USING (doc_id))
+        |SELECT m.doc_id, m.group_id, (m.doc_id = w.canon_id) AS keep
+        |FROM mem m JOIN (SELECT group_id, canon_id FROM win WHERE rk = 1) w
+        |  USING (group_id)
+        |ORDER BY m.doc_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
