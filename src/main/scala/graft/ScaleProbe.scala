@@ -651,9 +651,12 @@ object ScaleProbe {
       .repartition(par)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    val fams = Seq("q107_pii_redact", "q108_train_split", "q109_fuzzy_join",
+    val famsAll = Seq("q107_pii_redact", "q108_train_split", "q109_fuzzy_join",
       "q110_scd2", "q111_temperature_mix", "q112_hard_negatives",
-      "q113_pit_enrich", "q114_triangle_support", "q115_random_negatives")
+      "q113_pit_enrich", "q114_triangle_support", "q115_random_negatives",
+      "q116_textrank", "q117_canonical_select")
+    val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
+      .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val rows = fams.map { name =>
