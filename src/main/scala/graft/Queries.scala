@@ -3454,7 +3454,47 @@ object Queries {
         |SELECT m.doc_id, m.group_id, (m.doc_id = w.canon_id) AS keep
         |FROM mem m JOIN (SELECT group_id, canon_id FROM win WHERE rk = 1) w
         |  USING (group_id)
-        |ORDER BY m.doc_id""".stripMargin))
+        |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- 118. CDC changelog apply — collapse an I/U/D upsert log into the
+    //          live snapshot in ONE algebraic aggregation (Cdc.applyLog):
+    //          tombstones reset state, partial updates resolve per column.
+    //          events feed is the changelog: signup=I (full init),
+    //          click/purchase=U(value), view=U(props), error=D; event_id is
+    //          globally ts-monotone, so it is the per-key sequence. Doubles
+    //          become cents (round*100 → BIGINT) so payloads hash exactly. ----
+    QDef("q118_cdc_apply",
+      (s, dir) => {
+        import s.implicits._
+        val log = Tables.events(s, dir).select(
+          $"user_id", $"event_id",
+          when($"event_type" === "signup", "I")
+            .when($"event_type" === "error", "D").otherwise("U").as("op"),
+          when($"event_type".isin("signup", "click", "purchase"),
+            round($"value" * 100).cast("long")).as("v_cents"),
+          when($"event_type".isin("signup", "view"), $"props").as("p"))
+        graft.ops.Cdc.applyLog(log, Seq("user_id"), $"event_id", $"op",
+          Seq("v_cents", "p"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH log AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CASE WHEN event_type IN ('signup', 'click', 'purchase')
+        |         THEN CAST(round(value * 100) AS BIGINT) END AS v,
+        |    CASE WHEN event_type IN ('signup', 'view') THEN props END AS p
+        |  FROM events),
+        |d AS (SELECT user_id, max(event_id) FILTER (WHERE op = 'D') AS lastd,
+        |    arg_max(op, event_id) AS last_op FROM log GROUP BY user_id),
+        |w AS (SELECT l.user_id,
+        |    arg_max(l.v, l.event_id) FILTER (WHERE (l.op = 'I' OR l.v IS NOT NULL)
+        |      AND l.event_id > COALESCE(d.lastd, -1)) AS v_cents,
+        |    arg_max(l.p, l.event_id) FILTER (WHERE (l.op = 'I' OR l.p IS NOT NULL)
+        |      AND l.event_id > COALESCE(d.lastd, -1)) AS p
+        |  FROM log l JOIN d USING (user_id) GROUP BY l.user_id)
+        |SELECT w.user_id, w.v_cents, w.p FROM w JOIN d USING (user_id)
+        |WHERE d.last_op <> 'D'
+        |ORDER BY w.user_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
