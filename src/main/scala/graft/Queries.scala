@@ -3494,7 +3494,159 @@ object Queries {
         |  FROM log l JOIN d USING (user_id) GROUP BY l.user_id)
         |SELECT w.user_id, w.v_cents, w.p FROM w JOIN d USING (user_id)
         |WHERE d.last_op <> 'D'
-        |ORDER BY w.user_id""".stripMargin))
+        |ORDER BY w.user_id""".stripMargin)),
+
+    // ---- 119. table profiling — per-column null/distinct/min/max summary
+    //          in long format, ONE scan: cells melt to narrow (col, repr)
+    //          rows (explode of an inline struct array — no shuffle, no
+    //          Expand over the wide row), then a 6-key groupBy whose
+    //          count(DISTINCT) stage is keyed by (col, value), so the
+    //          distinct work fans over the cluster instead of serializing
+    //          into 6 hot groups. Numeric reprs are zero-padded to width 20
+    //          so lexicographic min/max IS numeric min/max (exact on both
+    //          engines; doubles ride as cents). ----
+    QDef("q119_profile",
+      (s, dir) => {
+        import s.implicits._
+        def pad(c: Column) = lpad(c.cast("string"), 20, "0")
+        val o = Tables.orders(s, dir)
+        val melted = o.select(explode(array(
+          struct(lit("o_orderkey").as("col_name"),
+            pad($"o_orderkey").as("val")),
+          struct(lit("o_custkey").as("col_name"), pad($"o_custkey").as("val")),
+          struct(lit("o_orderstatus").as("col_name"),
+            $"o_orderstatus".as("val")),
+          struct(lit("o_orderpriority").as("col_name"),
+            $"o_orderpriority".as("val")),
+          struct(lit("o_orderdate").as("col_name"),
+            pad(epochUs($"o_orderdate")).as("val")),
+          struct(lit("o_totalprice").as("col_name"),
+            pad(round($"o_totalprice" * 100).cast("long")).as("val"))))
+          .as("c"))
+          .select($"c.col_name", $"c.val")
+        melted.groupBy($"col_name").agg(
+          count(lit(1)).as("n"),
+          count($"val").as("n_non_null"),
+          count_distinct($"val").as("n_distinct"),
+          min($"val").as("min_repr"),
+          max($"val").as("max_repr"))
+          .orderBy($"col_name")
+      },
+      Some("""WITH m AS (
+        |  SELECT 'o_orderkey' AS col_name,
+        |         lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS val FROM orders
+        |  UNION ALL SELECT 'o_custkey',
+        |         lpad(CAST(o_custkey AS VARCHAR), 20, '0') FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderdate',
+        |         lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 20, '0') FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |         lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |              20, '0') FROM orders)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(val) AS BIGINT) AS n_non_null,
+        |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+        |  min(val) AS min_repr, max(val) AS max_repr
+        |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin)),
+
+    // ---- 120. burst detection — per (event_type, day) volume vs its
+    //          trailing-7-day window. The z-score test becomes an exact
+    //          integer cross-multiplication (7*cnt > k*sum7), so no float
+    //          enters the gate. The window runs over the |types|x|days|
+    //          DAILY aggregate (the fact table collapses first — same
+    //          discipline as q103): a RANGE frame on the day index, gated
+    //          on a full 7-row history so cold starts never false-fire. ----
+    QDef("q120_burst_detect",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .groupBy($"event_type",
+            datediff(to_date($"tstamp"), lit("2024-01-01").cast("date"))
+              .cast("long").as("day_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"event_type").orderBy($"day_idx")
+          .rangeBetween(-7, -1)
+        daily
+          .withColumn("sum7", sum($"cnt").over(w))
+          .withColumn("n7", count($"cnt").over(w))
+          .filter($"n7" === 7)
+          .select($"event_type", $"day_idx", $"cnt", $"sum7",
+            ($"cnt" * 7 > $"sum7").as("above_mean"),
+            ($"cnt" * 7 > $"sum7" * 2).as("burst2x"))
+          .orderBy($"event_type", $"day_idx")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day_idx, cnt,
+        |    CAST(sum(cnt) OVER tw AS BIGINT) AS sum7,
+        |    count(cnt) OVER tw AS n7
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day_idx, cnt, sum7,
+        |  (cnt * 7 > sum7) AS above_mean, (cnt * 7 > sum7 * 2) AS burst2x
+        |FROM w WHERE n7 = 7
+        |ORDER BY event_type, day_idx""".stripMargin)),
+
+    // ---- 121. token co-occurrence lift (PMI family) — word-association
+    //          mining over the corpus. Per-doc pair generation happens
+    //          IN THE ROW (nested transform over the sorted distinct token
+    //          array — codegen'd, zero shuffle), so the only shuffles are
+    //          the pair/unigram counts; the self-join-on-doc_id a 100 TB
+    //          corpus couldn't afford never exists. PMI's log is monotone,
+    //          so ranking by the exact integer lift c_ab*N*1e6 div (c_a*c_b)
+    //          IS ranking by PMI — no float enters the hash. ----
+    QDef("q121_cooccur_lift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val arr = array_sort(array_distinct(TF.tokens($"text")))
+        val withPairs = docs.select($"doc_id", arr.as("toks"))
+          .filter(size($"toks") > 0)
+        val pairs = withPairs.select(explode(flatten(transform($"toks",
+          (x, i) => transform(
+            slice($"toks", i + lit(2),
+              greatest(size($"toks") - i - 1, lit(0))),
+            y => struct(x.as("tok_a"), y.as("tok_b")))))).as("p"))
+          .select($"p.tok_a", $"p.tok_b")
+          .groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("c_ab"))
+        val toks = withPairs.select($"doc_id", explode($"toks").as("tok"))
+        val nDocs = withPairs.select(
+          count(lit(1)).cast("long").as("n_docs"))
+        val cTok = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        pairs
+          .join(broadcast(cTok.toDF("__ta", "c_a")), $"tok_a" === $"__ta")
+          .join(broadcast(cTok.toDF("__tb", "c_b")), $"tok_b" === $"__tb")
+          .crossJoin(broadcast(nDocs))
+          .filter($"c_ab" >= 5)
+          .select($"tok_a", $"tok_b", $"c_ab",
+            // integer `div` keeps the rank exact — a rounded double
+            // quotient could flip ties at the top-50 boundary
+            expr("(c_ab * n_docs * 1000000) div (c_a * c_b)").as("lift_ppm"))
+          .orderBy($"lift_ppm".desc, $"tok_a", $"tok_b")
+          .limit(50)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(COALESCE(text, ''), ' '), x -> x <> ''))) AS tok
+        |  FROM documents),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+        |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, c_ab,
+        |  (c_ab * n.n_docs * 1000000) // (ca_a.c * ca_b.c) AS lift_ppm
+        |FROM pairs
+        |JOIN ca ca_a ON pairs.tok_a = ca_a.tok
+        |JOIN ca ca_b ON pairs.tok_b = ca_b.tok
+        |CROSS JOIN n
+        |WHERE c_ab >= 5
+        |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 50""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
