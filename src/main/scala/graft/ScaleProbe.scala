@@ -650,11 +650,23 @@ object ScaleProbe {
         col("embedding"), col("label"))
       .repartition(par)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events: shift user_id AND event_id per replica — event_id stays the
+    // per-key CDC sequence (within-replica order preserved, replica keys
+    // disjoint); raw nanos `ts` column kept so Tables.events re-derives.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    explodeR(spark.read.schema(Tables.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet"))
+      .select((col("event_id") + col("__r") * shift).as("event_id"),
+        col("ts"), (col("user_id") + col("__r") * shift).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val famsAll = Seq("q107_pii_redact", "q108_train_split", "q109_fuzzy_join",
       "q110_scd2", "q111_temperature_mix", "q112_hard_negatives",
       "q113_pit_enrich", "q114_triangle_support", "q115_random_negatives",
-      "q116_textrank", "q117_canonical_select")
+      "q116_textrank", "q117_canonical_select", "q118_cdc_apply",
+      "q119_profile", "q120_burst_detect", "q121_cooccur_lift")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
