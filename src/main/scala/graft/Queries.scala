@@ -74,6 +74,51 @@ object Queries {
       "\nORDER BY pr DESC, token LIMIT 50"
   }
 
+  /** q122's unrolled greedy-MMR oracle: k-1 select/score/pick rounds as
+    * CTEs, mirroring Mmr.diversify step for step. Integer ppm scores make
+    * every round's argmax exact on both engines.
+    */
+  private def mmrOracleSql(k: Int, nCand: Int): String = {
+    val head =
+      s"""WITH probe AS (SELECT label, min(vec_id) AS pid FROM embeddings GROUP BY label),
+         |p AS (SELECT probe.label, CAST(e.embedding AS DOUBLE[]) AS pv
+         |      FROM probe JOIN embeddings e ON e.vec_id = probe.pid),
+         |rel AS (SELECT e.label, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         |      CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv)
+         |           * 1000000) AS BIGINT) AS rel_ppm
+         |    FROM embeddings e JOIN p ON e.label = p.label),
+         |cand AS (SELECT label, vec_id, emb, rel_ppm FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY label
+         |       ORDER BY rel_ppm DESC, vec_id) AS rn FROM rel) WHERE rn <= $nCand),
+         |sims AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |      CAST(round(list_cosine_similarity(a.emb, b.emb) * 1000000) AS BIGINT)
+         |        AS sim_ppm
+         |    FROM cand a JOIN cand b
+         |      ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT label, vec_id, rel_ppm, CAST(1 AS BIGINT) AS step FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY label
+         |       ORDER BY rel_ppm DESC, vec_id) AS rn FROM cand) WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""sc$t AS (SELECT c.label, c.vec_id, c.rel_ppm,
+         |      c.rel_ppm - COALESCE(m.maxsim, 0) AS score
+         |    FROM cand c
+         |    LEFT JOIN (SELECT s.label, s.id_a, max(s.sim_ppm) AS maxsim
+         |               FROM sims s JOIN sel${t - 1} x
+         |                 ON x.label = s.label AND x.vec_id = s.id_b
+         |               GROUP BY 1, 2) m
+         |      ON m.label = c.label AND m.id_a = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x2
+         |      WHERE x2.label = c.label AND x2.vec_id = c.vec_id)),
+         |pk$t AS (SELECT label, vec_id, rel_ppm, CAST($t AS BIGINT) AS step FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY label
+         |       ORDER BY score DESC, vec_id) AS rn FROM sc$t) WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT label, vec_id, rel_ppm, step FROM sel$k" +
+      "\nORDER BY label, step"
+  }
+
   private val dec38_6 = DecimalType(38, 6)
   private val dec18_6 = DecimalType(18, 6)
   private val dec12_6 = DecimalType(12, 6)
@@ -3615,13 +3660,16 @@ object Queries {
           .select($"p.tok_a", $"p.tok_b")
           .groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("c_ab"))
         val toks = withPairs.select($"doc_id", explode($"toks").as("tok"))
-        val nDocs = withPairs.select(
-          count(lit(1)).cast("long").as("n_docs"))
+        // scalar N resolved eagerly and inlined (Bm25 pattern): a
+        // crossJoin — even broadcast, even on a constant key, which
+        // Catalyst folds away — plans the BroadcastNestedLoopJoin the
+        // PlanSpec whole-surface sweep bans
+        val nDocs: Long = withPairs.count()
         val cTok = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
         pairs
           .join(broadcast(cTok.toDF("__ta", "c_a")), $"tok_a" === $"__ta")
           .join(broadcast(cTok.toDF("__tb", "c_b")), $"tok_b" === $"__tb")
-          .crossJoin(broadcast(nDocs))
+          .withColumn("n_docs", lit(nDocs))
           .filter($"c_ab" >= 5)
           .select($"tok_a", $"tok_b", $"c_ab",
             // integer `div` keeps the rank exact — a rounded double
@@ -3646,7 +3694,45 @@ object Queries {
         |JOIN ca ca_b ON pairs.tok_b = ca_b.tok
         |CROSS JOIN n
         |WHERE c_ab >= 5
-        |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 50""".stripMargin))
+        |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
+
+    // ---- 122. MMR diversified retrieval — greedy re-rank of each label's
+    //          top-20 cosine candidates so every pick trades relevance
+    //          against similarity to prior picks (Mmr.diversify; λ=0.5
+    //          collapses to the exact integer score rel−maxsim). The k-1
+    //          greedy rounds run over the BOUNDED candidate lists (20/label)
+    //          — per-query joins + combinable argmax, never the corpus; the
+    //          oracle replays the identical rounds as unrolled CTEs. ----
+    QDef("q122_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val cs = graft.functions.HashExpressions.cosineSim _
+        val emb = Tables.embeddings(s, dir)
+        val probe = emb.groupBy($"label").agg(min($"vec_id").as("pid"))
+        val p = probe.as("pr").join(emb.as("e1"), $"pid" === $"e1.vec_id")
+          .select($"pr.label".as("label"), $"e1.embedding".as("pv"))
+        val rel = emb.as("e").join(broadcast(p.as("pp")),
+            $"e.label" === $"pp.label")
+          .select($"e.label".as("label"), $"e.vec_id".as("vec_id"),
+            $"e.embedding".as("emb"),
+            round(cs($"e.embedding", $"pp.pv") * 1e6).cast("long")
+              .as("rel_ppm"))
+        val cand = rel.withColumn("rn", row_number().over(
+            Window.partitionBy($"label").orderBy($"rel_ppm".desc, $"vec_id")))
+          .filter($"rn" <= 20).drop("rn")
+          .localCheckpoint(true) // sims + diversify re-read it k+1 times
+        val sims = cand.as("a").join(cand.as("b"),
+            $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+          .select($"a.label".as("label"), $"a.vec_id".as("vec_id"),
+            $"b.vec_id".as("id_b"),
+            round(cs($"a.emb", $"b.emb") * 1e6).cast("long").as("sim_ppm"))
+        graft.ops.Mmr.diversify(
+            cand.select($"label", $"vec_id", $"rel_ppm"), sims,
+            "label", "vec_id", "rel_ppm", "id_b", "sim_ppm", k = 5)
+          .select($"label", $"vec_id", $"rel_ppm", $"step".cast("long").as("step"))
+          .orderBy($"label", $"step")
+      },
+      Some(mmrOracleSql(k = 5, nCand = 20)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
