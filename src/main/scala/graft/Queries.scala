@@ -119,6 +119,31 @@ object Queries {
       "\nORDER BY label, step"
   }
 
+  /** q124's unrolled BFS oracle: layer CTEs f1..fH (frontier = newly
+    * reached, mirroring Bfs.kHopDistances round for round) over the
+    * symmetrized distinct bigram graph of q116.
+    */
+  private def bfsOracleSql(hops: Int): String = {
+    val head =
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |e0 AS (SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |es AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |f0 AS (SELECT least(min(a), min(b)) AS v FROM es),
+        |r0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM f0)""".stripMargin
+    val steps = (1 to hops).map { h =>
+      s"""f$h AS (SELECT DISTINCT es.b AS v
+         |    FROM f${h - 1} JOIN es ON es.a = f${h - 1}.v
+         |    WHERE NOT EXISTS (SELECT 1 FROM r${h - 1} r WHERE r.v = es.b)),
+         |r$h AS (SELECT v, dist FROM r${h - 1}
+         |    UNION ALL SELECT v, CAST($h AS BIGINT) FROM f$h)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS token, dist FROM r$hops ORDER BY dist, token"
+  }
+
   private val dec38_6 = DecimalType(38, 6)
   private val dec18_6 = DecimalType(18, 6)
   private val dec12_6 = DecimalType(12, 6)
@@ -3732,7 +3757,67 @@ object Queries {
           .select($"label", $"vec_id", $"rel_ppm", $"step".cast("long").as("step"))
           .orderBy($"label", $"step")
       },
-      Some(mmrOracleSql(k = 5, nCand = 20)))
+      Some(mmrOracleSql(k = 5, nCand = 20))),
+
+    // ---- 123. inverted-index build — posting lists per token: df,
+    //          corpus tf, and the first 20 doc_ids. The (tok, doc) tf
+    //          partial collapses map-side BEFORE any list materializes, so
+    //          a stopword's million-doc posting list reaches one reducer as
+    //          pre-counted rows, and the emitted list itself is CAPPED at
+    //          20 (the full-list path is q62's sharded layout — here the
+    //          cap is the point: an index header, not the raw index).
+    //          collect_list order is partition-dependent → array_sort
+    //          restores determinism before the slice. ----
+    QDef("q123_inverted_index",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", explode(TF.tokens($"text")).as("tok"))
+        toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+          .groupBy($"tok").agg(
+            count(lit(1)).as("df"),
+            sum($"tf").cast("long").as("tf_total"),
+            concat_ws(",",
+              slice(array_sort(collect_list($"doc_id")), 1, 20))
+              .as("top_docs"))
+          .orderBy($"tok")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |g AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',') AS top_docs
+        |FROM g GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    // ---- 124. bounded-hop BFS — exact hop distances (≤4) from the
+    //          lexicographically-first token over the symmetrized bigram
+    //          graph (q116's edges). Frontier expansion: each round joins
+    //          only the JUST-reached layer against the edges, so settled
+    //          vertices are never re-expanded (full relaxation re-joins
+    //          the whole reached set every round — quadratic on hubs).
+    //          Integer distances → exact hash; oracle replays the layers
+    //          as unrolled CTEs. ----
+    QDef("q124_khop_bfs",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        val eDir = t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"bg.a", $"bg.b").filter($"a" =!= $"b").distinct()
+        val eSym = eDir.unionByName(eDir.select($"b".as("a"), $"a".as("b")))
+          .distinct()
+        val seed = eSym.select(least(min($"a"), min($"b")).as("v"))
+        graft.ops.Bfs.kHopDistances(eSym, "a", "b", seed, "v", maxHops = 4)
+          .select($"v".as("token"), $"dist")
+          .orderBy($"dist", $"token")
+      },
+      Some(bfsOracleSql(hops = 4)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

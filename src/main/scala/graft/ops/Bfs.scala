@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop BFS distances over an edge list — the reachability /
+  * shortest-unweighted-path primitive rounding out the graph family
+  * ([[PageRank]], [[Triangles]], connected components in Dedup).
+  *
+  * Frontier expansion, not full relaxation: round h joins ONLY the vertices
+  * first reached at hop h-1 against the edge list, so per-round cost is
+  * |frontier ⋈ edges|, and a long-settled million-vertex core is never
+  * rejoined (full relaxation re-expands every reached vertex every round —
+  * quadratic on hub-and-spoke graphs). The reached set is a min-dist
+  * aggregate (combinable), `localCheckpoint` cuts lineage per round, and a
+  * drained frontier short-circuits the loop. Distances are exact longs, so
+  * results are partition-order-independent.
+  */
+object Bfs {
+
+  /** Distances (0..maxHops) from `sources` over DIRECTED edges `(aCol →
+    * bCol)`; symmetrize the edge list first for undirected graphs. Returns
+    * (vCol, dist) for every vertex reached within `maxHops`.
+    */
+  def kHopDistances(edges: DataFrame, aCol: String, bCol: String,
+                    sources: DataFrame, vCol: String,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    var dist = sources.select(col(vCol).as("__v")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val reachedNow = frontier.join(e, col("__v") === col("__a"))
+        .select(col("__b").as("__v")).distinct()
+        .join(dist.select(col("__v")), Seq("__v"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      dist = dist.unionByName(reachedNow).localCheckpoint(true)
+      frontier = reachedNow
+      h += 1
+    }
+    dist.select(col("__v").as(vCol), col("dist"))
+  }
+}
