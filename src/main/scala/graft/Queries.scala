@@ -3817,7 +3817,111 @@ object Queries {
           .select($"v".as("token"), $"dist")
           .orderBy($"dist", $"token")
       },
-      Some(bfsOracleSql(hops = 4)))
+      Some(bfsOracleSql(hops = 4))),
+
+    // ---- 125. keyness / distinctive terms per language — which tokens are
+    //          over-represented in a slice vs the rest of the corpus (the
+    //          domain-drift primitive: swap lang for snapshot/source and it
+    //          is corpus drift). Signal = difference of doc-frequency
+    //          proportions in ppm, computed with INTEGER floor division
+    //          (Spark `div` ≡ DuckDB `//`, both truncate toward zero) so
+    //          ranking is exact — the chi²/log-likelihood keyness tests are
+    //          monotone in this delta at fixed group sizes. Total df is
+    //          RE-AGGREGATED from the per-lang partial (langs partition
+    //          docs), not a second corpus scan; the only broadcast is the
+    //          |langs|-row size table. ----
+    QDef("q125_keyness",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val docTok = docs.select($"doc_id", $"lang",
+          explode(array_distinct(TF.tokens($"text"))).as("tok"))
+        val perLang = docTok.groupBy($"lang", $"tok")
+          .agg(count(lit(1)).as("a"))
+        val dfTot = perLang.groupBy($"tok").agg(sum($"a").as("df"))
+        val langN = docs.groupBy($"lang").agg(count(lit(1)).as("na"))
+        val nDocs: Long = docs.count() // scalar inlined (q121 pattern)
+        perLang.join(dfTot, "tok")
+          .join(broadcast(langN), "lang")
+          .withColumn("b", $"df" - $"a")
+          .withColumn("nb", lit(nDocs) - $"na")
+          .filter($"a" >= 5)
+          .withColumn("delta_ppm",
+            expr("(a * 1000000) div na") - expr("(b * 1000000) div nb"))
+          .filter($"delta_ppm" > 0)
+          .select($"lang", $"tok", $"a", $"b", $"delta_ppm")
+          .orderBy($"delta_ppm".desc, $"lang", $"tok")
+          .limit(50)
+      },
+      Some("""WITH dt AS (SELECT doc_id, lang, unnest(list_distinct(list_filter(
+        |    string_split(COALESCE(text, ''), ' '), x -> x <> ''))) AS tok
+        |  FROM documents),
+        |pl AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a
+        |  FROM dt GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(sum(a) AS BIGINT) AS df FROM pl GROUP BY tok),
+        |ln AS (SELECT lang, CAST(count(*) AS BIGINT) AS na
+        |  FROM documents GROUP BY lang),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |j AS (SELECT pl.lang, pl.tok, pl.a, dft.df - pl.a AS b,
+        |    ln.na, n.n_docs - ln.na AS nb
+        |  FROM pl JOIN dft ON pl.tok = dft.tok
+        |  JOIN ln ON pl.lang = ln.lang CROSS JOIN n
+        |  WHERE pl.a >= 5)
+        |SELECT lang, tok, a, b,
+        |  ((a * 1000000) // na) - ((b * 1000000) // nb) AS delta_ppm
+        |FROM j
+        |WHERE ((a * 1000000) // na) - ((b * 1000000) // nb) > 0
+        |ORDER BY delta_ppm DESC, lang, tok LIMIT 50""".stripMargin)),
+
+    // ---- 126. per-group OLS trend — closed-form regression of order value
+    //          (cents) against order day, one slope/intercept per priority
+    //          class. The five moment sums (n, Σx, Σy, Σxy, Σx²) are plain
+    //          combinable aggregates — ONE key shuffle carrying 5 longs per
+    //          group regardless of corpus size — and the closed form runs on
+    //          the |groups|-row result. Cross products overflow int64
+    //          (n·Σxy ≈ 1e20) so they are combined in DECIMAL(38,0) /
+    //          HUGEINT, and the final quotients are INTEGER divisions in ppm
+    //          — no float anywhere, the hash is exact. ----
+    QDef("q126_group_ols",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val base = Tables.orders(s, dir).select($"o_orderpriority",
+          datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+          round($"o_totalprice" * 100).cast("long").as("y"))
+        base.groupBy($"o_orderpriority").agg(
+            count(lit(1)).cast("long").as("n"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+          .select($"o_orderpriority", $"n",
+            (($"n".cast(d38) * $"sxy".cast(d38) -
+              $"sx".cast(d38) * $"sy".cast(d38)).as("num_s")),
+            (($"sxx".cast(d38) * $"sy".cast(d38) -
+              $"sx".cast(d38) * $"sxy".cast(d38)).as("num_i")),
+            (($"n".cast(d38) * $"sxx".cast(d38) -
+              $"sx".cast(d38) * $"sx".cast(d38)).as("den")))
+          .select($"o_orderpriority", $"n",
+            expr("(num_s * 1000000) div den").as("slope_ppm"),
+            expr("(num_i * 1000000) div den").as("icept_ppm"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH b AS (SELECT o_orderpriority,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        |    AS BIGINT) AS slope_ppm,
+        |  CAST(((sxx * sy - sx * sxy) * 1000000) // (n * sxx - sx * sx)
+        |    AS BIGINT) AS icept_ppm
+        |FROM m ORDER BY o_orderpriority""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -667,7 +667,8 @@ object ScaleProbe {
       "q113_pit_enrich", "q114_triangle_support", "q115_random_negatives",
       "q116_textrank", "q117_canonical_select", "q118_cdc_apply",
       "q119_profile", "q120_burst_detect", "q121_cooccur_lift",
-      "q122_mmr_rerank", "q123_inverted_index", "q124_khop_bfs")
+      "q122_mmr_rerank", "q123_inverted_index", "q124_khop_bfs",
+      "q125_keyness", "q126_group_ols")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
