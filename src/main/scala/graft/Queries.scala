@@ -3921,7 +3921,83 @@ object Queries {
         |    AS BIGINT) AS slope_ppm,
         |  CAST(((sxx * sy - sx * sxy) * 1000000) // (n * sxx - sx * sx)
         |    AS BIGINT) AS icept_ppm
-        |FROM m ORDER BY o_orderpriority""".stripMargin))
+        |FROM m ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- 127. Markov transition matrix — next-event transition counts and
+    //          probabilities over each user's event sequence (the behavioral
+    //          model behind q85's path mining). One per-user window (lead)
+    //          produces the bigrams; the matrix is |types|² rows, so the
+    //          row-normalizing totals come from RE-AGGREGATING the matrix
+    //          itself and the only join is a broadcast of |types| rows.
+    //          Probabilities are integer ppm (floor div) — exact hash. ----
+    QDef("q127_markov_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val trans = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+          .withColumn("to_type", lead($"event_type", 1).over(w))
+          .filter($"to_type".isNotNull)
+          .groupBy($"event_type".as("from_type"), $"to_type")
+          .agg(count(lit(1)).as("cnt"))
+        val totals = trans.groupBy($"from_type")
+          .agg(sum($"cnt").as("tot"))
+        trans.join(broadcast(totals), "from_type")
+          .select($"from_type", $"to_type", $"cnt",
+            expr("(cnt * 1000000) div tot").as("p_ppm"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM e),
+        |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, t.cnt,
+        |  (t.cnt * 1000000) // tot.tot AS p_ppm
+        |FROM t JOIN tot ON t.from_type = tot.from_type
+        |ORDER BY t.from_type, t.to_type""".stripMargin)),
+
+    // ---- 128. vocabulary coverage / OOV audit — what fraction of each
+    //          language's token stream a top-V vocabulary (q65's ranking)
+    //          fails to cover: the go/no-go check before committing a
+    //          tokenizer to a corpus. ONE corpus scan: the per-(lang, token)
+    //          tf partial feeds both the vocab ranking (re-aggregate, q125's
+    //          trick) and the coverage sums; vocab membership is a broadcast
+    //          left join of V rows. OOV rate is integer ppm — exact. ----
+    QDef("q128_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val lt = Tables.documents(s, dir)
+          .select($"lang", explode(TF.tokens($"text")).as("token"))
+          .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+        val vocab = lt.groupBy($"token").agg(sum($"c").as("tf"))
+          .orderBy($"tf".desc, $"token").limit(20)
+          .select($"token", lit(1L).as("__in"))
+        lt.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy($"lang").agg(
+            sum($"c").as("n_tok"),
+            sum(when($"__in".isNull, $"c").otherwise(lit(0L))).as("n_oov"))
+          .select($"lang", $"n_tok", $"n_oov",
+            expr("(n_oov * 1000000) div n_tok").as("oov_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH lt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(list_filter(
+        |      string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |v AS (SELECT token FROM (SELECT token, CAST(sum(c) AS BIGINT) AS tf
+        |    FROM lt GROUP BY token) ORDER BY tf DESC, token LIMIT 20),
+        |cov AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM lt LEFT JOIN v ON lt.token = v.token GROUP BY lang)
+        |SELECT lang, n_tok, n_oov, (n_oov * 1000000) // n_tok AS oov_ppm
+        |FROM cov ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

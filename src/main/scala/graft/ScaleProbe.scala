@@ -668,7 +668,8 @@ object ScaleProbe {
       "q116_textrank", "q117_canonical_select", "q118_cdc_apply",
       "q119_profile", "q120_burst_detect", "q121_cooccur_lift",
       "q122_mmr_rerank", "q123_inverted_index", "q124_khop_bfs",
-      "q125_keyness", "q126_group_ols")
+      "q125_keyness", "q126_group_ols",
+      "q127_markov_transitions", "q128_vocab_coverage")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
