@@ -3997,7 +3997,120 @@ object Queries {
         |      AS n_oov
         |  FROM lt LEFT JOIN v ON lt.token = v.token GROUP BY lang)
         |SELECT lang, n_tok, n_oov, (n_oov * 1000000) // n_tok AS oov_ppm
-        |FROM cov ORDER BY lang""".stripMargin))
+        |FROM cov ORDER BY lang""".stripMargin)),
+
+    // ---- 129. referential-integrity / join-coverage audit — for each FK
+    //          edge of the star schema: child rows, distinct FK values,
+    //          parent rows, parents actually referenced, and orphans. The
+    //          audit a warehouse runs before trusting any join. Per edge:
+    //          one distinct-collapse of the child's FK column (map-side,
+    //          column-pruned scan) + ONE join against the parent KEYS only
+    //          — the full-width tables never shuffle; counts are combinable
+    //          sums over the collapsed key sets. ----
+    QDef("q129_fk_audit",
+      (s, dir) => {
+        import s.implicits._
+        def edge(name: String, child: DataFrame, fk: String,
+                 parent: DataFrame, pk: String): DataFrame = {
+          val stats = child.select(col(fk).as("__fk"))
+            .groupBy($"__fk").agg(count(lit(1)).as("__c"))
+          val joined = stats.join(
+            parent.select(col(pk).as("__pk")), $"__fk" === $"__pk", "full")
+          joined.agg(
+              sum(coalesce($"__c", lit(0L))).as("n_child"),
+              count(when($"__fk".isNotNull, 1)).as("n_fk_distinct"),
+              count(when($"__pk".isNotNull, 1)).as("n_parent"),
+              count(when($"__fk".isNotNull && $"__pk".isNotNull, 1))
+                .as("n_parent_used"),
+              sum(when($"__pk".isNull, $"__c").otherwise(lit(0L)))
+                .as("n_orphan"))
+            .select(lit(name).as("edge"), $"n_child", $"n_fk_distinct",
+              $"n_parent", $"n_parent_used", $"n_orphan")
+        }
+        edge("events.user_id->customer", Tables.events(s, dir), "user_id",
+            Tables.customer(s, dir), "c_custkey")
+          .unionByName(edge("lineitem.l_orderkey->orders",
+            Tables.lineitem(s, dir), "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey"))
+          .unionByName(edge("orders.o_custkey->customer",
+            Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"))
+          .orderBy($"edge")
+      },
+      Some("""WITH e AS (
+        |  SELECT 'events.user_id->customer' AS edge, user_id AS fk
+        |    FROM events
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders', l_orderkey
+        |    FROM lineitem
+        |  UNION ALL SELECT 'orders.o_custkey->customer', o_custkey
+        |    FROM orders),
+        |p AS (
+        |  SELECT 'events.user_id->customer' AS edge, c_custkey AS pk
+        |    FROM customer
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders', o_orderkey
+        |    FROM orders
+        |  UNION ALL SELECT 'orders.o_custkey->customer', c_custkey
+        |    FROM customer),
+        |st AS (SELECT edge, fk, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(st.edge, p.edge) AS edge, st.fk, st.c, p.pk
+        |  FROM st FULL JOIN p ON st.edge = p.edge AND st.fk = p.pk)
+        |SELECT edge,
+        |  CAST(sum(COALESCE(c, 0)) AS BIGINT) AS n_child,
+        |  CAST(count(CASE WHEN fk IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_fk_distinct,
+        |  CAST(count(CASE WHEN pk IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_parent,
+        |  CAST(count(CASE WHEN fk IS NOT NULL AND pk IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS n_parent_used,
+        |  CAST(sum(CASE WHEN pk IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_orphan
+        |FROM j GROUP BY edge ORDER BY edge""".stripMargin)),
+
+    // ---- 130. TWAP — time-weighted average value per (event_type, day):
+    //          each observation holds until the next one, so its weight is
+    //          the gap to the successor (µs, last observation of a day
+    //          drops — no weight witness). q53 VWAP's calendar twin. The
+    //          lead window and the aggregate share the (type, day) key, so
+    //          Catalyst reuses ONE shuffle for both; value enters as
+    //          DECIMAL so Σ(v·w) is exact, and the fixed-point quotient
+    //          (1e-4 units) is an integer division — exact hash. ----
+    QDef("q130_twap",
+      (s, dir) => {
+        import s.implicits._
+        val day = expr("ts_us div 86400000000").as("day_idx")
+        val w = Window.partitionBy($"event_type", $"day_idx")
+          .orderBy($"ts_us", $"event_id")
+        val d38 = DecimalType(38, 4)
+        Tables.events(s, dir)
+          .select($"event_type", day, $"ts_us", $"event_id",
+            round($"value", 4).cast(DecimalType(18, 4)).as("v"))
+          .withColumn("w_us", lead($"ts_us", 1).over(w) - $"ts_us")
+          .filter($"w_us".isNotNull)
+          .groupBy($"event_type", $"day_idx")
+          .agg(count(lit(1)).as("n"),
+            sum($"v" * $"w_us").cast(d38).as("num"),
+            sum($"w_us").as("den"))
+          .select($"event_type", $"day_idx".cast("long").as("day_idx"), $"n",
+            expr("(num * 10000) div den").as("twap_fp4"))
+          .orderBy($"event_type", $"day_idx")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day_idx, epoch_us(ts) AS ts_us,
+        |    event_id, CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |g AS (SELECT event_type, day_idx, v,
+        |    lead(ts_us) OVER (PARTITION BY event_type, day_idx
+        |      ORDER BY ts_us, event_id) - ts_us AS w_us
+        |  FROM e)
+        |SELECT event_type, day_idx, CAST(count(*) AS BIGINT) AS n,
+        |  -- HUGEINT // HUGEINT: DuckDB's // on DECIMALs is not the exact
+        |  -- truncating division Spark's `div` does; the scaled numerator is
+        |  -- integral, so integer division reproduces it exactly
+        |  CAST(CAST(sum(v * w_us) * 10000 AS HUGEINT)
+        |    // CAST(sum(w_us) AS HUGEINT) AS BIGINT) AS twap_fp4
+        |FROM g WHERE w_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, day_idx""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -650,6 +650,18 @@ object ScaleProbe {
         col("embedding"), col("label"))
       .repartition(par)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // lineitem: l_orderkey shifted in step with nothing — orders keeps
+    // o_orderkey unshifted, so each replica's lineitems reference the SAME
+    // parent keys; for q129's audit probe that fans n_child 10× while
+    // n_parent stays 1×, which is exactly the asymmetric-growth shape a
+    // coverage audit meets in production (fact grows, dim doesn't).
+    explodeR(Tables.lineitem(spark, sfDir))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // events: shift user_id AND event_id per replica — event_id stays the
     // per-key CDC sequence (within-replica order preserved, replica keys
     // disjoint); raw nanos `ts` column kept so Tables.events re-derives.
@@ -669,7 +681,8 @@ object ScaleProbe {
       "q119_profile", "q120_burst_detect", "q121_cooccur_lift",
       "q122_mmr_rerank", "q123_inverted_index", "q124_khop_bfs",
       "q125_keyness", "q126_group_ols",
-      "q127_markov_transitions", "q128_vocab_coverage")
+      "q127_markov_transitions", "q128_vocab_coverage",
+      "q129_fk_audit", "q130_twap")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
