@@ -4110,7 +4110,39 @@ object Queries {
         |  CAST(CAST(sum(v * w_us) * 10000 AS HUGEINT)
         |    // CAST(sum(w_us) AS HUGEINT) AS BIGINT) AS twap_fp4
         |FROM g WHERE w_us IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY event_type, day_idx""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY event_type, day_idx""".stripMargin)),
+
+    // ---- 131. exact weighted median — quantity-weighted median unit price
+    //          per return flag (the importance-weighted centre: every unit
+    //          shipped votes, not every line). WeightedMedian: identical
+    //          values collapse map-side, cumulative weight via the
+    //          distributed prefix sum (range sort — no per-group window
+    //          task, no value buffer), and the median is selected by its
+    //          crossing-point predicate 2·(cum−w) < W ≤ 2·cum — one row
+    //          per group leaves the executors, nothing driver-side.
+    //          Integer weights → exact hash. ----
+    QDef("q131_weighted_median",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_extendedprice".as("price"),
+            round($"l_quantity").cast("long").as("qty"))
+        graft.ops.WeightedMedian.perGroup(
+            li, Seq("l_returnflag"), "price", "qty")
+          .select($"l_returnflag", $"wmedian", $"total_weight")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag, l_extendedprice AS price,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, price, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT l_returnflag, price AS wmedian, tot AS total_weight
+        |FROM c WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
+        |ORDER BY l_returnflag""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
