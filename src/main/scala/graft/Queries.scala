@@ -4142,7 +4142,133 @@ object Queries {
         |  FROM g)
         |SELECT l_returnflag, price AS wmedian, tot AS total_weight
         |FROM c WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
-        |ORDER BY l_returnflag""".stripMargin))
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- 132. correlation profile grid — pairwise Pearson r² for the
+    //          measure pairs of lineitem, per return flag, from ONE scan:
+    //          all five moment sums per pair ride the same combinable
+    //          aggregate row (q126's pattern widened to a grid), then the
+    //          |flags|×|pairs| closed forms run on the tiny result,
+    //          unpivoted to rows. All sums exact in DECIMAL(38,0)/HUGEINT;
+    //          r² = (num/denx)·(num/deny) evaluated as NESTED integer
+    //          division b1 = (num·1e6) div denx, then (b1·num) div deny —
+    //          identical nesting in both engines, and each pair is
+    //          oriented with x = the lower-variance measure so b1 carries
+    //          ≥1e6 granularity (floor drift ≤ ppm). Sign emitted
+    //          separately; no float ever enters the hash. num² is never
+    //          formed, so nothing approaches the 38-digit ceiling. ----
+    QDef("q132_corr_grid",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val base = Tables.lineitem(s, dir).select($"l_returnflag",
+          round($"l_quantity").cast("long").as("q"),
+          round($"l_extendedprice").cast("long").as("p"),
+          round($"l_discount" * 100).cast("long").as("dc"))
+        val m = base.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum($"q").as("sq"), sum($"p").as("sp"), sum($"dc").as("sd"),
+          sum(d($"q") * d($"q")).as("sqq"),
+          sum(d($"p") * d($"p")).as("spp"),
+          sum(d($"dc") * d($"dc")).as("sdd"),
+          sum(d($"q") * d($"p")).as("sqp"),
+          sum(d($"q") * d($"dc")).as("sqd"),
+          sum(d($"p") * d($"dc")).as("spd"))
+        def pair(name: String, sx: String, sy: String, sxy: String,
+                 sxx: String, syy: String) =
+          m.select($"l_returnflag", lit(name).as("pair"), $"n",
+            (d($"n") * $"$sxy" - d($"$sx") * d($"$sy")).as("num"),
+            (d($"n") * $"$sxx" - d($"$sx") * d($"$sx")).as("denx"),
+            (d($"n") * $"$syy" - d($"$sy") * d($"$sy")).as("deny"))
+        pair("qty_price", "sq", "sp", "sqp", "sqq", "spp")
+          .unionByName(pair("disc_qty", "sd", "sq", "sqd", "sdd", "sqq"))
+          .unionByName(pair("disc_price", "sd", "sp", "spd", "sdd", "spp"))
+          .select($"l_returnflag", $"pair", $"n",
+            signum($"num").cast("long").as("sign"),
+            expr("(((num * 1000000) div denx) * num) div deny").as("r2_ppm"))
+          .orderBy($"l_returnflag", $"pair")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS HUGEINT) AS q,
+        |    CAST(round(l_extendedprice) AS HUGEINT) AS p,
+        |    CAST(round(l_discount * 100) AS HUGEINT) AS dc
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(q) AS sq, sum(p) AS sp, sum(dc) AS sd,
+        |    sum(q * q) AS sqq, sum(p * p) AS spp, sum(dc * dc) AS sdd,
+        |    sum(q * p) AS sqp, sum(q * dc) AS sqd, sum(p * dc) AS spd
+        |  FROM b GROUP BY 1),
+        |u AS (
+        |  SELECT l_returnflag, 'qty_price' AS pair, n,
+        |      n * sqp - sq * sp AS num, n * sqq - sq * sq AS denx,
+        |      n * spp - sp * sp AS deny FROM m
+        |  UNION ALL SELECT l_returnflag, 'disc_qty', n,
+        |      n * sqd - sq * sd, n * sdd - sd * sd, n * sqq - sq * sq FROM m
+        |  UNION ALL SELECT l_returnflag, 'disc_price', n,
+        |      n * spd - sp * sd, n * sdd - sd * sd, n * spp - sp * sp FROM m)
+        |SELECT l_returnflag, pair, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS sign,
+        |  CAST((((num * 1000000) // denx) * num) // deny AS BIGINT) AS r2_ppm
+        |FROM u ORDER BY l_returnflag, pair""".stripMargin)),
+
+    // ---- 133. interval union / coverage — per user, the total time
+    //          covered by the union of [ts, ts+30s) activity intervals
+    //          (reach/uptime over overlapping segments — the measure
+    //          sessionize's gap rule can't produce). Classic merge: a
+    //          running max of interval ends over the time-sorted stream;
+    //          a row opens a NEW segment iff its start clears that max.
+    //          Both window passes share the per-user shuffle; µs integers
+    //          end to end — exact. ----
+    QDef("q133_interval_union",
+      (s, dir) => {
+        import s.implicits._
+        val width = 30000000L // 30 s in µs
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        val seg = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id",
+            ($"ts_us" + lit(width)).as("end_us"))
+          .withColumn("new_seg",
+            when($"ts_us" > max($"end_us").over(wPrev), 1L)
+              .otherwise(when(max($"end_us").over(wPrev).isNull, 1L)
+                .otherwise(0L)))
+          .withColumn("seg_id", sum($"new_seg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        seg.groupBy($"user_id", $"seg_id")
+          .agg(min($"ts_us").as("s"), max($"end_us").as("e"),
+            count(lit(1)).as("c"))
+          .groupBy($"user_id")
+          .agg(sum($"c").as("n_events"),
+            count(lit(1)).as("n_segments"),
+            sum($"e" - $"s").as("covered_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) + 30000000 AS end_us FROM events),
+        |f AS (SELECT user_id, ts_us, end_us,
+        |    CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      THEN 1
+        |      WHEN ts_us > max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_seg
+        |  FROM e),
+        |g AS (SELECT user_id, ts_us, end_us,
+        |    CAST(sum(new_seg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, end_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+        |  FROM f),
+        |sg AS (SELECT user_id, seg_id, min(ts_us) AS s, max(end_us) AS e,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM sg GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -682,7 +682,8 @@ object ScaleProbe {
       "q122_mmr_rerank", "q123_inverted_index", "q124_khop_bfs",
       "q125_keyness", "q126_group_ols",
       "q127_markov_transitions", "q128_vocab_coverage",
-      "q129_fk_audit", "q130_twap", "q131_weighted_median")
+      "q129_fk_audit", "q130_twap", "q131_weighted_median",
+      "q132_corr_grid", "q133_interval_union")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
