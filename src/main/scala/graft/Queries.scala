@@ -144,6 +144,34 @@ object Queries {
       s"\nSELECT v AS token, dist FROM r$hops ORDER BY dist, token"
   }
 
+  /** q134's unrolled LPA oracle: `rounds` CTE blocks replaying
+    * LabelProp.communities exactly — neighbor-label counts, max count,
+    * min label at the max, keep-if-no-in-neighbors — over the
+    * symmetrized distinct bigram graph of q116/q124.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val head =
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |e0 AS (SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |es AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |vx AS (SELECT a AS v FROM es UNION SELECT b FROM es),
+        |l0 AS (SELECT v, v AS lab FROM vx)""".stripMargin
+    val steps = (1 to rounds).map { h =>
+      s"""n$h AS (SELECT es.b AS v, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM es JOIN l${h - 1} l ON es.a = l.v GROUP BY 1, 2),
+         |m$h AS (SELECT v, max(c) AS mx FROM n$h GROUP BY v),
+         |a$h AS (SELECT n.v, min(n.lab) AS newlab
+         |  FROM n$h n JOIN m$h m ON n.v = m.v AND n.c = m.mx GROUP BY n.v),
+         |l$h AS (SELECT l.v, COALESCE(a.newlab, l.lab) AS lab
+         |  FROM l${h - 1} l LEFT JOIN a$h a ON l.v = a.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS token, lab AS label FROM l$rounds ORDER BY token"
+  }
+
   private val dec38_6 = DecimalType(38, 6)
   private val dec18_6 = DecimalType(18, 6)
   private val dec12_6 = DecimalType(12, 6)
@@ -4268,7 +4296,32 @@ object Queries {
         |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
         |  CAST(count(*) AS BIGINT) AS n_segments,
         |  CAST(sum(e - s) AS BIGINT) AS covered_us
-        |FROM sg GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM sg GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- 134. label-propagation communities — which densely linked
+    //          cluster each token belongs to, over the q116/q124 bigram
+    //          graph (connectivity ≠ community: CC would call this one
+    //          blob). Deterministic sync LPA (max neighbor count, ties to
+    //          the smallest label, fixed 3 rounds) — every round is one
+    //          edge⋈labels join + combinable aggregates, no per-vertex
+    //          window, and the oracle replays the rounds as CTEs. ----
+    QDef("q134_lpa_communities",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        val eDir = t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"bg.a", $"bg.b").filter($"a" =!= $"b").distinct()
+        val eSym = eDir.unionByName(eDir.select($"b".as("a"), $"a".as("b")))
+          .distinct()
+        graft.ops.LabelProp.communities(eSym, "a", "b", rounds = 3)
+          .select($"v".as("token"), $"label")
+          .orderBy($"token")
+      },
+      Some(lpaOracleSql(rounds = 3)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
