@@ -4321,7 +4321,42 @@ object Queries {
           .select($"v".as("token"), $"label")
           .orderBy($"token")
       },
-      Some(lpaOracleSql(rounds = 3)))
+      Some(lpaOracleSql(rounds = 3))),
+
+    // ---- 135. weighted QUARTILES — q131's machinery generalized to
+    //          rational positions: per q = n/d the crossing predicate is
+    //          d·cum ≥ n·W > d·(cum−w), so ALL quartiles come from the one
+    //          prefix-summed pass (the q list is an exploded literal — a
+    //          Generate, not a cross join). Integer arithmetic end to
+    //          end. ----
+    QDef("q135_weighted_quartiles",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_extendedprice".as("price"),
+            round($"l_quantity").cast("long").as("qty"))
+        graft.ops.WeightedMedian.perGroupQuantiles(
+            li, Seq("l_returnflag"), "price", "qty",
+            Seq((1, 4), (1, 2), (3, 4)))
+          .select($"l_returnflag",
+            expr("(q_num * 100) div q_den").as("q_pct"),
+            $"wquantile", $"total_weight")
+          .orderBy($"l_returnflag", $"q_pct")
+      },
+      Some("""WITH g AS (SELECT l_returnflag, l_extendedprice AS price,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, price, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM g),
+        |q AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS t(qn, qd))
+        |SELECT l_returnflag, CAST((qn * 100) // qd AS BIGINT) AS q_pct,
+        |  price AS wquantile, tot AS total_weight
+        |FROM c CROSS JOIN q
+        |WHERE cum * qd >= qn * tot AND (cum - w) * qd < qn * tot
+        |ORDER BY l_returnflag, q_pct""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

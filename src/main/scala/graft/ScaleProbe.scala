@@ -683,7 +683,8 @@ object ScaleProbe {
       "q125_keyness", "q126_group_ols",
       "q127_markov_transitions", "q128_vocab_coverage",
       "q129_fk_audit", "q130_twap", "q131_weighted_median",
-      "q132_corr_grid", "q133_interval_union", "q134_lpa_communities")
+      "q132_corr_grid", "q133_interval_union", "q134_lpa_communities",
+      "q135_weighted_quartiles")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =

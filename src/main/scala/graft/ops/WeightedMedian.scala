@@ -48,4 +48,39 @@ object WeightedMedian {
         col(valueCol).as("wmedian") :+
         col("__tot").as("total_weight")): _*)
   }
+
+  /** Lower weighted quantiles at RATIONAL positions `qs = (num, den)`
+    * (e.g. quartiles `Seq((1,4),(1,2),(3,4))`): per q, the smallest v
+    * with den·cum ≥ num·W. Same machinery as [[perGroup]], still exact
+    * integers; the q list rides an exploded literal array (a Generate,
+    * not a cross join — no BNLJ enters the plan), so all quantiles come
+    * from the ONE prefix-summed pass. Output: groupCols…, q_num, q_den,
+    * wquantile, total_weight. Requires 1 ≤ num ≤ den.
+    */
+  def perGroupQuantiles(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weightCol: String,
+                        qs: Seq[(Int, Int)],
+                        partitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 1 && n <= d },
+      s"quantile rationals must satisfy 1 <= num <= den: $qs")
+    val collapsed = df
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val cum = PrefixSum.withRunningSum(
+      collapsed, groupCols, Seq(valueCol), "__w", "__cum", partitions)
+    val tot = collapsed.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__w")).as("__tot"))
+      .filter(col("__tot") > 0L)
+    cum.join(broadcast(tot), groupCols)
+      .withColumn("__q", explode(typedlit(qs)))
+      .filter(col("__cum") * col("__q._2") >= col("__q._1") * col("__tot") &&
+        (col("__cum") - col("__w")) * col("__q._2") <
+          col("__q._1") * col("__tot"))
+      .select((groupCols.map(col) :+
+        col("__q._1").cast("long").as("q_num") :+
+        col("__q._2").cast("long").as("q_den") :+
+        col(valueCol).as("wquantile") :+
+        col("__tot").as("total_weight")): _*)
+  }
 }

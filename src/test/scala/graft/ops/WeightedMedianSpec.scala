@@ -56,4 +56,36 @@ class WeightedMedianSpec extends AnyFunSuite {
       assert(run(rows) === ref(rows), s"seed=$seed")
     }
   }
+
+  private def runQ(rows: Seq[(String, Double, Long)], qs: Seq[(Int, Int)]) =
+    WeightedMedian.perGroupQuantiles(rows.toDF("g", "v", "w"),
+        Seq("g"), "v", "w", qs)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+
+  /** Sequential lower weighted quantile at num/den. */
+  private def refQ(rows: Seq[(String, Double, Long)], num: Int, den: Int) =
+    rows.groupBy(_._1).collect { case (g, rs) if rs.map(_._3).sum > 0 =>
+      val byV = rs.groupBy(_._2).map { case (v, a) => v -> a.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0L
+      g -> byV.find { case (_, w) => cum += w; den * cum >= num.toLong * tot }
+        .get._1
+    }
+
+  test("quantiles: q=1/2 matches perGroup; q=1/1 is the max; quartiles == reference") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(400) {
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(30).toDouble, rnd.nextInt(5).toLong)
+    }
+    val got = runQ(rows, Seq((1, 4), (1, 2), (3, 4), (1, 1)))
+    val med = run(rows)
+    for ((g, (m, _)) <- med) assert(got((g, 1L, 2L)) === m)
+    for ((g, rs) <- rows.groupBy(_._1) if rs.map(_._3).sum > 0)
+      assert(got((g, 1L, 1L)) ===
+        rs.filter(_._3 > 0).map(_._2).max)
+    for ((n, d) <- Seq((1, 4), (3, 4)); (g, v) <- refQ(rows, n, d))
+      assert(got((g, n.toLong, d.toLong)) === v, s"q=$n/$d g=$g")
+  }
 }
