@@ -4356,7 +4356,96 @@ object Queries {
         |  price AS wquantile, tot AS total_weight
         |FROM c CROSS JOIN q
         |WHERE cum * qd >= qn * tot AND (cum - w) * qd < qn * tot
-        |ORDER BY l_returnflag, q_pct""".stripMargin))
+        |ORDER BY l_returnflag, q_pct""".stripMargin)),
+
+    // ---- 136. WINDOWED sketch merge — trailing-7-day distinct users from
+    //          daily HLL sketches: q94's persistence pattern applied to
+    //          q93's rolling window. At 100 TB the raw stream is scanned
+    //          ONCE into |days| fixed-size sketches; every window is then a
+    //          7-sketch union (here via explode-to-anchor equi-groupBy — no
+    //          range join, no re-scan). The exact leg exists only as the
+    //          tolerance gate (q26/q74 pattern: each engine checks its own
+    //          estimate against its own exact; datasketches lgK=12 ≈ 1.6%
+    //          error, band ±10%). ----
+    QDef("q136_windowed_hll",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(expr("ts_us div 86400000000").cast("long").as("day"),
+            $"user_id")
+        val daily = ev.groupBy($"day")
+          .agg(hll_sketch_agg($"user_id").as("sk"))
+        val days = daily.select($"day".as("anchor"))
+        val est = daily
+          .select(explode(sequence($"day", $"day" + 6)).as("anchor"), $"sk")
+          .join(broadcast(days), "anchor") // keep only real days
+          .groupBy($"anchor")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        val exact = ev.distinct()
+          .select(explode(sequence($"day", $"day" + 6)).as("anchor"),
+            $"user_id")
+          .join(broadcast(days), "anchor")
+          .groupBy($"anchor").agg(countDistinct($"user_id").as("n_exact"))
+        exact.join(est, "anchor")
+          .select($"anchor".as("day_idx"), $"n_exact",
+            ($"est".cast("double") / $"n_exact".cast("double"))
+              .between(0.9, 1.1).as("approx_ok"))
+          .orderBy($"day_idx")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |w AS (SELECT days.day AS anchor, e.user_id
+        |  FROM days JOIN e ON e.day BETWEEN days.day - 6 AND days.day)
+        |SELECT anchor AS day_idx,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  (approx_count_distinct(user_id) * 1.0
+        |    / count(DISTINCT user_id)) BETWEEN 0.9 AND 1.1 AS approx_ok
+        |FROM w GROUP BY anchor ORDER BY day_idx""".stripMargin)),
+
+    // ---- 137. corpus-overlap matrix — vocabulary Jaccard between every
+    //          language pair (the domain-similarity audit run before
+    //          merging corpora). Exact inclusion–exclusion on the
+    //          (lang, token) DISTINCT table: intersection sizes from one
+    //          token-keyed self-join (per-token fan-out ≤ |langs|², a
+    //          constant), union by |A|+|B|−|A∩B|, Jaccard as integer
+    //          ppm. ----
+    QDef("q137_lang_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val lt = Tables.documents(s, dir)
+          .select($"lang", explode(array_distinct(TF.tokens($"text")))
+            .as("tok"))
+          .distinct()
+        val sizes = lt.groupBy($"lang").agg(count(lit(1)).as("nv"))
+        lt.as("a").join(lt.as("b"),
+            $"a.tok" === $"b.tok" && $"a.lang" < $"b.lang")
+          .groupBy($"a.lang".as("lang_a"), $"b.lang".as("lang_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(broadcast(sizes.toDF("__la", "na")), $"lang_a" === $"__la")
+          .join(broadcast(sizes.toDF("__lb", "nb")), $"lang_b" === $"__lb")
+          .select($"lang_a", $"lang_b", $"n_inter",
+            ($"na" + $"nb" - $"n_inter").as("n_union"),
+            expr("(n_inter * 1000000) div (na + nb - n_inter)")
+              .as("jaccard_ppm"))
+          .orderBy($"lang_a", $"lang_b")
+      },
+      Some("""WITH lt AS (SELECT DISTINCT lang, unnest(list_distinct(
+        |    list_filter(string_split(COALESCE(text, ''), ' '),
+        |      x -> x <> ''))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv
+        |  FROM lt GROUP BY lang),
+        |iv AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, n_inter,
+        |  sa.nv + sb.nv - n_inter AS n_union,
+        |  (n_inter * 1000000) // (sa.nv + sb.nv - n_inter) AS jaccard_ppm
+        |FROM iv JOIN sz sa ON iv.lang_a = sa.lang
+        |JOIN sz sb ON iv.lang_b = sb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
