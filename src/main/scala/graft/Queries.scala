@@ -3930,8 +3930,12 @@ object Queries {
             (($"n".cast(d38) * $"sxx".cast(d38) -
               $"sx".cast(d38) * $"sx".cast(d38)).as("den")))
           .select($"o_orderpriority", $"n",
-            expr("(num_s * 1000000) div den").as("slope_ppm"),
-            expr("(num_i * 1000000) div den").as("icept_ppm"))
+            // zero x-variance (all orders on one day) → undefined slope:
+            // NULL, not a crash (degen-sweep finding)
+            expr("CASE WHEN den = 0 THEN NULL" +
+              " ELSE (num_s * 1000000) div den END").as("slope_ppm"),
+            expr("CASE WHEN den = 0 THEN NULL" +
+              " ELSE (num_i * 1000000) div den END").as("icept_ppm"))
           .orderBy($"o_orderpriority")
       },
       Some("""WITH b AS (SELECT o_orderpriority,
@@ -3945,10 +3949,12 @@ object Queries {
         |    CAST(sum(x * x) AS HUGEINT) AS sxx
         |  FROM b GROUP BY 1)
         |SELECT o_orderpriority, n,
-        |  CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
-        |    AS BIGINT) AS slope_ppm,
-        |  CAST(((sxx * sy - sx * sxy) * 1000000) // (n * sxx - sx * sx)
-        |    AS BIGINT) AS icept_ppm
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        |    END AS BIGINT) AS slope_ppm,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE ((sxx * sy - sx * sxy) * 1000000) // (n * sxx - sx * sx)
+        |    END AS BIGINT) AS icept_ppm
         |FROM m ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- 127. Markov transition matrix — next-event transition counts and
@@ -4214,7 +4220,11 @@ object Queries {
           .unionByName(pair("disc_price", "sd", "sp", "spd", "sdd", "spp"))
           .select($"l_returnflag", $"pair", $"n",
             signum($"num").cast("long").as("sign"),
-            expr("(((num * 1000000) div denx) * num) div deny").as("r2_ppm"))
+            // zero variance on either side → r² undefined: NULL, not a
+            // crash (degen-sweep finding)
+            expr("CASE WHEN denx = 0 OR deny = 0 THEN NULL" +
+              " ELSE (((num * 1000000) div denx) * num) div deny END")
+              .as("r2_ppm"))
           .orderBy($"l_returnflag", $"pair")
       },
       Some("""WITH b AS (SELECT l_returnflag,
@@ -4238,7 +4248,9 @@ object Queries {
         |SELECT l_returnflag, pair, CAST(n AS BIGINT) AS n,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
         |    AS BIGINT) AS sign,
-        |  CAST((((num * 1000000) // denx) * num) // deny AS BIGINT) AS r2_ppm
+        |  CAST(CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |    ELSE (((num * 1000000) // denx) * num) // deny
+        |    END AS BIGINT) AS r2_ppm
         |FROM u ORDER BY l_returnflag, pair""".stripMargin)),
 
     // ---- 133. interval union / coverage — per user, the total time
