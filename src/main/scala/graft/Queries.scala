@@ -4457,7 +4457,86 @@ object Queries {
         |  (n_inter * 1000000) // (sa.nv + sb.nv - n_inter) AS jaccard_ppm
         |FROM iv JOIN sz sa ON iv.lang_a = sa.lang
         |JOIN sz sb ON iv.lang_b = sb.lang
-        |ORDER BY lang_a, lang_b""".stripMargin))
+        |ORDER BY lang_a, lang_b""".stripMargin)),
+
+    // ---- 138. quantile transform (percentile normalization) — the
+    //          value→percentile mapping table per language for n_chars,
+    //          the rank-based feature normalizer. Min-rank convention:
+    //          pct_ppm(v) = (rank_min(v)−1)·1e6 div (n−1), ties share one
+    //          percentile. Same scale machinery as the weighted median:
+    //          identical values COLLAPSE map-side, the distributed prefix
+    //          sum ranks them over a range sort (no per-group window
+    //          task), totals ride a |groups|-row broadcast. Integer
+    //          arithmetic end to end. ----
+    QDef("q138_quantile_transform",
+      (s, dir) => {
+        import s.implicits._
+        val collapsed = Tables.documents(s, dir)
+          .select($"lang", $"n_chars")
+          .groupBy($"lang", $"n_chars").agg(count(lit(1)).as("cnt"))
+        val cum = graft.ops.PrefixSum.withRunningSum(
+          collapsed, Seq("lang"), Seq("n_chars"), "cnt", "cum")
+        val tot = collapsed.groupBy($"lang").agg(sum($"cnt").as("n"))
+          .filter($"n" > 1L)
+        cum.join(broadcast(tot), "lang")
+          .select($"lang", $"n_chars", $"cnt",
+            expr("((cum - cnt) * 1000000) div (n - 1)").as("pct_ppm"))
+          .orderBy($"lang", $"n_chars")
+      },
+      Some("""WITH c AS (SELECT lang, n_chars,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, n_chars, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT lang, n_chars, cnt,
+        |  ((cum - cnt) * 1000000) // (n - 1) AS pct_ppm
+        |FROM r WHERE n > 1 ORDER BY lang, n_chars""".stripMargin)),
+
+    // ---- 139. cohort LTV curves — cumulative value per acquisition
+    //          cohort as it ages (q82's retention counts upgraded to
+    //          value): weekly cohort = first-touch week, age = weeks
+    //          since, cumulative sum over the |cohorts|×|ages| aggregate
+    //          (a RANGE window over a TINY table — the fact stream
+    //          collapses first, so the window never sees raw rows).
+    //          Value sums exact in DECIMAL. ----
+    QDef("q139_cohort_ltv",
+      (s, dir) => {
+        import s.implicits._
+        val wk = 604800000000L
+        val e = Tables.events(s, dir)
+          .select($"user_id",
+            unix_micros(date_trunc("week", $"tstamp")).as("w_us"),
+            $"value")
+        val cohort = e.groupBy($"user_id").agg(min($"w_us").as("cohort_us"))
+        val cell = e.join(cohort, "user_id")
+          .groupBy($"cohort_us",
+            (($"w_us" - $"cohort_us") / wk).cast("long").as("age_wk"))
+          .agg(sum($"value".cast(dec18_6)).as("wk_value"),
+            count(lit(1)).as("n_events"))
+        val w = Window.partitionBy($"cohort_us").orderBy($"age_wk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cell
+          .withColumn("cum_value", round(sum($"wk_value").over(w), 4)
+            .cast("double"))
+          .select($"cohort_us", $"age_wk", $"n_events", $"cum_value")
+          .orderBy($"cohort_us", $"age_wk")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(date_trunc('week', ts))
+        |      AS w_us, value FROM events),
+        |f AS (SELECT user_id, min(w_us) AS cohort_us FROM e GROUP BY user_id),
+        |cell AS (SELECT f.cohort_us,
+        |    CAST((e.w_us - f.cohort_us) // 604800000000 AS BIGINT) AS age_wk,
+        |    sum(CAST(e.value AS DECIMAL(18,6))) AS wk_value,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT cohort_us, age_wk, n_events,
+        |  CAST(round(sum(wk_value) OVER (PARTITION BY cohort_us
+        |    ORDER BY age_wk ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE)
+        |      AS cum_value
+        |FROM cell ORDER BY cohort_us, age_wk""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -684,7 +684,8 @@ object ScaleProbe {
       "q127_markov_transitions", "q128_vocab_coverage",
       "q129_fk_audit", "q130_twap", "q131_weighted_median",
       "q132_corr_grid", "q133_interval_union", "q134_lpa_communities",
-      "q135_weighted_quartiles", "q136_windowed_hll", "q137_lang_overlap")
+      "q135_weighted_quartiles", "q136_windowed_hll", "q137_lang_overlap",
+      "q138_quantile_transform", "q139_cohort_ltv")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
