@@ -4536,7 +4536,265 @@ object Queries {
         |  CAST(round(sum(wk_value) OVER (PARTITION BY cohort_us
         |    ORDER BY age_wk ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE)
         |      AS cum_value
-        |FROM cell ORDER BY cohort_us, age_wk""".stripMargin))
+        |FROM cell ORDER BY cohort_us, age_wk""".stripMargin)),
+
+    // ---- 140. Mann–Whitney AUC — rank-sum separability of a feature
+    //          (n_chars) against a binary cohort (source name prefix),
+    //          the standard "is this signal a usable quality filter"
+    //          audit. Midrank convention for ties, integer arithmetic end
+    //          to end (2·midrank = 2·cum − cnt + 1 stays integral). Scale
+    //          shape: identical (lang, value) rows COLLAPSE map-side, the
+    //          distributed prefix sum ranks the collapsed table over a
+    //          range sort, and the rank-sum reduces per lang — no
+    //          per-group window anywhere. ----
+    QDef("q140_auc",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"lang", $"n_chars",
+            $"source".startsWith("src1").cast("long").as("pos"))
+        val collapsed = d.groupBy($"lang", $"n_chars")
+          .agg(count(lit(1)).as("cnt"), sum($"pos").as("cnt_pos"))
+        val cum = graft.ops.PrefixSum.withRunningSum(
+          collapsed, Seq("lang"), Seq("n_chars", "cnt_pos"), "cnt", "cum")
+        cum
+          .select($"lang",
+            ($"cnt_pos" * ($"cum" * 2 - $"cnt" + 1)).as("s2part"),
+            $"cnt_pos", ($"cnt" - $"cnt_pos").as("cnt_neg"))
+          .groupBy($"lang")
+          .agg(sum($"s2part").as("s2"), sum($"cnt_pos").as("n_pos"),
+            sum($"cnt_neg").as("n_neg"))
+          .filter($"n_pos" > 0 && $"n_neg" > 0)
+          .select($"lang", $"n_pos", $"n_neg",
+            expr("((s2 - n_pos * (n_pos + 1)) * 500000) div (n_pos * n_neg)")
+              .as("auc_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars,
+        |    CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |c AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(pos) AS BIGINT) AS cnt_pos
+        |  FROM d GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt, cnt_pos,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |g AS (SELECT lang,
+        |    CAST(sum(cnt_pos * (2 * cum - cnt + 1)) AS BIGINT) AS s2,
+        |    CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(cnt - cnt_pos) AS BIGINT) AS n_neg
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n_pos, n_neg,
+        |  ((s2 - n_pos * (n_pos + 1)) * 500000) // (n_pos * n_neg)
+        |    AS auc_ppm
+        |FROM g WHERE n_pos > 0 AND n_neg > 0 ORDER BY lang""".stripMargin)),
+
+    // ---- 141. PSI drift — population stability index of the value
+    //          distribution between the first and second half of the
+    //          observed time range, per event type (the feature-drift
+    //          monitor run between training snapshots). Fixed-width bins
+    //          (50-unit, clamped to 10); bins empty on either side are
+    //          excluded (reported via n_bins). Scale shape: the fact
+    //          stream collapses to |types|×|bins|×2 counts in one
+    //          combinable aggregate; all double math happens on that tiny
+    //          table. ----
+    QDef("q141_psi_drift",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"), $"value")
+        val bounds = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+        val binned = e.crossJoin(broadcast(bounds))
+          .select($"event_type",
+            ($"day" < expr("d0 + (d1 - d0 + 1) div 2")).as("in_a"),
+            least(floor($"value" / 50.0), lit(9.0)).cast("long").as("bin"))
+        val cb = binned.groupBy($"event_type", $"bin")
+          .agg(sum(when($"in_a", 1L).otherwise(0L)).as("cnt_a"),
+            sum(when($"in_a", 0L).otherwise(1L)).as("cnt_b"))
+        val tot = cb.groupBy($"event_type")
+          .agg(sum($"cnt_a").as("tot_a"), sum($"cnt_b").as("tot_b"))
+        cb.join(broadcast(tot), "event_type")
+          .filter($"cnt_a" > 0 && $"cnt_b" > 0)
+          .select($"event_type", $"bin",
+            ($"cnt_a".cast("double") / $"tot_a").as("p"),
+            ($"cnt_b".cast("double") / $"tot_b").as("q"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_bins"),
+            round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, value FROM events),
+        |bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |b AS (SELECT event_type,
+        |    e.day < bd.d0 + (bd.d1 - bd.d0 + 1) // 2 AS in_a,
+        |    CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin
+        |  FROM e, bd),
+        |cb AS (SELECT event_type, bin,
+        |    CAST(count(*) FILTER (in_a) AS BIGINT) AS cnt_a,
+        |    CAST(count(*) FILTER (NOT in_a) AS BIGINT) AS cnt_b
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b
+        |  FROM cb GROUP BY 1)
+        |SELECT cb.event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        |  round(sum((CAST(cnt_a AS DOUBLE) / tot_a
+        |             - CAST(cnt_b AS DOUBLE) / tot_b)
+        |    * ln((CAST(cnt_a AS DOUBLE) / tot_a)
+        |         / (CAST(cnt_b AS DOUBLE) / tot_b))), 6) AS psi
+        |FROM cb JOIN t ON cb.event_type = t.event_type
+        |WHERE cnt_a > 0 AND cnt_b > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- 142. Kaplan–Meier survival — time from a user's first event to
+    //          first purchase, right-censored at the end of the observed
+    //          window (the time-to-conversion curve). Product-limit
+    //          estimator computed as exp of an ORDERED cumulative ln-sum
+    //          (both engines accumulate in duration order, so the doubles
+    //          agree bit-for-bit before the final round). Scale shape:
+    //          users collapse to a |durations|-row risk table before any
+    //          window; the cumulative pass runs on that tiny table. ----
+    QDef("q142_km_survival",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            $"event_type")
+        val t0 = e.groupBy($"user_id").agg(min($"day").as("t0"))
+        val tp = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"day").as("tp"))
+        val dmax = e.agg(max($"day").as("dmax"))
+        val users = t0.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(dmax))
+          .select(coalesce($"tp" - $"t0", $"dmax" - $"t0").as("dur"),
+            $"tp".isNotNull.cast("long").as("ev"))
+        val risk = users.groupBy($"dur")
+          .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_censor"))
+        val nTotal = users.count()
+        val wPrev = Window.orderBy($"dur")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy($"dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        risk
+          .withColumn("n_risk", lit(nTotal) -
+            coalesce(sum($"n_event" + $"n_censor").over(wPrev), lit(0L)))
+          .withColumn("lnr", when($"n_event" < $"n_risk",
+            log(($"n_risk" - $"n_event").cast("double") / $"n_risk")))
+          .withColumn("surv", when(
+            max(($"n_event" === $"n_risk").cast("int")).over(wCum) > 0,
+            lit(0.0)).otherwise(round(exp(sum($"lnr").over(wCum)), 6)))
+          .select($"dur", $"n_risk", $"n_event", $"n_censor", $"surv")
+          .orderBy($"dur")
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |t0 AS (SELECT user_id, min(day) AS t0 FROM e GROUP BY 1),
+        |tp AS (SELECT user_id, min(day) AS tp FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |dm AS (SELECT max(day) AS dmax FROM e),
+        |u AS (SELECT COALESCE(tp.tp - t0.t0, dm.dmax - t0.t0) AS dur,
+        |    CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id, dm),
+        |r AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS n_event,
+        |    CAST(sum(1 - ev) AS BIGINT) AS n_censor FROM u GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u),
+        |k AS (SELECT dur, n_event, n_censor,
+        |    n.n_total - COALESCE(sum(n_event + n_censor) OVER (
+        |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM r, n)
+        |SELECT dur, n_risk, n_event, n_censor,
+        |  CASE WHEN max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN n_event < n_risk THEN
+        |      ln(CAST(n_risk - n_event AS DOUBLE) / n_risk) END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+        |  END AS surv
+        |FROM k ORDER BY dur""".stripMargin)),
+
+    // ---- 143. skyline (Pareto frontier) — per event type, the users not
+    //          dominated on (event count, exact value sum): the
+    //          multi-objective "best contributors" query. Scale shape: a
+    //          bucket prune runs first — per-(type, n_ev-bucket) maxima
+    //          (a tiny combinable aggregate) give a suffix-max table
+    //          whose broadcast eliminates every point beaten by a
+    //          strictly-higher bucket, so the exact dominance windows run
+    //          on frontier-sized survivors, never the full user set.
+    //          Dominance on exact DECIMAL sums; ties (equal on both
+    //          axes) are mutually non-dominating and both kept. ----
+    QDef("q143_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.events(s, dir).groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("n_ev"),
+            sum($"value".cast(dec18_6)).as("sum_v"))
+        val b = u.withColumn("bkt", expr("n_ev div 2"))
+        val wSuff = Window.partitionBy($"event_type").orderBy($"bkt")
+          .rangeBetween(1, Window.unboundedFollowing)
+        val suff = b.groupBy($"event_type", $"bkt")
+          .agg(max($"sum_v").as("bv"))
+          .withColumn("suff", max($"bv").over(wSuff))
+          .select($"event_type", $"bkt", $"suff")
+        val cand = b.join(broadcast(suff), Seq("event_type", "bkt"))
+          .filter($"suff".isNull || $"suff" < $"sum_v")
+        val w1 = Window.partitionBy($"event_type").orderBy($"n_ev")
+          .rangeBetween(1, Window.unboundedFollowing)
+        val w2 = Window.partitionBy($"event_type").orderBy($"n_ev")
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        cand.withColumn("mx_gt", max($"sum_v").over(w1))
+          .withColumn("mx_ge", max($"sum_v").over(w2))
+          .filter(($"mx_gt".isNull || $"mx_gt" < $"sum_v") &&
+            $"mx_ge" <= $"sum_v")
+          .select($"event_type", $"user_id", $"n_ev",
+            $"sum_v".cast("double").as("sum_value"))
+          .orderBy($"event_type", $"user_id")
+      },
+      Some("""WITH u AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS n_ev,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sum_v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n_ev,
+        |  CAST(sum_v AS DOUBLE) AS sum_value
+        |FROM u a
+        |WHERE NOT EXISTS (SELECT 1 FROM u b
+        |  WHERE b.event_type = a.event_type
+        |    AND b.n_ev >= a.n_ev AND b.sum_v >= a.sum_v
+        |    AND (b.n_ev > a.n_ev OR b.sum_v > a.sum_v))
+        |ORDER BY event_type, user_id""".stripMargin)),
+
+    // ---- 144. pivot — daily event counts cross-tabbed to one column per
+    //          event type (the wide activity matrix; q119's melt run in
+    //          reverse). Explicit value list so the plan is a single
+    //          combinable aggregate — no distinct-values pre-pass, no
+    //          second shuffle. ----
+    QDef("q144_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select(expr("ts_us div 86400000000").cast("long").as("day"),
+            $"event_type")
+          .groupBy($"day")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .select($"day",
+            coalesce($"click", lit(0L)).as("click"),
+            coalesce($"error", lit(0L)).as("error"),
+            coalesce($"purchase", lit(0L)).as("purchase"),
+            coalesce($"signup", lit(0L)).as("signup"),
+            coalesce($"view", lit(0L)).as("view"))
+          .orderBy($"day")
+      },
+      Some("""SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
