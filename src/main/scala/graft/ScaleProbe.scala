@@ -685,7 +685,9 @@ object ScaleProbe {
       "q129_fk_audit", "q130_twap", "q131_weighted_median",
       "q132_corr_grid", "q133_interval_union", "q134_lpa_communities",
       "q135_weighted_quartiles", "q136_windowed_hll", "q137_lang_overlap",
-      "q138_quantile_transform", "q139_cohort_ltv")
+      "q138_quantile_transform", "q139_cohort_ltv",
+      "q140_auc", "q141_psi_drift", "q142_km_survival",
+      "q143_skyline", "q144_pivot")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
