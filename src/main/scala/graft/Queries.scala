@@ -4730,23 +4730,7 @@ object Queries {
         val u = Tables.events(s, dir).groupBy($"event_type", $"user_id")
           .agg(count(lit(1)).as("n_ev"),
             sum($"value".cast(dec18_6)).as("sum_v"))
-        val b = u.withColumn("bkt", expr("n_ev div 2"))
-        val wSuff = Window.partitionBy($"event_type").orderBy($"bkt")
-          .rangeBetween(1, Window.unboundedFollowing)
-        val suff = b.groupBy($"event_type", $"bkt")
-          .agg(max($"sum_v").as("bv"))
-          .withColumn("suff", max($"bv").over(wSuff))
-          .select($"event_type", $"bkt", $"suff")
-        val cand = b.join(broadcast(suff), Seq("event_type", "bkt"))
-          .filter($"suff".isNull || $"suff" < $"sum_v")
-        val w1 = Window.partitionBy($"event_type").orderBy($"n_ev")
-          .rangeBetween(1, Window.unboundedFollowing)
-        val w2 = Window.partitionBy($"event_type").orderBy($"n_ev")
-          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
-        cand.withColumn("mx_gt", max($"sum_v").over(w1))
-          .withColumn("mx_ge", max($"sum_v").over(w2))
-          .filter(($"mx_gt".isNull || $"mx_gt" < $"sum_v") &&
-            $"mx_ge" <= $"sum_v")
+        graft.ops.Skyline.skyline2d(u, Seq("event_type"), "n_ev", "sum_v")
           .select($"event_type", $"user_id", $"n_ev",
             $"sum_v".cast("double").as("sum_value"))
           .orderBy($"event_type", $"user_id")
@@ -4794,7 +4778,232 @@ object Queries {
         |    AS purchase,
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ---- 145. Gini concentration — inequality of per-user spend within
+    //          each event type (the "is this corpus dominated by a few
+    //          contributors" audit). Exact integer arithmetic: cents are
+    //          integral, tied values collapse map-side, ranks come from
+    //          the distributed prefix sum, and 2·Σi·x_i stays integral
+    //          per tie block (x·cnt·(2cum−cnt+1)). DECIMAL(38,0) /
+    //          HUGEINT for the products, ppm by integer division — float
+    //          never enters the hash. ----
+    QDef("q145_gini",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val x = Tables.events(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(sum(round($"value" * 100).cast("long")).as("x"))
+        val collapsed = x.groupBy($"event_type", $"x")
+          .agg(count(lit(1)).as("cnt"))
+        val cum = graft.ops.PrefixSum.withRunningSum(
+          collapsed, Seq("event_type"), Seq("x"), "cnt", "cum")
+        cum
+          .select($"event_type",
+            ($"x".cast(d38) * $"cnt".cast(d38) *
+              ($"cum".cast(d38) * 2 - $"cnt".cast(d38) + 1)).as("s2part"),
+            ($"x".cast(d38) * $"cnt".cast(d38)).as("totpart"), $"cnt")
+          .groupBy($"event_type")
+          .agg(sum($"s2part").as("s2x"), sum($"totpart").as("tot"),
+            sum($"cnt").as("n"))
+          .select($"event_type", $"n",
+            expr("CASE WHEN tot = 0 THEN NULL" +
+              " ELSE ((s2x - (n + 1) * tot) * 1000000) div (n * tot) END")
+              .as("gini_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH x AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM x GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |g AS (SELECT event_type,
+        |    sum(CAST(x AS HUGEINT) * cnt * (2 * cum - cnt + 1)) AS s2x,
+        |    sum(CAST(x AS HUGEINT) * cnt) AS tot,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(CASE WHEN tot = 0 THEN NULL
+        |    ELSE ((s2x - (n + 1) * tot) * 1000000) // (n * tot)
+        |    END AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY event_type""".stripMargin)),
+
+    // ---- 146. HHI concentration — Herfindahl index of per-user value
+    //          share within each event type (the concentration twin of
+    //          q145's Gini; HHI is what merger/market audits use).
+    //          Σ share² as integer ppm: (Σx²·1e6) div (Σx)², exact in
+    //          DECIMAL(38,0)/HUGEINT; one key shuffle to collapse users,
+    //          the quotient on the |types|-row result. ----
+    QDef("q146_hhi",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        Tables.events(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(sum(round($"value" * 100).cast("long")).as("x"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"x".cast(d38) * $"x".cast(d38)).as("ss"),
+            sum($"x".cast(d38)).as("tot"))
+          .select($"event_type", $"n_users",
+            expr("CASE WHEN tot = 0 THEN NULL" +
+              " ELSE (ss * 1000000) div (tot * tot) END").as("hhi_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH x AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(CASE WHEN sum(CAST(x AS HUGEINT)) = 0 THEN NULL
+        |    ELSE (sum(CAST(x AS HUGEINT) * x) * 1000000)
+        |      // (sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)))
+        |    END AS BIGINT) AS hhi_ppm
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 147. CUSUM changepoint — the day where cumulative daily value
+    //          deviates most from the uniform-mean line, per event type
+    //          (the level-shift detector). Exact: S_i = n·prefix_i −
+    //          i·total is integral (mean never materializes as a float);
+    //          argmax with a deterministic day tie-break. Scale shape:
+    //          the fact stream collapses to the |days|-row daily table
+    //          first; prefix + argmax windows run on that tiny table. ----
+    QDef("q147_cusum",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"day")
+          .agg(sum($"cents").as("x"))
+        val wCum = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wIdx = wCum
+        val tot = daily.groupBy($"event_type")
+          .agg(sum($"x").as("tot"), count(lit(1)).as("nd"))
+        val dev = daily
+          .withColumn("prefix", sum($"x").over(wCum))
+          .withColumn("i", count(lit(1)).over(wIdx))
+          .join(broadcast(tot), "event_type")
+          .select($"event_type", $"day", $"nd", $"tot",
+            abs($"nd".cast(d38) * $"prefix".cast(d38) -
+              $"i".cast(d38) * $"tot".cast(d38)).as("s_abs"))
+        val wPick = Window.partitionBy($"event_type")
+          .orderBy($"s_abs".desc, $"day")
+        dev.withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"event_type", $"day".as("cp_day"),
+            expr("CASE WHEN tot = 0 THEN NULL" +
+              " ELSE (s_abs * 1000000)" +
+              " div (CAST(nd AS DECIMAL(38,0)) * tot) END").as("dev_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(x) AS HUGEINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+        |s AS (SELECT d.event_type, day, nd, tot,
+        |    abs(nd * CAST(sum(x) OVER (PARTITION BY d.event_type
+        |        ORDER BY day ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+        |      - CAST(row_number() OVER (PARTITION BY d.event_type
+        |          ORDER BY day) AS HUGEINT) * tot) AS s_abs
+        |  FROM d JOIN t ON d.event_type = t.event_type),
+        |p AS (SELECT event_type, day, nd, tot, s_abs,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY s_abs DESC, day) AS rn FROM s)
+        |SELECT event_type, day AS cp_day,
+        |  CAST(CASE WHEN tot = 0 THEN NULL
+        |    ELSE (s_abs * 1000000) // (nd * tot) END AS BIGINT) AS dev_ppm
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 148. entropy of the daily event mix — Shannon entropy (nats)
+    //          of the event-type distribution per day, the
+    //          "is traffic composition shifting" monitor. Counts collapse
+    //          to |days|×|types| cells in one combinable aggregate; the
+    //          p·ln p math runs on that tiny table (q97's ln-precision
+    //          discipline: round 6dp). ----
+    QDef("q148_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.events(s, dir)
+          .select(expr("ts_us div 86400000000").cast("long").as("day"),
+            $"event_type")
+          .groupBy($"day", $"event_type").agg(count(lit(1)).as("c"))
+        val tot = c.groupBy($"day").agg(sum($"c").as("tot"))
+        c.join(broadcast(tot), "day")
+          .select($"day", ($"c".cast("double") / $"tot").as("p"))
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_types"),
+            // + 0.0 washes out IEEE -0.0 on single-type days (p=1 → ln 0
+            // sum is a negative zero; both engines must emit +0.0)
+            round(-sum($"p" * log($"p")) + lit(0.0), 6).as("entropy"))
+          .orderBy($"day")
+      },
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, sum(c) AS tot FROM c GROUP BY 1)
+        |SELECT c.day, CAST(count(*) AS BIGINT) AS n_types,
+        |  round(-sum((CAST(c AS DOUBLE) / tot)
+        |    * ln(CAST(c AS DOUBLE) / tot)) + 0.0, 6) AS entropy
+        |FROM c JOIN t ON c.day = t.day
+        |GROUP BY c.day ORDER BY c.day""".stripMargin)),
+
+    // ---- 149. day-of-week seasonality index — mean daily value per
+    //          weekday slot vs the overall mean daily value, per event
+    //          type (the seasonal-adjustment factor table). dow is the
+    //          epoch-day mod 7 bucket (a pure integer label — no
+    //          calendar-API divergence between engines). Exact rational:
+    //          index = (tot_dow·nd) / (nd_dow·tot) as integer ppm.
+    //          Scale shape: daily collapse → |types|×7 cells, quotients
+    //          on that tiny table. ----
+    QDef("q149_dow_seasonality",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"day")
+          .agg(sum($"cents").as("x"))
+        val dow = daily
+          .groupBy($"event_type", pmod($"day", lit(7L)).as("dow"))
+          .agg(sum($"x").as("tot_dow"), count(lit(1)).as("nd_dow"))
+        val tot = dow.groupBy($"event_type")
+          .agg(sum($"tot_dow").as("tot"), sum($"nd_dow").as("nd"))
+        dow.join(broadcast(tot), "event_type")
+          .select($"event_type", $"dow", $"nd_dow",
+            expr("CASE WHEN nd_dow * tot = 0 THEN NULL ELSE " +
+              "(CAST(tot_dow AS DECIMAL(38,0)) * nd * 1000000)" +
+              " div (CAST(nd_dow AS DECIMAL(38,0)) * tot) END")
+              .as("index_ppm"))
+          .orderBy($"event_type", $"dow")
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day % 7 AS dow,
+        |    CAST(sum(x) AS HUGEINT) AS tot_dow,
+        |    CAST(count(*) AS BIGINT) AS nd_dow
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(tot_dow) AS tot,
+        |    CAST(sum(nd_dow) AS BIGINT) AS nd FROM w GROUP BY 1)
+        |SELECT w.event_type, CAST(dow AS BIGINT) AS dow, nd_dow,
+        |  CAST(CASE WHEN nd_dow * t.tot = 0 THEN NULL
+        |    ELSE (tot_dow * nd * 1000000) // (nd_dow * t.tot)
+        |    END AS BIGINT) AS index_ppm
+        |FROM w JOIN t ON w.event_type = t.event_type
+        |ORDER BY w.event_type, dow""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
