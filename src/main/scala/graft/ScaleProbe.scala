@@ -687,7 +687,9 @@ object ScaleProbe {
       "q135_weighted_quartiles", "q136_windowed_hll", "q137_lang_overlap",
       "q138_quantile_transform", "q139_cohort_ltv",
       "q140_auc", "q141_psi_drift", "q142_km_survival",
-      "q143_skyline", "q144_pivot")
+      "q143_skyline", "q144_pivot",
+      "q145_gini", "q146_hhi", "q147_cusum", "q148_entropy",
+      "q149_dow_seasonality")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
