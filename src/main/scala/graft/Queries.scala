@@ -5003,7 +5003,136 @@ object Queries {
         |    ELSE (tot_dow * nd * 1000000) // (nd_dow * t.tot)
         |    END AS BIGINT) AS index_ppm
         |FROM w JOIN t ON w.event_type = t.event_type
-        |ORDER BY w.event_type, dow""".stripMargin))
+        |ORDER BY w.event_type, dow""".stripMargin)),
+
+    // ---- 150. systematic weighted sampling — deterministic token-budget
+    //          subsampling: walk the corpus in doc order, emit a document
+    //          every tot/k weight units (heavy docs can be emitted more
+    //          than once = sampling with replacement, proportional to
+    //          weight). copies_i = ⌊k·cum_i/tot⌋ − ⌊k·(cum_i−w_i)/tot⌋
+    //          is exact integer arithmetic and telescopes to exactly k
+    //          per group. Scale shape: the distributed prefix sum
+    //          provides cum without a per-group window; tot rides a
+    //          |groups|-row broadcast. ----
+    QDef("q150_systematic_sample",
+      (s, dir) => {
+        import s.implicits._
+        val k = 10L
+        val w = Tables.documents(s, dir)
+          .select($"lang", $"doc_id", $"n_chars".cast("long").as("w"))
+        val cum = graft.ops.PrefixSum.withRunningSum(
+          w, Seq("lang"), Seq("doc_id"), "w", "cum")
+        val tot = w.groupBy($"lang").agg(sum($"w").as("tot"))
+        cum.join(broadcast(tot), "lang")
+          .select($"lang", $"doc_id", $"w",
+            expr(s"($k * cum) div tot - ($k * (cum - w)) div tot")
+              .as("copies"))
+          .filter($"copies" > 0)
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""WITH w AS (SELECT lang, doc_id,
+        |    CAST(n_chars AS BIGINT) AS w FROM documents),
+        |r AS (SELECT lang, doc_id, w,
+        |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM w)
+        |SELECT lang, doc_id, w,
+        |  (10 * cum) // tot - (10 * (cum - w)) // tot AS copies
+        |FROM r WHERE (10 * cum) // tot - (10 * (cum - w)) // tot > 0
+        |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- 151. rolling OLS trend — q126's closed-form slope over a
+    //          trailing 7-day RANGE window per event type (the local
+    //          trend monitor: is this week's drift up or down?). Five
+    //          rolling moment sums share ONE (type) shuffle; products in
+    //          DECIMAL(38,0); zero x-variance windows (a single day) →
+    //          NULL, the q126 degeneracy rule. ----
+    QDef("q151_rolling_ols",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"day")
+          .agg(sum($"cents").as("y"))
+        val w7 = Window.partitionBy($"event_type").orderBy($"day")
+          .rangeBetween(-6, Window.currentRow)
+        daily
+          .withColumn("n", count(lit(1)).over(w7))
+          .withColumn("sx", sum($"day").over(w7))
+          .withColumn("sy", sum($"y").over(w7))
+          .withColumn("sxy", sum($"day" * $"y").over(w7))
+          .withColumn("sxx", sum($"day" * $"day").over(w7))
+          .select($"event_type", $"day", $"n",
+            (($"n".cast(d38) * $"sxy".cast(d38) -
+              $"sx".cast(d38) * $"sy".cast(d38)).as("num")),
+            (($"n".cast(d38) * $"sxx".cast(d38) -
+              $"sx".cast(d38) * $"sx".cast(d38)).as("den")))
+          .select($"event_type", $"day", $"n",
+            expr("CASE WHEN den = 0 THEN NULL" +
+              " ELSE (num * 1000000) div den END").as("slope_ppm"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, day,
+        |    CAST(count(*) OVER w AS HUGEINT) AS n,
+        |    CAST(sum(day) OVER w AS HUGEINT) AS sx,
+        |    CAST(sum(y) OVER w AS HUGEINT) AS sy,
+        |    CAST(sum(day * y) OVER w AS HUGEINT) AS sxy,
+        |    CAST(sum(day * day) OVER w AS HUGEINT) AS sxx
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        |    END AS BIGINT) AS slope_ppm
+        |FROM m ORDER BY event_type, day""".stripMargin)),
+
+    // ---- 152. last-touch attribution — each purchase's revenue credited
+    //          to the user's most recent preceding non-purchase event
+    //          type (NULL → 'direct'), the marketing-attribution join
+    //          done as a window instead of a self-join. last(ignoreNulls)
+    //          over UNBOUNDED PRECEDING..1 PRECEDING is the O(n)
+    //          incremental frame (the AsOf/Scd lesson); revenue exact in
+    //          DECIMAL. ----
+    QDef("q152_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type",
+            $"value")
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("channel",
+            last(when($"event_type" =!= "purchase", $"event_type"),
+              ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .groupBy(coalesce($"channel", lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum($"value".cast(dec18_6)), 4).cast("double")
+              .as("revenue"))
+          .orderBy($"channel")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type, value FROM events),
+        |a AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM e)
+        |SELECT COALESCE(channel, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
