@@ -689,7 +689,8 @@ object ScaleProbe {
       "q140_auc", "q141_psi_drift", "q142_km_survival",
       "q143_skyline", "q144_pivot",
       "q145_gini", "q146_hhi", "q147_cusum", "q148_entropy",
-      "q149_dow_seasonality")
+      "q149_dow_seasonality",
+      "q150_systematic_sample", "q151_rolling_ols", "q152_attribution")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
