@@ -4605,10 +4605,15 @@ object Queries {
         val e = Tables.events(s, dir)
           .select($"event_type",
             expr("ts_us div 86400000000").cast("long").as("day"), $"value")
-        val bounds = e.agg(min($"day").as("d0"), max($"day").as("d1"))
-        val binned = e.crossJoin(broadcast(bounds))
+        // global bounds collected driver-side (q97 precedent: a 2-long
+        // scalar, not a join input — keeps the plan free of the
+        // constant-key BNLJ a scalar crossJoin would plan)
+        val Array(d0, d1) = e.agg(min($"day"), max($"day"))
+          .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val split = d0 + (d1 - d0 + 1) / 2
+        val binned = e
           .select($"event_type",
-            ($"day" < expr("d0 + (d1 - d0 + 1) div 2")).as("in_a"),
+            ($"day" < split).as("in_a"),
             least(floor($"value" / 50.0), lit(9.0)).cast("long").as("bin"))
         val cb = binned.groupBy($"event_type", $"bin")
           .agg(sum(when($"in_a", 1L).otherwise(0L)).as("cnt_a"),
@@ -4665,10 +4670,9 @@ object Queries {
         val t0 = e.groupBy($"user_id").agg(min($"day").as("t0"))
         val tp = e.filter($"event_type" === "purchase")
           .groupBy($"user_id").agg(min($"day").as("tp"))
-        val dmax = e.agg(max($"day").as("dmax"))
+        val dmax = e.agg(max($"day")).head.getLong(0)
         val users = t0.join(tp, Seq("user_id"), "left")
-          .crossJoin(broadcast(dmax))
-          .select(coalesce($"tp" - $"t0", $"dmax" - $"t0").as("dur"),
+          .select(coalesce($"tp" - $"t0", lit(dmax) - $"t0").as("dur"),
             $"tp".isNotNull.cast("long").as("ev"))
         val risk = users.groupBy($"dur")
           .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_censor"))
@@ -5061,11 +5065,14 @@ object Queries {
         val w7 = Window.partitionBy($"event_type").orderBy($"day")
           .rangeBetween(-6, Window.currentRow)
         daily
-          .withColumn("n", count(lit(1)).over(w7))
-          .withColumn("sx", sum($"day").over(w7))
-          .withColumn("sy", sum($"y").over(w7))
-          .withColumn("sxy", sum($"day" * $"y").over(w7))
-          .withColumn("sxx", sum($"day" * $"day").over(w7))
+          // ONE select → one Window node; a withColumn chain interleaves
+          // Projects that block CollapseWindow
+          .select($"event_type", $"day",
+            count(lit(1)).over(w7).as("n"),
+            sum($"day").over(w7).as("sx"),
+            sum($"y").over(w7).as("sy"),
+            sum($"day" * $"y").over(w7).as("sxy"),
+            sum($"day" * $"day").over(w7).as("sxx"))
           .select($"event_type", $"day", $"n",
             (($"n".cast(d38) * $"sxy".cast(d38) -
               $"sx".cast(d38) * $"sy".cast(d38)).as("num")),

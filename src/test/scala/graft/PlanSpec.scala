@@ -157,4 +157,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
     assert("""\(\d+\) Exchange""".r.findAllIn(p).length <= 1, p.take(3000))
   }
+
+  test("q143 skyline prune table is BROADCAST; no quadratic join") {
+    val p = plan("q143_skyline")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q151 rolling OLS: all five moment sums share ONE window node") {
+    val p = plan("q151_rolling_ols")
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
+  test("q150 systematic sampling has NO per-group window (prefix-sum path)") {
+    val p = plan("q150_systematic_sample")
+    assert(!p.contains(") Window"), p.take(3000))
+  }
 }
