@@ -5028,6 +5028,9 @@ object Queries {
           w, Seq("lang"), Seq("doc_id"), "w", "cum")
         val tot = w.groupBy($"lang").agg(sum($"w").as("tot"))
         cum.join(broadcast(tot), "lang")
+          // tot > 0 guard: an all-zero-weight group would divide by zero
+          // (NULL here, an ERROR in the DuckDB replay — latent divergence)
+          .filter($"tot" > 0)
           .select($"lang", $"doc_id", $"w",
             expr(s"($k * cum) div tot - ($k * (cum - w)) div tot")
               .as("copies"))
@@ -5043,7 +5046,8 @@ object Queries {
         |  FROM w)
         |SELECT lang, doc_id, w,
         |  (10 * cum) // tot - (10 * (cum - w)) // tot AS copies
-        |FROM r WHERE (10 * cum) // tot - (10 * (cum - w)) // tot > 0
+        |FROM r WHERE tot > 0
+        |  AND (10 * cum) // tot - (10 * (cum - w)) // tot > 0
         |ORDER BY lang, doc_id""".stripMargin)),
 
     // ---- 151. rolling OLS trend — q126's closed-form slope over a
