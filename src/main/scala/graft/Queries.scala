@@ -4670,7 +4670,10 @@ object Queries {
         val t0 = e.groupBy($"user_id").agg(min($"day").as("t0"))
         val tp = e.filter($"event_type" === "purchase")
           .groupBy($"user_id").agg(min($"day").as("tp"))
-        val dmax = e.agg(max($"day")).head.getLong(0)
+        // empty input → NULL max; any value works (everything downstream
+        // is empty) but getLong would throw — return empty, not crash
+        val dmaxRow = e.agg(max($"day")).head
+        val dmax = if (dmaxRow.isNullAt(0)) 0L else dmaxRow.getLong(0)
         val users = t0.join(tp, Seq("user_id"), "left")
           .select(coalesce($"tp" - $"t0", lit(dmax) - $"t0").as("dur"),
             $"tp".isNotNull.cast("long").as("ev"))
@@ -5022,8 +5025,11 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val k = 10L
+        // NULL weight → 0 (PrefixSum rejects nulls; a 0-weight doc can
+        // never cross a step boundary, so it is sampled 0 times)
         val w = Tables.documents(s, dir)
-          .select($"lang", $"doc_id", $"n_chars".cast("long").as("w"))
+          .select($"lang", $"doc_id",
+            coalesce($"n_chars".cast("long"), lit(0L)).as("w"))
         val cum = graft.ops.PrefixSum.withRunningSum(
           w, Seq("lang"), Seq("doc_id"), "w", "cum")
         val tot = w.groupBy($"lang").agg(sum($"w").as("tot"))
