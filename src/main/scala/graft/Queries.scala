@@ -5149,7 +5149,83 @@ object Queries {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
         |    AS revenue
         |FROM a WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY channel""".stripMargin))
+        |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // ---- 153. correlated subqueries through the SQL surface — orders
+    //          more than 2× their priority class's average value (the
+    //          classic "above-peer-average" shape). Exercises Catalyst's
+    //          subquery DECORRELATION: both correlated scalar subqueries
+    //          must rewrite to aggregates + joins, not per-row
+    //          re-execution — at scale a re-executed subquery is a
+    //          different complexity class. The avg comparison is phrased
+    //          integrally (cents·count > 2·sum_cents) so membership near
+    //          the threshold can never diverge on decimal-vs-double
+    //          average semantics. ----
+    QDef("q153_sql_correlated",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_orderpriority,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |FROM orders_v a
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+          |    (SELECT count(*) FROM orders_v b
+          |     WHERE b.o_orderpriority = a.o_orderpriority)
+          |  > 2 * (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |         FROM orders_v b
+          |         WHERE b.o_orderpriority = a.o_orderpriority)
+          |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders a
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |    (SELECT count(*) FROM orders b
+        |     WHERE b.o_orderpriority = a.o_orderpriority)
+        |  > 2 * (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         FROM orders b
+        |         WHERE b.o_orderpriority = a.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- 154. proportional allocation (largest remainder) — split a
+    //          sampling budget of N across strata proportionally to their
+    //          sizes with EXACT integer arithmetic: floor shares first,
+    //          then the strata with the largest remainders (ties to
+    //          smallest stratum name) absorb the leftover seats. The
+    //          deterministic companion to q83's fixed-per-stratum sample
+    //          — quota computation is pure algebra on the |strata|-row
+    //          count table, so the plan is one collapse + tiny windows. ----
+    QDef("q154_allocation",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 1000L
+        val c = Tables.documents(s, dir)
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum($"n")).head.getLong(0)
+        val base = c.select($"lang", $"source", $"n",
+          expr(s"(n * $budget) div $tot").as("fl"),
+          expr(s"(n * $budget) % $tot").as("rem"))
+        val left = budget - base.agg(sum($"fl")).head.getLong(0)
+        val wR = Window.orderBy($"rem".desc, $"lang", $"source")
+        base
+          .withColumn("rk", row_number().over(wR))
+          .select($"lang", $"source", $"n",
+            ($"fl" + when($"rk" <= left, 1L).otherwise(0L)).as("quota"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH c AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |b AS (SELECT lang, source, n,
+        |    (n * 1000) // t.tot AS fl, (n * 1000) % t.tot AS rem
+        |  FROM c, t),
+        |l AS (SELECT 1000 - sum(fl) AS leftover FROM b),
+        |r AS (SELECT lang, source, n, fl,
+        |    row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+        |  FROM b)
+        |SELECT lang, source, n,
+        |  CAST(fl + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r, l ORDER BY lang, source""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
