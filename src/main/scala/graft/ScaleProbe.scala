@@ -690,7 +690,8 @@ object ScaleProbe {
       "q143_skyline", "q144_pivot",
       "q145_gini", "q146_hhi", "q147_cusum", "q148_entropy",
       "q149_dow_seasonality",
-      "q150_systematic_sample", "q151_rolling_ols", "q152_attribution")
+      "q150_systematic_sample", "q151_rolling_ols", "q152_attribution",
+      "q153_sql_correlated", "q154_allocation")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
