@@ -5225,7 +5225,119 @@ object Queries {
         |SELECT lang, source, n,
         |  CAST(fl + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS quota
-        |FROM r, l ORDER BY lang, source""".stripMargin))
+        |FROM r, l ORDER BY lang, source""".stripMargin)),
+
+    // ---- 155. similarity-distribution audit — the histogram of pairwise
+    //          n-gram Jaccard scores the dedup threshold is CHOSEN from
+    //          (run before committing to q32's 0.5): candidate pairs from
+    //          the df-cut inverted index at a low floor, bucketed into
+    //          Jaccard deciles. Bucketing happens on the 6-dp ROUNDED
+    //          score both engines already hash-agree on, so decile
+    //          boundaries cannot diverge. Pair work is bounded by the
+    //          same C(maxDf,2) cap as q32. ----
+    QDef("q155_sim_histogram",
+      (s, dir) => {
+        import s.implicits._
+        MinHashLSH.exactNearDuplicates(Tables.documents(s, dir),
+            idCol = "doc_id", textCol = "text", w = 3, threshold = 0.05,
+            maxDf = 256)
+          .select(least(floor($"jaccard" * 10), lit(9.0)).cast("long")
+            .as("decile"))
+          .groupBy($"decile").agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"decile")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+        |  FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.05)
+        |SELECT CAST(least(floor(jac * 10), 9.0) AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    // ---- 156. degree-distribution audit — the (out-degree → vertex
+    //          count) table of the adjacent-token graph (q116/q124's
+    //          edge set): the power-law sanity check run before any graph
+    //          algorithm is trusted. Pure integer: distinct-edge collapse
+    //          → per-vertex degree count → degree histogram; every stage
+    //          map-side combinable, no window, no float. ----
+    QDef("q156_degree_dist",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir)
+          .select(TF.tokens($"text").as("toks"))
+          .filter(size($"toks") > 1)
+        val edges = t.select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
+          .select($"e.a", $"e.b")
+          .filter($"a" =!= $"b")
+          .distinct()
+        edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+          .groupBy($"deg").agg(count(lit(1)).as("n_vertices"))
+          .orderBy($"deg")
+      },
+      Some("""WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |e AS (SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |d AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM d GROUP BY deg ORDER BY deg""".stripMargin)),
+
+    // ---- 157. median time-to-convert per cohort — each user's gap from
+    //          first event to first purchase (converters only), lower
+    //          median per first-touch week via the distributed
+    //          crossing-point selector (unit weights): the funnel-latency
+    //          metric, exact, with no per-cohort window. µs integers
+    //          end to end. ----
+    QDef("q157_conversion_latency",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_type")
+        val first = e.groupBy($"user_id").agg(min($"ts_us").as("t0"))
+        val firstP = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts_us").as("tp"))
+        val conv = first.join(firstP, "user_id")
+          .select(expr("t0 div 604800000000").as("cohort_wk"),
+            ($"tp" - $"t0").as("gap_us"))
+          .withColumn("w", lit(1L))
+        graft.ops.WeightedMedian.perGroup(
+            conv, Seq("cohort_wk"), "gap_us", "w")
+          .select($"cohort_wk", $"wmedian".as("median_gap_us"),
+            $"total_weight".as("n_converters"))
+          .orderBy($"cohort_wk")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, min(ts_us) AS t0 FROM e GROUP BY 1),
+        |p AS (SELECT user_id, min(ts_us) AS tp FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT f.t0 // 604800000000 AS cohort_wk,
+        |    p.tp - f.t0 AS gap_us
+        |  FROM f JOIN p ON f.user_id = p.user_id),
+        |g AS (SELECT cohort_wk, gap_us, CAST(count(*) AS BIGINT) AS w
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT cohort_wk, gap_us, w,
+        |    CAST(sum(w) OVER (PARTITION BY cohort_wk ORDER BY gap_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY cohort_wk) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT cohort_wk, gap_us AS median_gap_us, tot AS n_converters
+        |FROM r WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
+        |ORDER BY cohort_wk""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
