@@ -691,7 +691,8 @@ object ScaleProbe {
       "q145_gini", "q146_hhi", "q147_cusum", "q148_entropy",
       "q149_dow_seasonality",
       "q150_systematic_sample", "q151_rolling_ols", "q152_attribution",
-      "q153_sql_correlated", "q154_allocation")
+      "q153_sql_correlated", "q154_allocation",
+      "q155_sim_histogram", "q156_degree_dist", "q157_conversion_latency")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
