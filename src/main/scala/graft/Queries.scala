@@ -39,6 +39,15 @@ object Queries {
   private val ewmaWeights: Seq[Double] =
     (0 until 10).map(j => 0.3 * math.pow(0.7, j))
 
+  /** q159's Benford expectation, floor(1e6·log10(1+1/d)) for d = 1..9 —
+    * computed once here and printed into BOTH engines' queries as integer
+    * literals, so no transcendental function (whose last-ulp behaviour the
+    * two engines need not share) ever executes inside the hash-compared
+    * plan.
+    */
+  private val benfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
   /** q116's oracle: the fixed-point PageRank recurrence of
     * [[graft.ops.PageRank]] unrolled to `iterations` CTEs. Because the
     * operator is pure integer arithmetic (sums + floor divisions), the
@@ -5200,11 +5209,16 @@ object Queries {
         val budget = 1000L
         val c = Tables.documents(s, dir)
           .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
-        val tot = c.agg(sum($"n")).head.getLong(0)
+        // Option-guarded (and floored to 1 for the inlined divisor): on an
+        // EMPTY corpus both sums are null rows; with zero strata no row
+        // ever divides, so the placeholder divisor is never observed.
+        val tot = math.max(Option(c.agg(sum($"n")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
         val base = c.select($"lang", $"source", $"n",
           expr(s"(n * $budget) div $tot").as("fl"),
           expr(s"(n * $budget) % $tot").as("rem"))
-        val left = budget - base.agg(sum($"fl")).head.getLong(0)
+        val left = budget - Option(base.agg(sum($"fl")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val wR = Window.orderBy($"rem".desc, $"lang", $"source")
         base
           .withColumn("rk", row_number().over(wR))
@@ -5337,7 +5351,390 @@ object Queries {
         |  FROM g)
         |SELECT cohort_wk, gap_us AS median_gap_us, tot AS n_converters
         |FROM r WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
-        |ORDER BY cohort_wk""".stripMargin))
+        |ORDER BY cohort_wk""".stripMargin)),
+
+    // ---- 158. session path TRIGRAMS — sliding event-type trigrams within
+    //          30-minute-gap sessions. q85 counts WHOLE session paths
+    //          (collect_list per session — distinct paths are sparse and
+    //          state grows with session length); this is the subpath
+    //          aggregation that stays dense, and its two leads keep O(1)
+    //          per-row state — no array ever materializes, so a
+    //          pathological week-long session costs nothing extra.
+    //          Sessionization reuses ops/Sessionize (same shuffle key as
+    //          the leads: one per-user exchange end to end); trigram
+    //          counting is combinable and the top-20 is TakeOrdered, never
+    //          a global sort. ----
+    QDef("q158_path_trigrams",
+      (s, dir) => {
+        import s.implicits._
+        val labeled = graft.ops.Sessionize.assign(
+          Tables.events(s, dir)
+            .select($"user_id", $"ts_us", $"event_id", $"event_type"),
+          keys = Seq("user_id"), tsUsCol = "ts_us",
+          tieBreak = Seq("event_id"), gapUs = 1800L * 1000000L)
+        val ws = Window.partitionBy($"user_id", $"session_seq")
+          .orderBy($"ts_us", $"event_id")
+        labeled.select($"event_type".as("a"),
+            lead($"event_type", 1).over(ws).as("b"),
+            lead($"event_type", 2).over(ws).as("c"))
+          .filter($"b".isNotNull && $"c".isNotNull)
+          .groupBy(concat_ws(">", $"a", $"b", $"c").as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |f AS (SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS nf FROM l),
+        |s AS (SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS sess FROM f),
+        |t AS (SELECT event_type AS a,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts_us, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts_us, event_id) AS c
+        |  FROM s)
+        |SELECT a || '>' || b || '>' || c AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // ---- 159. Benford first-digit audit — the fraud/synthetic-data smell
+    //          test on order totals: observed first-significant-digit mix
+    //          vs Benford's law, deviation in ppm. The digit comes from the
+    //          EXACT cents string (half-up to integer cents first — never
+    //          from double formatting), counts are one combinable
+    //          aggregate, and the expected distribution is nine shared
+    //          integer constants (floor(1e6·log10(1+1/d)) precomputed once
+    //          below), so no transcendental function runs in either
+    //          engine — the 9-row result hashes exactly. ----
+    QDef("q159_benford",
+      (s, dir) => {
+        import s.implicits._
+        val expCase = benfordPpm.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+          .mkString("CASE digit ", " ", " END")
+        val d = Tables.orders(s, dir)
+          .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+          .filter($"cents" > 0L)   // Benford is defined on positive values
+          .select(substring($"cents".cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+        val tot = Window.partitionBy()
+        d.select($"digit", $"n",
+            expr("n * 1000000").cast("long").as("num"),
+            sum($"n").over(tot).as("tot"))
+          .select($"digit", $"n",
+            expr("num div tot").as("obs_ppm"),
+            expr(expCase).as("exp_ppm"))
+          .withColumn("dev_ppm", $"obs_ppm" - $"exp_ppm")
+          .orderBy($"digit")
+      },
+      Some(s"""WITH ce AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS cents FROM orders),
+        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |      AS digit FROM ce WHERE cents > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT digit, n, (n * 1000000) // CAST(sum(n) OVER () AS BIGINT)
+        |      AS obs_ppm FROM c)
+        |SELECT digit, n, obs_ppm,
+        |  CASE digit ${benfordPpm.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")}
+        |  END AS exp_ppm,
+        |  obs_ppm - CASE digit ${benfordPpm.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")}
+        |  END AS dev_ppm
+        |FROM t ORDER BY digit""".stripMargin)),
+
+    // ---- 160. inter-arrival time histogram — the traffic-shape audit
+    //          (bursty vs Poisson) as a log2-bucketed gap distribution per
+    //          event type. The log2 bucket is INTEGER in both engines —
+    //          length(bin(gap)) - 1 is floor(log2) with no floating-point
+    //          log at bucket boundaries; zero gaps (same-µs events) get
+    //          their own -1 bucket. One per-user window shuffle for the
+    //          lag, then a combinable count to |types|×~40 cells. ----
+    QDef("q160_interarrival",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+          .withColumn("prev_us", lag($"ts_us", 1).over(w))
+          .filter($"prev_us".isNotNull)
+          .select($"event_type", ($"ts_us" - $"prev_us").as("gap"))
+          .select($"event_type",
+            when($"gap" === 0L, lit(-1L))
+              .otherwise((length(bin($"gap")) - 1).cast("long"))
+              .as("log2_bucket"))
+          .groupBy($"event_type", $"log2_bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"event_type", $"log2_bucket")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |l AS (SELECT event_type, ts_us - lag(ts_us) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM e)
+        |SELECT event_type,
+        |  CASE WHEN gap = 0 THEN -1
+        |       ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin)),
+
+    // ---- 161. RFM segmentation — customers cut into exact quartile
+    //          classes on recency / frequency / monetary, reported as the
+    //          4×4×4 segment grid (count + revenue per cell). The three
+    //          boundary sets come from ONE distributed quantile job: the
+    //          per-customer table stacks long (dim, value), and
+    //          WeightedMedian.perGroupQuantiles runs its collapse +
+    //          range-partitioned prefix sum once over the three groups —
+    //          no single-task global window anywhere. The nine boundary
+    //          scalars (plus the global max day) are collected driver-side
+    //          and inlined as literals (q97 precedent: a scalar in the join
+    //          graph would plan a BroadcastNestedLoopJoin); class
+    //          membership is strict-greater counting on integers, so both
+    //          engines bucket identically. ----
+    QDef("q161_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.orders(s, dir)
+          .select($"o_custkey",
+            expr(s"unix_micros(cast(o_orderdate as timestamp))" +
+              s" div 86400000000").as("day"),
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+          .groupBy($"o_custkey")
+          .agg(max($"day").as("last_day"), count(lit(1)).as("f"),
+            sum($"cents").as("m_cents"))
+        // Option-guarded: on an EMPTY orders table max() yields a null row
+        // and perGroupQuantiles yields no boundary rows; defaulting both to
+        // 0 is sound because with zero customers no row ever consults them.
+        val maxDay = Option(cust.agg(max($"last_day")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val rfm = cust.select($"o_custkey",
+          (lit(maxDay) - $"last_day").as("r_days"), $"f", $"m_cents")
+        val stacked = rfm.select(explode(array(
+            struct(lit("r").as("dim"), $"r_days".as("v")),
+            struct(lit("f").as("dim"), $"f".as("v")),
+            struct(lit("m").as("dim"), $"m_cents".as("v")))).as("e"))
+          .select($"e.dim", $"e.v").withColumn("w", lit(1L))
+        val bounds: Map[(String, Long), Long] =
+          graft.ops.WeightedMedian.perGroupQuantiles(
+              stacked, Seq("dim"), "v", "w", Seq((1, 4), (2, 4), (3, 4)))
+            .select($"dim", $"q_num", $"wquantile")
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+        def cls(c: Column, dim: String): Column =
+          lit(1L) +
+            when(c > bounds.getOrElse((dim, 1L), 0L), 1L).otherwise(0L) +
+            when(c > bounds.getOrElse((dim, 2L), 0L), 1L).otherwise(0L) +
+            when(c > bounds.getOrElse((dim, 3L), 0L), 1L).otherwise(0L)
+        rfm.select(cls($"r_days", "r").as("r_class"),
+            cls($"f", "f").as("f_class"),
+            cls($"m_cents", "m").as("m_class"), $"m_cents")
+          .groupBy($"r_class", $"f_class", $"m_class")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"m_cents").as("sum_m_cents"))
+          .orderBy($"r_class", $"f_class", $"m_class")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT o_custkey, max(day) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(cents) AS BIGINT) AS m_cents FROM o GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS maxd FROM c),
+        |rfm AS (SELECT o_custkey, mx.maxd - last_day AS r_days, f, m_cents
+        |  FROM c, mx),
+        |st AS (SELECT 'r' AS dim, r_days AS v FROM rfm UNION ALL
+        |       SELECT 'f', f FROM rfm UNION ALL
+        |       SELECT 'm', m_cents FROM rfm),
+        |g AS (SELECT dim, v, CAST(count(*) AS BIGINT) AS w
+        |  FROM st GROUP BY 1, 2),
+        |rr AS (SELECT dim, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY dim ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY dim) AS BIGINT) AS tot FROM g),
+        |q AS (SELECT dim, k, v FROM rr, (VALUES (1), (2), (3)) ks(k)
+        |  WHERE 4 * cum >= k * tot AND 4 * (cum - w) < k * tot),
+        |b AS (SELECT
+        |    max(CASE WHEN dim = 'r' AND k = 1 THEN v END) AS r1,
+        |    max(CASE WHEN dim = 'r' AND k = 2 THEN v END) AS r2,
+        |    max(CASE WHEN dim = 'r' AND k = 3 THEN v END) AS r3,
+        |    max(CASE WHEN dim = 'f' AND k = 1 THEN v END) AS f1,
+        |    max(CASE WHEN dim = 'f' AND k = 2 THEN v END) AS f2,
+        |    max(CASE WHEN dim = 'f' AND k = 3 THEN v END) AS f3,
+        |    max(CASE WHEN dim = 'm' AND k = 1 THEN v END) AS m1,
+        |    max(CASE WHEN dim = 'm' AND k = 2 THEN v END) AS m2,
+        |    max(CASE WHEN dim = 'm' AND k = 3 THEN v END) AS m3
+        |  FROM q),
+        |cl AS (SELECT
+        |    CAST(1 + CASE WHEN r_days > b.r1 THEN 1 ELSE 0 END
+        |           + CASE WHEN r_days > b.r2 THEN 1 ELSE 0 END
+        |           + CASE WHEN r_days > b.r3 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS r_class,
+        |    CAST(1 + CASE WHEN f > b.f1 THEN 1 ELSE 0 END
+        |           + CASE WHEN f > b.f2 THEN 1 ELSE 0 END
+        |           + CASE WHEN f > b.f3 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS f_class,
+        |    CAST(1 + CASE WHEN m_cents > b.m1 THEN 1 ELSE 0 END
+        |           + CASE WHEN m_cents > b.m2 THEN 1 ELSE 0 END
+        |           + CASE WHEN m_cents > b.m3 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS m_class,
+        |    m_cents
+        |  FROM rfm, b)
+        |SELECT r_class, f_class, m_class,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(m_cents) AS BIGINT) AS sum_m_cents
+        |FROM cl GROUP BY 1, 2, 3
+        |ORDER BY r_class, f_class, m_class""".stripMargin)),
+
+    // ---- 162. autocorrelation profile — lag-1..7 correlation of the
+    //          daily event-count series per event type (the "is this
+    //          metric weekly-periodic" audit; reads directly against
+    //          q149's seasonality index). Calendar-correct pairing with
+    //          day GAPS: x_{t+k} comes from a RANGE k..k frame (a value
+    //          offset, not a row offset), so missing days pair with
+    //          nothing instead of sliding the series. All seven frames
+    //          share one per-type sort; moments ride q132's machinery —
+    //          DECIMAL(38,0)/HUGEINT products, sign + r²-ppm by nested
+    //          integer division, float never enters the hash. ----
+    QDef("q162_acf",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val daily = Tables.events(s, dir)
+          .select($"event_type", expr("ts_us div 86400000000").as("day"))
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        val lagCols = (1 to 7).map(k =>
+          max($"x").over(w.rangeBetween(k, k)).as(s"x$k"))
+        val led = daily.select(
+          Seq($"event_type", $"day", $"x") ++ lagCols: _*)
+        val pairs = led.select($"event_type", $"x", explode(array(
+            (1 to 7).map(k =>
+              struct(lit(k.toLong).as("k"), col(s"x$k").as("y"))): _*))
+            .as("e"))
+          .select($"event_type", $"e.k", $"x", $"e.y")
+          .filter($"y".isNotNull)
+        pairs.groupBy($"event_type", $"k").agg(
+            count(lit(1)).as("n"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum(d($"x") * d($"y")).as("sxy"),
+            sum(d($"x") * d($"x")).as("sxx"),
+            sum(d($"y") * d($"y")).as("syy"))
+          .select($"event_type", $"k", $"n",
+            (d($"n") * $"sxy" - d($"sx") * d($"sy")).as("num"),
+            (d($"n") * $"sxx" - d($"sx") * d($"sx")).as("denx"),
+            (d($"n") * $"syy" - d($"sy") * d($"sy")).as("deny"))
+          .select($"event_type", $"k", $"n",
+            signum($"num").cast("long").as("sign"),
+            expr("CASE WHEN denx = 0 OR deny = 0 THEN NULL" +
+              " ELSE (((num * 1000000) div denx) * num) div deny END")
+              .as("r2_ppm"))
+          .orderBy($"event_type", $"k")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT event_type, day, CAST(count(*) AS HUGEINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |""".stripMargin +
+        (1 to 7).map(k => s"    max(x) OVER (PARTITION BY event_type" +
+          s" ORDER BY day RANGE BETWEEN $k FOLLOWING AND $k FOLLOWING)" +
+          s" AS x$k").mkString(",\n") + "\n" +
+        """  FROM g),
+        |p AS (""".stripMargin +
+        (1 to 7).map(k => s"  SELECT event_type, $k AS k, x, x$k AS y" +
+          s" FROM l WHERE x$k IS NOT NULL").mkString("\n  UNION ALL\n") +
+        """),
+        |m AS (SELECT event_type, k, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |u AS (SELECT event_type, k, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny FROM m)
+        |SELECT event_type, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS sign,
+        |  CAST(CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |    ELSE (((num * 1000000) // denx) * num) // deny END
+        |    AS BIGINT) AS r2_ppm
+        |FROM u ORDER BY event_type, k""".stripMargin)),
+
+    // ---- 163. sorted-neighborhood dedup — the third classic blocking
+    //          family next to hash/LSH (q32-q34) and the inverted index
+    //          (q123): sort by a content key, compare each record to its
+    //          next `win` neighbors. The scale-correct form is NOT a
+    //          global window (one task): the global per-lang rank comes
+    //          from the distributed prefix-sum (unit weights), and
+    //          neighbor pairing is an equi-join on (lang, rank + j) —
+    //          every stage range/hash-partitioned. Candidates get an
+    //          EXACT shingle-Jaccard verify (set intersect on distinct
+    //          3-gram arrays); the 6-dp round before the threshold is the
+    //          q155 precedent both engines hash-agree on. ----
+    QDef("q163_sorted_neighborhood",
+      (s, dir) => {
+        import s.implicits._
+        val win = 4L
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            TF.shingles($"text", 3).as("sh"),
+            array_join(slice(TF.tokens($"text"), 1, 3), " ").as("skey"))
+        val ranked = graft.ops.PrefixSum.withRunningSum(
+            docs.withColumn("one", lit(1L)),
+            Seq("lang"), Seq("skey", "doc_id"), "one", "rnk")
+          .select($"lang", $"doc_id", $"rnk")
+        val left = ranked
+          .withColumn("j", explode(sequence(lit(1L), lit(win))))
+          .select($"lang", ($"rnk" + $"j").as("rnk2"),
+            $"doc_id".as("doc_a"))
+        val pairs = left.join(ranked
+            .select($"lang", $"rnk".as("rnk2"), $"doc_id".as("doc_b")),
+          Seq("lang", "rnk2"))
+        val sha = docs.select($"doc_id".as("doc_a"), $"sh".as("sha"))
+        val shb = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
+        pairs.join(sha, "doc_a").join(shb, "doc_b")
+          .select($"lang",
+            round(size(array_intersect($"sha", $"shb")).cast("double") /
+              (size($"sha") + size($"shb") -
+                size(array_intersect($"sha", $"shb"))), 6).as("jac"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("n_dups"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang,
+        |    array_to_string(toks[1:3], ' ') AS skey,
+        |    CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM tok),
+        |r AS (SELECT doc_id, lang, sh,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+        |      AS BIGINT) AS rnk FROM d),
+        |p AS (SELECT a.lang, a.sh AS sha, b.sh AS shb
+        |  FROM r a, (VALUES (1), (2), (3), (4)) js(j)
+        |  JOIN r b ON b.lang = a.lang AND b.rnk = a.rnk + js.j),
+        |jc AS (SELECT lang,
+        |    round(CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+        |      (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6)
+        |      AS jac FROM p)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups
+        |FROM jc GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
