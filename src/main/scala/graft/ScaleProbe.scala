@@ -694,7 +694,8 @@ object ScaleProbe {
       "q153_sql_correlated", "q154_allocation",
       "q155_sim_histogram", "q156_degree_dist", "q157_conversion_latency",
       "q158_path_trigrams", "q159_benford", "q160_interarrival",
-      "q161_rfm_segments")
+      "q161_rfm_segments",
+      "q162_acf", "q163_sorted_neighborhood")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
