@@ -665,9 +665,11 @@ object ScaleProbe {
     // events: shift user_id AND event_id per replica — event_id stays the
     // per-key CDC sequence (within-replica order preserved, replica keys
     // disjoint); raw nanos `ts` column kept so Tables.events re-derives.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    explodeR(spark.read.schema(Tables.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet"))
+    // Tables.events normalizes either file generation (nanos-long or µs
+    // timestamp) to a nanos-long `ts`; the replica file is written as plain
+    // int64 nanos, which Tables.events' sniff routes back to the nanos path.
+    explodeR(Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"))
       .select((col("event_id") + col("__r") * shift).as("event_id"),
         col("ts"), (col("user_id") + col("__r") * shift).as("user_id"),
         col("event_type"), col("value"), col("props"))

@@ -58,13 +58,22 @@ object Tables {
     StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampNTZType)))
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; we read the raw int64 nanos (legacy nanosAsLong) and expose both
-    * the raw `ts` (nanos, long) and a derived `ts_us` (micros, long — exactly
-    * what DuckDB's µs TIMESTAMP truncates to, so the oracle agrees bit-for-bit).
+  /** Legacy `events.parquet` generations carry TIMESTAMP(NANOS) which Spark's
+    * parquet reader rejects; those are read as raw int64 nanos (legacy
+    * nanosAsLong). Newer generations store plain `timestamp[us]`. [[events]]
+    * sniffs which one the file is and normalizes to the same three columns
+    * either way: `ts` (nanos, long), `ts_us` (micros, long — exactly what
+    * DuckDB's µs TIMESTAMP holds, so the oracle agrees bit-for-bit), and
+    * `tstamp` (TimestampType at µs precision).
     */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Reader schema for the `timestamp[us]` generation of events.parquet. */
+  val eventsTsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -102,10 +111,44 @@ object Tables {
     * Always order/compare on `ts_us` (not raw nanos) so results align with
     * µs-precision consumers — sub-µs ordering ties are broken by `event_id`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The on-disk reader schema for this generation of events.parquet —
+    * streaming file sources need it declared up front. Pair with
+    * [[withTstamp]] to normalize the time columns after the scan.
+    */
+  def eventsNativeSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(path(dir, "events"))
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+    spark.read.parquet(path(dir, "events")).schema("ts").dataType match {
+      case LongType => eventsRawSchema
+      case _        => eventsTsSchema
+    }
+  }
+
+  /** Adds `ts_us` (micros long) + `tstamp` (µs TimestampType) to a DF scanned
+    * with either events schema generation.
+    */
+  def withTstamp(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+    case _ =>
+      df.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+        .withColumn("tstamp", col("ts").cast(TimestampType))
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // One footer read decides which physical generation this file is:
+    // TIMESTAMP(NANOS) surfaces as LongType under nanosAsLong; timestamp[us]
+    // surfaces as a timestamp type. Both normalize to identical columns
+    // (`ts` nanos long, `ts_us` micros long, `tstamp` µs timestamp), so
+    // every consumer — queries, probes, replica writers — is generation-blind.
+    // Session tz is UTC, so the NTZ→TZ cast inside withTstamp is a re-label,
+    // not a shift.
+    val schema = eventsNativeSchema(spark, dir)
+    val df = withTstamp(spark.read.schema(schema).parquet(path(dir, "events")))
+    if (schema eq eventsRawSchema) df
+    else df
+      .withColumn("ts", col("ts_us") * lit(1000L))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props",
+        "ts_us", "tstamp")
   }
 }

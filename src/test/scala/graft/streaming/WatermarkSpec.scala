@@ -22,10 +22,10 @@ class WatermarkSpec extends AnyFunSuite {
       .select($"event_type", unix_micros($"window.start").as("b"), $"n", $"v")
 
     val stream = spark.readStream
-      .schema(graft.Tables.eventsRawSchema)
+      .schema(graft.Tables.eventsNativeSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.withTstamp)
       .withWatermark("tstamp", "10 minutes")
       .groupBy($"event_type", window($"tstamp", "1 hour"))
       .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("v"))
@@ -57,9 +57,9 @@ class WatermarkSpec extends AnyFunSuite {
       .select("event_id").distinct().count()
 
     val stream = spark.readStream
-      .schema(graft.Tables.eventsRawSchema)
+      .schema(graft.Tables.eventsNativeSchema(spark, "/root/testdata/sf0.001"))
       .parquet(dir.toString)
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.withTstamp)
       .withWatermark("tstamp", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
