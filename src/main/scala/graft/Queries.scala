@@ -5734,7 +5734,118 @@ object Queries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates,
         |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dups
-        |FROM jc GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM jc GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- 164. chi-squared test of independence — event_type × day-of-week
+    //          contingency table. The fact stream collapses to |types|×7
+    //          cells in ONE combinable aggregate; marginals and the grand
+    //          total are windows on that tiny cell table. The statistic is
+    //          kept EXACT: the cell deviation N·obs − row·col is integral,
+    //          its square runs in DECIMAL(38,0) (HUGEINT in the oracle —
+    //          the q145/q146 precedent), and each cell's χ² contribution
+    //          ships as integer ppm of (N·obs − row·col)²/(N·row·col) — no
+    //          float ever reaches the hash. dow = epoch-day mod 7, the
+    //          q149 calendar-free convention. ----
+    QDef("q164_chi2_independence",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val cells = Tables.events(s, dir)
+          .select($"event_type",
+            pmod(expr("ts_us div 86400000000"), lit(7L)).as("dow"))
+          .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+        val wRow = Window.partitionBy($"event_type")
+        val wCol = Window.partitionBy($"dow")
+        val wTot = Window.partitionBy()
+        cells
+          .withColumn("row_n", sum($"n").over(wRow))
+          .withColumn("col_n", sum($"n").over(wCol))
+          .withColumn("tot", sum($"n").over(wTot))
+          .select($"event_type", $"dow", $"n", $"row_n", $"col_n",
+            (($"tot" * $"n" - $"row_n" * $"col_n").cast(d38)).as("dev"),
+            ($"tot".cast(d38) * $"row_n" * $"col_n").as("den"))
+          .select($"event_type", $"dow", $"n", $"row_n", $"col_n",
+            expr("(dev * dev * 1000000) div den").cast("long").as("chi2_ppm"))
+          .orderBy($"event_type", $"dow")
+      },
+      Some("""WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, dow, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+        |    CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot FROM c)
+        |SELECT event_type, dow, n, row_n, col_n,
+        |  CAST((CAST(tot * n - row_n * col_n AS HUGEINT)
+        |      * (tot * n - row_n * col_n) * 1000000)
+        |    // (CAST(tot AS HUGEINT) * row_n * col_n) AS BIGINT) AS chi2_ppm
+        |FROM m ORDER BY event_type, dow""".stripMargin)),
+
+    // ---- 165. two-sample Kolmogorov–Smirnov drift — each event type's
+    //          value distribution vs the REST of the stream (the
+    //          distribution-shape complement to q141's binned PSI). The
+    //          stream collapses to |distinct values|×|types| grid cells;
+    //          per-type ECDFs are the distributed prefix sum over the
+    //          value-ordered grid (range-partitioned — never a one-task
+    //          window), and the pooled ECDF is a |types|-row window per
+    //          value. D = max|c_t·n_rest − c_rest·n_t| stays integral
+    //          (the classic n₁·n₂ rescale), reported with its ppm
+    //          normalization by integer division. ----
+    QDef("q165_ks_drift",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"event_type", $"value")
+        val types = ev.select($"event_type").distinct()
+        val vals = ev.select($"value").distinct()
+        val counts = ev.groupBy($"value", $"event_type")
+          .agg(count(lit(1)).as("n"))
+        val grid = vals.crossJoin(broadcast(types))
+          .join(counts, Seq("value", "event_type"), "left")
+          .withColumn("n", coalesce($"n", lit(0L)))
+        val cum = graft.ops.PrefixSum.withRunningSum(
+          grid, Seq("event_type"), Seq("value"), "n", "c")
+        // per-type totals are a tiny |types|-row aggregate, broadcast back;
+        // N (grand total) rides along as their window sum.
+        val totals = cum.groupBy($"event_type").agg(max($"c").as("n_t"))
+          .withColumn("n_all", sum($"n_t").over(Window.partitionBy()))
+        val wVal = Window.partitionBy($"value")
+        cum
+          .withColumn("c_all", sum($"c").over(wVal))
+          .join(broadcast(totals), "event_type")
+          .select($"event_type", $"n_t", ($"n_all" - $"n_t").as("n_rest"),
+            abs($"c" * ($"n_all" - $"n_t") - ($"c_all" - $"c") * $"n_t")
+              .as("dev"))
+          .groupBy($"event_type", $"n_t", $"n_rest")
+          .agg(max($"dev").as("d_num"))
+          .select($"event_type", $"n_t", $"n_rest", $"d_num",
+            expr("(d_num * 1000000) div (n_t * n_rest)").as("d_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events),
+        |g AS (SELECT v.value, t.event_type,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT value FROM ev) v
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |  LEFT JOIN (SELECT value, event_type, count(*) AS n FROM ev
+        |    GROUP BY 1, 2) c
+        |    ON c.value = v.value AND c.event_type = t.event_type),
+        |cum AS (SELECT value, event_type, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM g),
+        |tt AS (SELECT event_type, CAST(max(c) AS BIGINT) AS n_t
+        |  FROM cum GROUP BY 1),
+        |t2 AS (SELECT event_type, n_t,
+        |    CAST(sum(n_t) OVER () AS BIGINT) AS n_all FROM tt),
+        |x AS (SELECT cum.value, cum.event_type, cum.c,
+        |    CAST(sum(cum.c) OVER (PARTITION BY cum.value) AS BIGINT)
+        |      AS c_all, t2.n_t, t2.n_all - t2.n_t AS n_rest
+        |  FROM cum JOIN t2 ON t2.event_type = cum.event_type),
+        |y AS (SELECT event_type, n_t, n_rest,
+        |    abs(c * n_rest - (c_all - c) * n_t) AS dev FROM x)
+        |SELECT event_type, n_t, n_rest, CAST(max(dev) AS BIGINT) AS d_num,
+        |  CAST((max(dev) * 1000000) // (n_t * n_rest) AS BIGINT) AS d_ppm
+        |FROM y GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
