@@ -5845,7 +5845,161 @@ object Queries {
         |    abs(c * n_rest - (c_all - c) * n_t) AS dev FROM x)
         |SELECT event_type, n_t, n_rest, CAST(max(dev) AS BIGINT) AS d_num,
         |  CAST((max(dev) * 1000000) // (n_t * n_rest) AS BIGINT) AS d_ppm
-        |FROM y GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin))
+        |FROM y GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)),
+
+    // ---- 166. winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    //          selector) — the guarantee-bearing alternative to q47's plain
+    //          rolling fingerprint: every match of length ≥ w+k-1 is
+    //          witnessed by a SHARED selected fingerprint. Per document the
+    //          selection is pure array math (O(m·w) in a narrow map, no
+    //          shuffle): k-gram hash60s, then per window of w the minimum
+    //          with the RIGHTMOST-position tie rule. The corpus roll-up
+    //          (docs sharing a fingerprint) is one combinable aggregate.
+    //          hash60 = md5-prefix (q67 precedent) so both engines hash
+    //          identical grams to identical longs. ----
+    QDef("q166_winnowing",
+      (s, dir) => {
+        import s.implicits._
+        val k = 3; val w = 4
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
+          .withColumn("grams",
+            when(size($"toks") >= k,
+              transform(sequence(lit(1), size($"toks") - (k - 1)),
+                i => array_join(slice($"toks", i, lit(k)), " ")))
+            .when(size($"toks") >= 1, array(array_join($"toks", " ")))
+            .otherwise(array().cast("array<string>")))
+          .withColumn("hs", transform($"grams", g => TF.hash60(g)))
+          .withColumn("m", size($"hs"))
+          .withColumn("weff", least(lit(w), $"m"))
+          .withColumn("sels",
+            when($"m" >= 1, array_distinct(
+              transform(sequence(lit(1), $"m" - $"weff" + 1), i =>
+                array_max(transform(sequence(i, i + $"weff" - 1), j =>
+                  when(element_at($"hs", j) ===
+                    array_min(slice($"hs", i, $"weff")), j))))))
+            .otherwise(array().cast("array<int>")))
+          .withColumn("fps",
+            array_distinct(transform($"sels", j => element_at($"hs", j))))
+        val docAgg = d.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_grams"),
+            sum(size($"sels")).as("n_sel"))
+        val fpAgg = d.select($"lang", $"doc_id", explode($"fps").as("fp"))
+          .groupBy($"lang", $"fp").agg(count(lit(1)).as("nd"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_distinct_fp"),
+            sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+        docAgg.join(fpAgg, Seq("lang"), "left")
+          .select($"lang", $"n_docs", $"n_grams", $"n_sel",
+            coalesce($"n_distinct_fp", lit(0L)).as("n_distinct_fp"),
+            coalesce($"n_shared_fp", lit(0L)).as("n_shared_fp"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN [array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)]
+        |      WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+        |      ELSE [] END AS grams FROM t),
+        |h AS (SELECT doc_id, lang,
+        |    list_transform(grams,
+        |      x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs,
+        |    len(grams) AS m, least(4, len(grams)) AS weff FROM g),
+        |sel AS (SELECT doc_id, lang, hs, m,
+        |    CASE WHEN m >= 1 THEN list_distinct(
+        |      [list_max([j for j in range(i, i + weff)
+        |         if hs[j] = list_min(hs[i:i+weff-1])])
+        |       for i in range(1, m - weff + 2)])
+        |    ELSE [] END AS sels FROM h),
+        |f AS (SELECT doc_id, lang, m, len(sels) AS n_sel,
+        |    list_distinct(list_transform(sels, j -> hs[j])) AS fps FROM sel),
+        |da AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(m) AS BIGINT) AS n_grams,
+        |    CAST(sum(n_sel) AS BIGINT) AS n_sel FROM f GROUP BY 1),
+        |fv AS (SELECT lang, unnest(fps) AS fp FROM f),
+        |fa AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct_fp,
+        |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared_fp
+        |  FROM (SELECT lang, fp, count(*) AS nd FROM fv GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT da.lang AS lang, n_docs, n_grams, da.n_sel,
+        |  coalesce(n_distinct_fp, 0) AS n_distinct_fp,
+        |  coalesce(n_shared_fp, 0) AS n_shared_fp
+        |FROM da LEFT JOIN fa ON fa.lang = da.lang
+        |ORDER BY da.lang""".stripMargin)),
+
+    // ---- 167. PPJoin-style prefix-filtered set-similarity join (Xiao et
+    //          al.) — the fourth classic candidate-generation family next
+    //          to LSH (q33/q34), the inverted index with df-cut (q32) and
+    //          sorted neighborhood (q163). Tokens get a GLOBAL rarity order
+    //          (df asc, token asc); each doc exposes only its first
+    //          |d| - ceil(t·|d|) + 1 ordered tokens, and any pair with
+    //          Jaccard ≥ t provably shares a prefix token — candidates are
+    //          generated by RARE tokens, so the hottest posting lists never
+    //          fan out (the skew valve is the algorithm itself). The
+    //          verify is exact and integral: Jaccard ≥ 1/2 ⟺
+    //          3·|∩| ≥ |a|+|b| — no float in the hash. ----
+    QDef("q167_ppjoin",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            array_distinct(TF.tokens($"text")).as("tset"))
+        val e = docs.select($"doc_id", $"lang", explode($"tset").as("token"))
+        val df = e.groupBy($"token").agg(count(lit(1)).as("df"))
+        val ordered = e.join(df, "token")
+          .groupBy($"doc_id", $"lang")
+          .agg(sort_array(collect_list(struct($"df", $"token"))).as("ord"))
+          .select($"doc_id", $"lang",
+            transform($"ord", s => s.getField("token")).as("ord"))
+        val pfx = ordered.select($"doc_id", $"lang",
+          explode(slice($"ord", lit(1), expr("size(ord) div 2 + 1")))
+            .as("token"))
+        val cand = pfx.as("a")
+          .join(pfx.as("b"),
+            $"a.lang" === $"b.lang" && $"a.token" === $"b.token" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.lang".as("lang"), $"a.doc_id".as("da"),
+            $"b.doc_id".as("db"))
+          .distinct()
+        val ta = docs.select($"doc_id".as("da"), $"tset".as("tsa"))
+        val tb = docs.select($"doc_id".as("db"), $"tset".as("tsb"))
+        cand.join(ta, "da").join(tb, "db")
+          .select($"lang",
+            size(array_intersect($"tsa", $"tsb")).as("inter"),
+            (size($"tsa") + size($"tsb")).as("ab"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"inter" * 3 >= $"ab", 1L).otherwise(0L)).as("n_dups"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS tset FROM documents),
+        |e AS (SELECT doc_id, lang, unnest(tset) AS token FROM tok),
+        |df AS (SELECT token, count(*) AS df FROM e GROUP BY 1),
+        |r AS (SELECT e.doc_id, e.lang, e.token,
+        |    row_number() OVER (PARTITION BY e.doc_id
+        |      ORDER BY df.df, e.token) AS rn,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS n
+        |  FROM e JOIN df USING (token)),
+        |pfx AS (SELECT doc_id, lang, token FROM r WHERE rn <= n // 2 + 1),
+        |cand AS (SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db
+        |  FROM pfx a JOIN pfx b
+        |    ON a.lang = b.lang AND a.token = b.token
+        |      AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.lang,
+        |    len(list_intersect(ta.tset, tb.tset)) AS inter,
+        |    len(ta.tset) + len(tb.tset) AS ab
+        |  FROM cand c JOIN tok ta ON ta.doc_id = c.da
+        |  JOIN tok tb ON tb.doc_id = c.db)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN inter * 3 >= ab THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups
+        |FROM v GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
