@@ -83,6 +83,41 @@ object Queries {
       "\nORDER BY pr DESC, token LIMIT 50"
   }
 
+  /** q168's oracle: the bounded Bellman–Ford relaxation of
+    * [[graft.ops.ShortestPath]] unrolled to `rounds` min-aggregation CTEs.
+    * Distances are sums of long weights under `min` — EXACT on both
+    * engines, so an iterative graph algorithm replays with no tolerance
+    * gate (the q116 PageRank precedent). Source = globally most frequent
+    * token (count desc, token asc), weights 1e6 div cnt + 1 — inverse
+    * co-occurrence frequency, mirroring the operator call.
+    */
+  private def shortestPathOracleSql(rounds: Int): String = {
+    val head =
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |bgd AS (SELECT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |sym AS (SELECT a, b FROM bgd UNION ALL SELECT b, a FROM bgd),
+        |e AS (SELECT a, b, 1000000 // CAST(count(*) AS BIGINT) + 1 AS w
+        |      FROM sym GROUP BY 1, 2),
+        |tf AS (SELECT token, count(*) AS cnt
+        |      FROM t, unnest(toks) AS u(token) GROUP BY 1),
+        |src AS (SELECT token AS v FROM tf ORDER BY cnt DESC, token LIMIT 1),
+        |d0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM src)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (SELECT v, min(dist) AS dist FROM (
+         |    SELECT v, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.b AS v, p.dist + e.w AS dist
+         |    FROM $prev p JOIN e ON e.a = p.v) GROUP BY 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT v AS token, CAST(dist AS BIGINT) AS dist FROM d$rounds" +
+      "\nORDER BY dist, token LIMIT 100"
+  }
+
   /** q122's unrolled greedy-MMR oracle: k-1 select/score/pick rounds as
     * CTEs, mirroring Mmr.diversify step for step. Integer ppm scores make
     * every round's argmax exact on both engines.
@@ -5999,7 +6034,39 @@ object Queries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates,
         |  CAST(sum(CASE WHEN inter * 3 >= ab THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dups
-        |FROM v GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM v GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- 168. bounded weighted shortest paths — single-source Bellman–
+    //          Ford over the token co-occurrence graph (q116's edge set,
+    //          weighted by inverse co-occurrence frequency), the weighted
+    //          complement to q124's unweighted k-hop BFS. Four synchronous
+    //          relaxation rounds = exact min path weight over ≤4-edge
+    //          paths; per round one join + one combinable min-agg, job
+    //          count CONSTANT in data size (no convergence `count()` on
+    //          the driver). All-long arithmetic → the oracle replays the
+    //          recurrence exactly as unrolled CTEs. ----
+    QDef("q168_shortest_path",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        val bgd = t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"bg.a", $"bg.b").filter($"a" =!= $"b")
+        val edges = bgd.unionByName(bgd.select($"b".as("a"), $"a".as("b")))
+          .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+          .select($"a", $"b", expr("1000000 div cnt + 1").as("w"))
+        val src = t.select(explode($"toks").as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"token").limit(1)
+          .select($"token".as("v"))
+        graft.ops.ShortestPath.boundedPaths(edges, "a", "b", "w", src, 4)
+          .select($"v".as("token"), $"dist")
+          .orderBy($"dist", $"token").limit(100)
+      },
+      Some(shortestPathOracleSql(rounds = 4)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
