@@ -118,6 +118,44 @@ object Queries {
       "\nORDER BY dist, token LIMIT 100"
   }
 
+  /** q170's oracle: [[graft.ops.GreedyCover]]'s k-round submodular greedy
+    * unrolled — per round an argmax CTE (gain desc, doc_id asc via
+    * row_number) and a covered-token-list CTE. Integer gains make every
+    * round's pick exact on both engines (the q122 MMR precedent).
+    */
+  private def greedyCoverOracleSql(k: Int): String = {
+    val head =
+      """WITH tok AS (SELECT doc_id, lang,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS tset FROM documents),
+        |s1 AS (SELECT lang, doc_id, len(tset) AS gain, 1 AS step FROM
+        |    (SELECT lang, doc_id, tset, row_number() OVER (PARTITION BY lang
+        |       ORDER BY len(tset) DESC, doc_id) AS rn FROM tok) WHERE rn = 1),
+        |sel1 AS (SELECT lang, doc_id, gain, step FROM s1),
+        |c1 AS (SELECT t.lang, t.tset AS cov
+        |  FROM s1 JOIN tok t ON t.lang = s1.lang AND t.doc_id = s1.doc_id)""".stripMargin
+    val steps = (2 to k).map { t =>
+      val p = t - 1
+      s"""g$t AS (SELECT t.lang, t.doc_id,
+         |    len(list_filter(t.tset, x -> NOT list_contains(c.cov, x)))
+         |      AS gain
+         |  FROM tok t JOIN c$p c ON c.lang = t.lang
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$p s
+         |    WHERE s.lang = t.lang AND s.doc_id = t.doc_id)),
+         |s$t AS (SELECT lang, doc_id, gain, $t AS step FROM
+         |    (SELECT lang, doc_id, gain, row_number() OVER (PARTITION BY lang
+         |       ORDER BY gain DESC, doc_id) AS rn FROM g$t) WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$t),
+         |c$t AS (SELECT c.lang, list_distinct(list_concat(c.cov, t.tset))
+         |      AS cov
+         |  FROM c$p c JOIN s$t ON s$t.lang = c.lang
+         |  JOIN tok t ON t.lang = c.lang AND t.doc_id = s$t.doc_id)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT lang, CAST(step AS BIGINT) AS step, doc_id," +
+      s" CAST(gain AS BIGINT) AS gain FROM sel$k ORDER BY lang, step"
+  }
+
   /** q122's unrolled greedy-MMR oracle: k-1 select/score/pick rounds as
     * CTEs, mirroring Mmr.diversify step for step. Integer ppm scores make
     * every round's argmax exact on both engines.
@@ -6066,7 +6104,69 @@ object Queries {
           .select($"v".as("token"), $"dist")
           .orderBy($"dist", $"token").limit(100)
       },
-      Some(shortestPathOracleSql(rounds = 4)))
+      Some(shortestPathOracleSql(rounds = 4))),
+
+    // ---- 169. rendezvous (highest-random-weight) sharding — the shard
+    //          router a 100 TB store wants instead of mod-N: each key goes
+    //          to argmax over shards of hash(key, shard), so removing one
+    //          shard reassigns ONLY that shard's keys (verified here: the
+    //          8→7-shard diff per shard ships in the result). Pure narrow
+    //          map — the only shuffle is the audit roll-up. md5-prefix
+    //          hash60 (q67 precedent) keeps both engines' argmax
+    //          identical; ties (never at 60 bits, but deterministically)
+    //          break to the higher shard id via the (h, s) struct max. ----
+    QDef("q169_rendezvous_shards",
+      (s, dir) => {
+        import s.implicits._
+        def shardOf(n: Int): Column =
+          array_max(transform(sequence(lit(0), lit(n - 1)), sh =>
+            struct(
+              TF.hash60(concat($"doc_id".cast("string"), lit(":"),
+                sh.cast("string"))).as("h"),
+              sh.as("s")))).getField("s").cast("long")
+        Tables.documents(s, dir)
+          .select($"doc_id", shardOf(8).as("shard"), shardOf(7).as("shard7"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"shard7" =!= $"shard", 1L).otherwise(0L))
+              .as("n_moved_on_removal"))
+          .orderBy($"shard")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+        |    (list_max([{'h': ('0x' || substring(
+        |        md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT,
+        |      's': s} for s in range(0, 8)])).s AS shard,
+        |    (list_max([{'h': ('0x' || substring(
+        |        md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT,
+        |      's': s} for s in range(0, 7)])).s AS shard7
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN shard7 <> shard THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved_on_removal
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ---- 170. greedy max-coverage curation — per language pick the 4
+    //          documents that together span the most vocabulary, the
+    //          (1−1/e) submodular greedy behind coverage-driven training-
+    //          data selection (q122's MMR picks for DIVERSITY against a
+    //          query; this picks for COVERAGE of the token space). The
+    //          (doc, token) incidence explodes once; each round is two
+    //          anti-joins + a combinable count + a combinable max-of-
+    //          struct argmax per group — k bounded, nothing on the
+    //          driver. Integer gains, smallest-id ties → exact unrolled
+    //          replay. ----
+    QDef("q170_greedy_cover",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"lang", $"doc_id", TF.tokens($"text").as("toks"))
+        graft.ops.GreedyCover.select(docs, "lang", "doc_id", "toks", k = 4)
+          .select($"lang", $"step".cast("long").as("step"), $"doc_id",
+            $"gain")
+          .orderBy($"lang", $"step")
+      },
+      Some(greedyCoverOracleSql(k = 4)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
