@@ -5934,36 +5934,51 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val k = 3; val w = 4
-        val d = Tables.documents(s, dir)
+        // Row-wise formulation: gram hashes EXPLODE to (doc, pos, h) rows,
+        // and the per-window rightmost-min selection is ONE max-of-struct
+        // (−h, pos) over a per-doc sliding frame — O(w) per row, no nested
+        // array HOFs (whose repeated column references re-inline the whole
+        // tokenize→gram→md5 chain per window: measured ~150× slower on this
+        // corpus), and per-doc work distributes as rows instead of living
+        // inside one array expression on one core.
+        val d0 = Tables.documents(s, dir)
           .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
-          .withColumn("grams",
+          .select($"doc_id", $"lang",
             when(size($"toks") >= k,
               transform(sequence(lit(1), size($"toks") - (k - 1)),
                 i => array_join(slice($"toks", i, lit(k)), " ")))
             .when(size($"toks") >= 1, array(array_join($"toks", " ")))
-            .otherwise(array().cast("array<string>")))
-          .withColumn("hs", transform($"grams", g => TF.hash60(g)))
-          .withColumn("m", size($"hs"))
-          .withColumn("weff", least(lit(w), $"m"))
-          .withColumn("sels",
-            when($"m" >= 1, array_distinct(
-              transform(sequence(lit(1), $"m" - $"weff" + 1), i =>
-                array_max(transform(sequence(i, i + $"weff" - 1), j =>
-                  when(element_at($"hs", j) ===
-                    array_min(slice($"hs", i, $"weff")), j))))))
-            .otherwise(array().cast("array<int>")))
-          .withColumn("fps",
-            array_distinct(transform($"sels", j => element_at($"hs", j))))
-        val docAgg = d.groupBy($"lang")
-          .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_grams"),
-            sum(size($"sels")).as("n_sel"))
-        val fpAgg = d.select($"lang", $"doc_id", explode($"fps").as("fp"))
-          .groupBy($"lang", $"fp").agg(count(lit(1)).as("nd"))
+            .otherwise(array().cast("array<string>")).as("grams"))
+          .select($"doc_id", $"lang",
+            transform($"grams", g => TF.hash60(g)).as("hs"))
+        val base = d0.select($"doc_id", $"lang", size($"hs").as("m"))
+        val wSel = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.currentRow, w - 1)
+        val wDoc = Window.partitionBy($"doc_id")
+        val sels = d0
+          .select($"doc_id", $"lang", posexplode($"hs").as(Seq("p0", "h")))
+          .select($"doc_id", $"lang", ($"p0" + 1).as("pos"), $"h")
+          .withColumn("sel", max(struct((-$"h").as("nh"), $"pos".as("p")))
+            .over(wSel))
+          .withColumn("m", count(lit(1)).over(wDoc))
+          // a window exists only where a full w-frame fits (or the single
+          // whole-array window when m < w): pos <= max(1, m-w+1)
+          .filter($"pos" <= greatest(lit(1), $"m" - (w - 1)))
+          .select($"doc_id", $"lang", $"sel.p".as("sp"),
+            (-$"sel.nh").as("fh"))
+        val docAgg = base.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_grams"))
+        val selAgg = sels.select($"doc_id", $"lang", $"sp").distinct()
+          .groupBy($"lang").agg(count(lit(1)).as("n_sel"))
+        val fpAgg = sels.select($"doc_id", $"lang", $"fh").distinct()
+          .groupBy($"lang", $"fh").agg(count(lit(1)).as("nd"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_distinct_fp"),
             sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
-        docAgg.join(fpAgg, Seq("lang"), "left")
-          .select($"lang", $"n_docs", $"n_grams", $"n_sel",
+        docAgg.join(selAgg, Seq("lang"), "left")
+          .join(fpAgg, Seq("lang"), "left")
+          .select($"lang", $"n_docs", $"n_grams",
+            coalesce($"n_sel", lit(0L)).as("n_sel"),
             coalesce($"n_distinct_fp", lit(0L)).as("n_distinct_fp"),
             coalesce($"n_shared_fp", lit(0L)).as("n_shared_fp"))
           .orderBy($"lang")

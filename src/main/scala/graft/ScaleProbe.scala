@@ -697,7 +697,10 @@ object ScaleProbe {
       "q155_sim_histogram", "q156_degree_dist", "q157_conversion_latency",
       "q158_path_trigrams", "q159_benford", "q160_interarrival",
       "q161_rfm_segments",
-      "q162_acf", "q163_sorted_neighborhood")
+      "q162_acf", "q163_sorted_neighborhood",
+      "q164_chi2_independence", "q165_ks_drift", "q166_winnowing",
+      "q167_ppjoin", "q168_shortest_path", "q169_rendezvous_shards",
+      "q170_greedy_cover")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
