@@ -6029,11 +6029,18 @@ object Queries {
     //          generated by RARE tokens, so the hottest posting lists never
     //          fan out (the skew valve is the algorithm itself). The
     //          verify is exact and integral: Jaccard ≥ 1/2 ⟺
-    //          3·|∩| ≥ |a|+|b| — no float in the hash. ----
+    //          3·|∩| ≥ |a|+|b| — no float in the hash. Exact-duplicate
+    //          groups (g copies → g²/2 candidate pairs, the pathology of
+    //          every pairwise generator) are collapsed FIRST — the q36 /
+    //          nearDuplicatesCollapsed pre-pass materialized in the query:
+    //          one (lang, text) group keeps the smallest doc_id, so a
+    //          dup-heavy corpus costs its DISTINCT-content size (probe:
+    //          12.5× → flat at 10× exact-dup replication). ----
     QDef("q167_ppjoin",
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
+          .groupBy($"lang", $"text").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id", $"lang",
             array_distinct(TF.tokens($"text")).as("tset"))
         val e = docs.select($"doc_id", $"lang", explode($"tset").as("token"))
@@ -6064,9 +6071,11 @@ object Queries {
             sum(when($"inter" * 3 >= $"ab", 1L).otherwise(0L)).as("n_dups"))
           .orderBy($"lang")
       },
-      Some("""WITH tok AS (SELECT doc_id, lang,
+      Some("""WITH canon AS (SELECT lang, text, min(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, lang,
         |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
-        |      AS tset FROM documents),
+        |      AS tset FROM canon),
         |e AS (SELECT doc_id, lang, unnest(tset) AS token FROM tok),
         |df AS (SELECT token, count(*) AS df FROM e GROUP BY 1),
         |r AS (SELECT e.doc_id, e.lang, e.token,
