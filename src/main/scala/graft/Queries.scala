@@ -6190,7 +6190,35 @@ object Queries {
             $"gain")
           .orderBy($"lang", $"step")
       },
-      Some(greedyCoverOracleSql(k = 4)))
+      Some(greedyCoverOracleSql(k = 4))),
+
+    // ---- 171. recursive CTE on the SQL surface — Spark 4.1's
+    //          WITH RECURSIVE (UNION ALL form) executing the classic
+    //          hierarchy rollup: every doc walks its ancestor chain in the
+    //          implicit binary id-tree (anc → anc div 2, strictly
+    //          decreasing → structurally terminating, ≤ log₂(max id)
+    //          rounds ≈ 45 at any scale), then subtree totals for the top
+    //          levels come from one combinable aggregate over the emitted
+    //          chains. Pure integer — both engines replay the identical
+    //          recursion. Extends the S9/X2 SQL surface (q38/q43/q153)
+    //          with iterative SQL. ----
+    QDef("q171_sql_recursive",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+        s.sql("""WITH RECURSIVE up(anc, nc) AS (
+                |  SELECT doc_id, n_chars FROM documents_v
+                |  UNION ALL
+                |  SELECT anc div 2, nc FROM up WHERE anc > 0)
+                |SELECT anc, count(*) AS n_desc, sum(nc) AS subtree_chars
+                |FROM up WHERE anc < 16 GROUP BY anc ORDER BY anc""".stripMargin)
+      },
+      Some("""WITH RECURSIVE up(anc, nc) AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT anc // 2, nc FROM up WHERE anc > 0)
+        |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
+        |  CAST(sum(nc) AS BIGINT) AS subtree_chars
+        |FROM up WHERE anc < 16 GROUP BY anc ORDER BY anc""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
