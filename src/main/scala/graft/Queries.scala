@@ -6218,7 +6218,80 @@ object Queries {
         |  SELECT anc // 2, nc FROM up WHERE anc > 0)
         |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
         |  CAST(sum(nc) AS BIGINT) AS subtree_chars
-        |FROM up WHERE anc < 16 GROUP BY anc ORDER BY anc""".stripMargin))
+        |FROM up WHERE anc < 16 GROUP BY anc ORDER BY anc""".stripMargin)),
+
+    // ---- 172. Apriori frequent-triple mining — market-basket itemsets
+    //          over doc token sets with the classic LEVEL-WISE PRUNING
+    //          that makes itemset mining feasible at scale: only frequent
+    //          items enter pair generation, and a triple is a candidate
+    //          ONLY if all three of its pairs are frequent (two self-joins
+    //          on the SMALL frequent-pair table — never on baskets).
+    //          Support counting re-joins candidates against the per-doc
+    //          pair/item incidence, so counting cost is |candidates
+    //          actually present|, not |candidates|×|docs|. Relative
+    //          support (30% of docs) is inlined as a scalar on both sides
+    //          (q121 precedent). Pure integer counts; ties at the top-50
+    //          boundary break lexicographically. ----
+    QDef("q172_apriori_triples",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val nDocs: Long = docs.count() // scalar inlined (q121 pattern)
+        val minSup = nDocs * 3 / 10
+        val it = docs.select($"doc_id",
+          explode(array_distinct(TF.tokens($"text"))).as("t"))
+        val f1 = it.groupBy($"t").agg(count(lit(1)).as("c"))
+          .filter($"c" >= minSup).select($"t")
+        val fit = it.join(f1, Seq("t"), "left_semi")
+          .localCheckpoint(true)  // reused: pair gen + triple membership
+        val farr = fit.groupBy($"doc_id")
+          .agg(sort_array(collect_list($"t")).as("toks"))
+        val p = farr.select($"doc_id", explode(flatten(transform($"toks",
+            (x, i) => transform(
+              slice($"toks", i + lit(2),
+                greatest(size($"toks") - i - 1, lit(0))),
+              y => struct(x.as("x"), y.as("y")))))).as("pr"))
+          .select($"doc_id", $"pr.x", $"pr.y")
+          .localCheckpoint(true)  // reused: pair support + triple support
+        val f2 = p.groupBy($"x", $"y").agg(count(lit(1)).as("sup"))
+          .filter($"sup" >= minSup).select($"x", $"y")
+        val c3 = f2.as("p1")
+          .join(f2.as("p2"),
+            $"p2.x" === $"p1.x" && $"p2.y" > $"p1.y")
+          .select($"p1.x".as("a"), $"p1.y".as("b"), $"p2.y".as("c"))
+          .join(f2.as("p3"),
+            $"p3.x" === $"b" && $"p3.y" === $"c", "left_semi")
+        c3.join(p, $"x" === $"b" && $"y" === $"c")
+          .select($"doc_id", $"a", $"b", $"c")
+          .join(fit.select($"doc_id", $"t".as("a")), Seq("doc_id", "a"),
+            "left_semi")
+          .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("sup"))
+          .filter($"sup" >= minSup)
+          .orderBy($"sup".desc, $"a", $"b", $"c").limit(50)
+      },
+      Some("""WITH n AS (SELECT count(*) * 3 // 10 AS s FROM documents),
+        |tok AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS ts FROM documents),
+        |it AS (SELECT DISTINCT doc_id, unnest(ts) AS t FROM tok),
+        |f1 AS (SELECT t FROM it GROUP BY t
+        |  HAVING count(*) >= (SELECT s FROM n)),
+        |fit AS (SELECT doc_id, t FROM it WHERE t IN (SELECT t FROM f1)),
+        |p AS (SELECT a.doc_id, a.t AS x, b.t AS y
+        |  FROM fit a JOIN fit b ON b.doc_id = a.doc_id AND a.t < b.t),
+        |f2 AS (SELECT x, y FROM p GROUP BY x, y
+        |  HAVING count(*) >= (SELECT s FROM n)),
+        |c3 AS (SELECT p1.x AS a, p1.y AS b, p2.y AS c
+        |  FROM f2 p1 JOIN f2 p2 ON p2.x = p1.x AND p2.y > p1.y
+        |  WHERE EXISTS (SELECT 1 FROM f2 p3
+        |    WHERE p3.x = p1.y AND p3.y = p2.y)),
+        |t3 AS (SELECT c3.a, c3.b, c3.c, count(*) AS sup
+        |  FROM c3 JOIN p ON p.x = c3.b AND p.y = c3.c
+        |  WHERE EXISTS (SELECT 1 FROM fit i
+        |    WHERE i.doc_id = p.doc_id AND i.t = c3.a)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT s FROM n))
+        |SELECT a, b, c, CAST(sup AS BIGINT) AS sup FROM t3
+        |ORDER BY sup DESC, a, b, c LIMIT 50""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
