@@ -6291,7 +6291,52 @@ object Queries {
         |    WHERE i.doc_id = p.doc_id AND i.t = c3.a)
         |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT s FROM n))
         |SELECT a, b, c, CAST(sup AS BIGINT) AS sup FROM t3
-        |ORDER BY sup DESC, a, b, c LIMIT 50""".stripMargin))
+        |ORDER BY sup DESC, a, b, c LIMIT 50""".stripMargin)),
+
+    // ---- 173. maximum drawdown — the running-max family (finance's
+    //          peak-to-trough risk stat) on each type's cumulative daily
+    //          cents series: running peak and running sum are both O(n)
+    //          INCREMENTAL unbounded-preceding frames sharing the one
+    //          per-type sort; drawdown = peak − cum stays integral, and
+    //          the (max dd, earliest day) argmax is a combinable
+    //          max-of-struct — no second window pass. The fact stream
+    //          collapses to |types|×|days| daily cells before any window
+    //          (q147's shape). ----
+    QDef("q173_max_drawdown",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"day")
+          .agg(sum($"cents").as("x"))
+        val wCum = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cum", sum($"x").over(wCum))
+          .withColumn("peak", max($"cum").over(wCum))
+          .select($"event_type", $"day", ($"peak" - $"cum").as("dd"))
+          .groupBy($"event_type")
+          .agg(max(struct($"dd", (-$"day").as("nday"))).as("w"))
+          .select($"event_type", $"w.dd".as("max_dd_cents"),
+            (-$"w.nday").as("dd_day"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |p AS (SELECT event_type, day,
+        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cum AS dd FROM c),
+        |r AS (SELECT event_type, day, dd, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY dd DESC, day) AS rn FROM p)
+        |SELECT event_type, dd AS max_dd_cents, day AS dd_day
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
