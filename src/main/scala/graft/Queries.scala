@@ -6336,7 +6336,72 @@ object Queries {
         |r AS (SELECT event_type, day, dd, row_number() OVER (
         |    PARTITION BY event_type ORDER BY dd DESC, day) AS rn FROM p)
         |SELECT event_type, dd AS max_dd_cents, day AS dd_day
-        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin))
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 174. curation funnel — the end-to-end dedup/quality cascade a
+    //          training-data pipeline actually runs, as ONE audit: exact
+    //          dedup (q36's collapse, per (lang, text)) → token-set
+    //          normalized dedup (q36's fp over the survivors) → fixed
+    //          quality gate (q73's TTR×length score). Per-lang survivor
+    //          counts at every stage make the drop attribution explicit.
+    //          Each stage is a combinable min/count aggregate over the
+    //          PREVIOUS stage's survivors — the whole funnel is three
+    //          hash aggregations and one small rejoin for the gate, no
+    //          windows, no pairs. ----
+    QDef("q174_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"text")
+        val s1 = docs.groupBy($"lang", $"text")
+          .agg(min($"doc_id").as("doc_id"))
+        val s2 = s1.groupBy($"lang",
+            md5(array_join(array_sort(array_distinct(TF.tokens($"text"))),
+              " ")).as("fp"))
+          .agg(min($"doc_id").as("doc_id"))
+        val s3 = s2.select($"lang", $"doc_id")
+          .join(docs.select($"doc_id", TF.tokens($"text").as("toks")),
+            "doc_id")
+          .filter(round(TF.typeTokenRatioOf($"toks") *
+            least(lit(1.0), size($"toks").cast("double") / 50.0), 6)
+            >= 0.5)
+        val cRaw = docs.groupBy($"lang").agg(count(lit(1)).as("n_raw"))
+        val c1 = s1.groupBy($"lang").agg(count(lit(1)).as("n_exact"))
+        val c2 = s2.groupBy($"lang").agg(count(lit(1)).as("n_norm"))
+        val c3 = s3.groupBy($"lang").agg(count(lit(1)).as("n_quality"))
+        cRaw.join(c1, "lang").join(c2, "lang")
+          .join(c3, Seq("lang"), "left")
+          .select($"lang", $"n_raw", $"n_exact", $"n_norm",
+            coalesce($"n_quality", lit(0L)).as("n_quality"))
+          .orderBy($"lang")
+      },
+      Some("""WITH s1 AS (SELECT lang, text, min(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1, 2),
+        |s2 AS (SELECT lang, md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+        |      AS fp, min(doc_id) AS doc_id
+        |  FROM s1 GROUP BY 1, 2),
+        |s3 AS (SELECT s2.lang, s2.doc_id FROM s2 JOIN (
+        |    SELECT doc_id,
+        |      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |    FROM documents) d ON d.doc_id = s2.doc_id
+        |  WHERE round(CASE WHEN len(toks) > 0
+        |      THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END
+        |      * least(1.0, len(toks) * 1.0 / 50.0), 6) >= 0.5),
+        |cr AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM documents GROUP BY 1),
+        |c1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM s1 GROUP BY 1),
+        |c2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_norm
+        |  FROM s2 GROUP BY 1),
+        |c3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality
+        |  FROM s3 GROUP BY 1)
+        |SELECT cr.lang AS lang, n_raw, n_exact, n_norm,
+        |  coalesce(n_quality, 0) AS n_quality
+        |FROM cr JOIN c1 ON c1.lang = cr.lang
+        |JOIN c2 ON c2.lang = cr.lang
+        |LEFT JOIN c3 ON c3.lang = cr.lang
+        |ORDER BY cr.lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
