@@ -700,7 +700,8 @@ object ScaleProbe {
       "q162_acf", "q163_sorted_neighborhood",
       "q164_chi2_independence", "q165_ks_drift", "q166_winnowing",
       "q167_ppjoin", "q168_shortest_path", "q169_rendezvous_shards",
-      "q170_greedy_cover")
+      "q170_greedy_cover", "q171_sql_recursive", "q172_apriori_triples",
+      "q173_max_drawdown", "q174_curation_funnel")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
