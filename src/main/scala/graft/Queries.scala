@@ -6401,7 +6401,65 @@ object Queries {
         |FROM cr JOIN c1 ON c1.lang = cr.lang
         |JOIN c2 ON c2.lang = cr.lang
         |LEFT JOIN c3 ON c3.lang = cr.lang
-        |ORDER BY cr.lang""".stripMargin))
+        |ORDER BY cr.lang""".stripMargin)),
+
+    // ---- 175. forecast backtest (MASE) — seasonal-naive (t−7) forecast
+    //          error scaled by the naive (t−1) error, the standard
+    //          scale-free backtest statistic. RANGE k..k PRECEDING frames
+    //          pair CALENDAR days across gaps (value offset, not row
+    //          offset — the q162 convention); both error sums are exact
+    //          cent integers off the |types|×|days| daily collapse and
+    //          share its single per-type sort; the MASE ratio is integer
+    //          ppm in DECIMAL/HUGEINT (q146 precedent). ----
+    QDef("q175_mase_backtest",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"day")
+          .agg(sum($"cents").as("x"))
+        def at(k: Int) = Window.partitionBy($"event_type")
+          .orderBy($"day").rangeBetween(-k, -k)
+        daily
+          .withColumn("f7", max($"x").over(at(7)))
+          .withColumn("f1", max($"x").over(at(1)))
+          .groupBy($"event_type")
+          .agg(
+            count($"f7").as("n7"),
+            sum(when($"f7".isNotNull, abs($"x" - $"f7"))).as("e7"),
+            count($"f1").as("n1"),
+            sum(when($"f1".isNotNull, abs($"x" - $"f1"))).as("e1"))
+          .select($"event_type", $"n7", $"n1",
+            expr("CASE WHEN e1 = 0 OR n7 = 0 THEN NULL" +
+              " ELSE (CAST(e7 AS DECIMAL(38,0)) * n1 * 1000000)" +
+              " div (CAST(e1 AS DECIMAL(38,0)) * n7) END")
+              .cast("long").as("mase_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |    max(x) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS f7,
+        |    max(x) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS f1 FROM d),
+        |a AS (SELECT event_type,
+        |    CAST(count(f7) AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN f7 IS NOT NULL THEN abs(x - f7) END)
+        |      AS HUGEINT) AS e7,
+        |    CAST(count(f1) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN f1 IS NOT NULL THEN abs(x - f1) END)
+        |      AS HUGEINT) AS e1
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n7, n1,
+        |  CAST(CASE WHEN e1 = 0 OR n7 = 0 THEN NULL
+        |    ELSE (e7 * n1 * 1000000) // (e1 * n7) END AS BIGINT) AS mase_ppm
+        |FROM a ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
