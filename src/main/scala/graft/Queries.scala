@@ -6459,7 +6459,53 @@ object Queries {
         |SELECT event_type, n7, n1,
         |  CAST(CASE WHEN e1 = 0 OR n7 = 0 THEN NULL
         |    ELSE (e7 * n1 * 1000000) // (e1 * n7) END AS BIGINT) AS mase_ppm
-        |FROM a ORDER BY event_type""".stripMargin))
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- 176. TPC-H Q5-shaped 6-table star join — local-supplier revenue
+    //          per nation: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    //          nation ⋈ region with the customer-and-supplier-same-nation
+    //          correlation. The warehouse-join stress test: the two fact-
+    //          sized joins (orders, then supplier on the composite key)
+    //          shuffle; customer/nation/region are broadcast dims; the
+    //          orderdate range prunes the orders scan (PushedFilters).
+    //          Revenue is the q01 DECIMAL-exact term rendered decStr. ----
+    QDef("q176_star_join5",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(su, $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(decStr(revenue($"l_extendedprice", $"l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some(s"""SELECT n_name,
+        |  CAST($revenueSql AS VARCHAR) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

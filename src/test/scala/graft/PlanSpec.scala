@@ -174,4 +174,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q150_systematic_sample")
     assert(!p.contains(") Window"), p.take(3000))
   }
+
+  test("q176 star join: dims broadcast, orderdate range pushed to the scan") {
+    val p = plan("q176_star_join5")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
 }
