@@ -6505,7 +6505,68 @@ object Queries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- 177. product-quantization recall audit — the ANN compression
+    //          tier (ops/Pq): 64-dim floats → 8 codes (16× smaller), ADC
+    //          scoring = 8 table lookups per candidate. Production shape:
+    //          PQ SHORTLISTS (corpus-relative max(50, N/5) — a fixed
+    //          shortlist dilutes recall as N grows), exact re-rank happens
+    //          downstream. Same audit shape as q104's IVF: the EXACT
+    //          top-10 leg is the oracle-replayable truth (best/kth cosine
+    //          hash-compared); the shortlist must recover ≥ 4 of the exact
+    //          10 per query (measured floor 6 at every SF) — a tolerance
+    //          gate, the honest way to oracle an approximate operator.
+    //          Vectors are L2-normalized first (unit sphere ⇒ Σ subspace
+    //          dots ≈ cosine), codebooks spherical-Lloyd's per subspace. ----
+    QDef("q177_pq_recall",
+      (s, dir) => {
+        import s.implicits._
+        val embRaw = Tables.embeddings(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // exact leg on RAW vectors: cosine is scale-invariant, so this leg
+        // (and its oracle) is exactly q104's proven shape — normalization
+        // only feeds the PQ side, where unit norm makes Σ sub-dots ≈ cos.
+        val exact = graft.ops.Knn.topKJoin(embRaw.filter($"vec_id" < 20),
+          embRaw, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        val nrm = embRaw
+          .select($"vec_id", VF.toDouble($"embedding").as("v"))
+          .select($"vec_id", $"v", VF.l2Norm($"v").as("n"))
+          .select($"vec_id",
+            transform($"v", x => coalesce(try_divide(x, $"n"), lit(0.0)))
+              .as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = nrm.filter($"vec_id" < 20)
+        val cb = graft.ops.Pq.train(nrm, "v", m = 8, ksub = 16, iters = 3)
+        val enc = graft.ops.Pq.encode(nrm, "vec_id", "v", cb)
+        val shortlist = math.max(50L, embRaw.count() / 5).toInt
+        val pq = graft.ops.Pq.adcTopKJoin(
+          queries.select($"vec_id".as("qid"), $"v"), "qid", "v",
+          enc, "vec_id", cb, k = shortlist)
+        val hits = exact.join(
+            pq.select($"query_id", $"id".as("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        val out = exact.groupBy($"query_id")
+          .agg(max($"cos").as("best_cos"), min($"cos").as("kth_cos"))
+          .join(hits, Seq("query_id"), "left")
+          .select($"query_id", $"best_cos", $"kth_cos",
+            (coalesce($"n_hit", lit(0L)) >= 4).as("recall_ok"))
+          .orderBy($"query_id")
+        nrm.unpersist(blocking = false)
+        embRaw.unpersist(blocking = false)
+        out
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT query_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, max(cos) AS best_cos, min(cos) AS kth_cos,
+        |  true AS recall_ok
+        |FROM r WHERE rn <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
