@@ -491,6 +491,9 @@ object Knn {
     * reproducible across runs (no seed-sensitive sampling in the plan),
     * and well-separated clusters are guaranteed one seed each (random
     * init can double-seed a cluster, and Lloyd's can never un-merge).
+    * (Callers training MANY codebooks at once — [[Pq]]'s m per-subspace
+    * quantizers — do their own joint hash-batch seeding instead: there the
+    * m×ksub serial seed jobs would be pure scheduler latency.)
     */
   def kmeansCentroids(
       emb: DataFrame, vecCol: String, k: Int, iters: Int,
