@@ -6035,14 +6035,20 @@ object Queries {
     //          nearDuplicatesCollapsed pre-pass materialized in the query:
     //          one (lang, text) group keeps the smallest doc_id, so a
     //          dup-heavy corpus costs its DISTINCT-content size (probe:
-    //          12.5× → flat at 10× exact-dup replication). ----
+    //          12.5× → flat at 10× exact-dup replication). The sets are
+    //          3-gram SHINGLES, not unigrams (the q32/q163 convention):
+    //          prefix filtering is only as selective as the vocabulary,
+    //          and this corpus's 31-token unigram vocabulary let every
+    //          doc share prefix tokens with most others (measured 25 s at
+    //          sf0.1 vs 1.3 s on shingles — sequence-sensitive sets are
+    //          both the semantically right unit AND the blocker that
+    //          actually blocks). ----
     QDef("q167_ppjoin",
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
           .groupBy($"lang", $"text").agg(min($"doc_id").as("doc_id"))
-          .select($"doc_id", $"lang",
-            array_distinct(TF.tokens($"text")).as("tset"))
+          .select($"doc_id", $"lang", TF.shingles($"text", 3).as("tset"))
         val e = docs.select($"doc_id", $"lang", explode($"tset").as("token"))
         val df = e.groupBy($"token").agg(count(lit(1)).as("df"))
         val ordered = e.join(df, "token")
@@ -6073,9 +6079,14 @@ object Queries {
       },
       Some("""WITH canon AS (SELECT lang, text, min(doc_id) AS doc_id
         |  FROM documents GROUP BY 1, 2),
+        |tk AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM canon),
         |tok AS (SELECT doc_id, lang,
-        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
-        |      AS tset FROM canon),
+        |    CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS tset FROM tk),
         |e AS (SELECT doc_id, lang, unnest(tset) AS token FROM tok),
         |df AS (SELECT token, count(*) AS df FROM e GROUP BY 1),
         |r AS (SELECT e.doc_id, e.lang, e.token,
@@ -6220,18 +6231,17 @@ object Queries {
         |  CAST(sum(nc) AS BIGINT) AS subtree_chars
         |FROM up WHERE anc < 16 GROUP BY anc ORDER BY anc""".stripMargin)),
 
-    // ---- 172. Apriori frequent-triple mining — market-basket itemsets
-    //          over doc token sets with the classic LEVEL-WISE PRUNING
-    //          that makes itemset mining feasible at scale: only frequent
-    //          items enter pair generation, and a triple is a candidate
-    //          ONLY if all three of its pairs are frequent (two self-joins
-    //          on the SMALL frequent-pair table — never on baskets).
-    //          Support counting re-joins candidates against the per-doc
-    //          pair/item incidence, so counting cost is |candidates
-    //          actually present|, not |candidates|×|docs|. Relative
-    //          support (30% of docs) is inlined as a scalar on both sides
-    //          (q121 precedent). Pure integer counts; ties at the top-50
-    //          boundary break lexicographically. ----
+    // ---- 172. Apriori-style frequent-triple mining — market-basket
+    //          itemsets over doc token sets with LEVEL-WISE PRUNING:
+    //          only frequent items (30% relative support, scalar inlined
+    //          both sides — q121 precedent) enter pair generation, and a
+    //          triple is a candidate ONLY if all three of its pairs
+    //          survive the level-2 cut (two self-joins on the SMALL pair
+    //          table — never on baskets). Support counting re-joins
+    //          candidates against the per-doc incidence, so counting cost
+    //          is |candidates present|, not |candidates|×|docs|. Pure
+    //          integer counts; every boundary tie breaks
+    //          lexicographically. ----
     QDef("q172_apriori_triples",
       (s, dir) => {
         import s.implicits._
@@ -6253,8 +6263,14 @@ object Queries {
               y => struct(x.as("x"), y.as("y")))))).as("pr"))
           .select($"doc_id", $"pr.x", $"pr.y")
           .localCheckpoint(true)  // reused: pair support + triple support
+        // Level-2 prune is TOP-P pairs (support desc, lexicographic ties),
+        // not an absolute cut: dense baskets put every pair's support in a
+        // tight binomial band, so any fixed fraction sits on a cliff that
+        // moves with corpus size. Bounded candidates = bounded counting
+        // work at ANY scale; the 465-row pair table makes the one-task
+        // top-P sort free.
         val f2 = p.groupBy($"x", $"y").agg(count(lit(1)).as("sup"))
-          .filter($"sup" >= minSup).select($"x", $"y")
+          .orderBy($"sup".desc, $"x", $"y").limit(100).select($"x", $"y")
         val c3 = f2.as("p1")
           .join(f2.as("p2"),
             $"p2.x" === $"p1.x" && $"p2.y" > $"p1.y")
@@ -6266,7 +6282,6 @@ object Queries {
           .join(fit.select($"doc_id", $"t".as("a")), Seq("doc_id", "a"),
             "left_semi")
           .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("sup"))
-          .filter($"sup" >= minSup)
           .orderBy($"sup".desc, $"a", $"b", $"c").limit(50)
       },
       Some("""WITH n AS (SELECT count(*) * 3 // 10 AS s FROM documents),
@@ -6279,8 +6294,9 @@ object Queries {
         |fit AS (SELECT doc_id, t FROM it WHERE t IN (SELECT t FROM f1)),
         |p AS (SELECT a.doc_id, a.t AS x, b.t AS y
         |  FROM fit a JOIN fit b ON b.doc_id = a.doc_id AND a.t < b.t),
-        |f2 AS (SELECT x, y FROM p GROUP BY x, y
-        |  HAVING count(*) >= (SELECT s FROM n)),
+        |f2 AS (SELECT x, y FROM (SELECT x, y, row_number() OVER (
+        |    ORDER BY count(*) DESC, x, y) AS rn FROM p GROUP BY x, y)
+        |  WHERE rn <= 100),
         |c3 AS (SELECT p1.x AS a, p1.y AS b, p2.y AS c
         |  FROM f2 p1 JOIN f2 p2 ON p2.x = p1.x AND p2.y > p1.y
         |  WHERE EXISTS (SELECT 1 FROM f2 p3
@@ -6289,7 +6305,7 @@ object Queries {
         |  FROM c3 JOIN p ON p.x = c3.b AND p.y = c3.c
         |  WHERE EXISTS (SELECT 1 FROM fit i
         |    WHERE i.doc_id = p.doc_id AND i.t = c3.a)
-        |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT s FROM n))
+        |  GROUP BY 1, 2, 3)
         |SELECT a, b, c, CAST(sup AS BIGINT) AS sup FROM t3
         |ORDER BY sup DESC, a, b, c LIMIT 50""".stripMargin)),
 
