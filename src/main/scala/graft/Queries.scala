@@ -118,6 +118,45 @@ object Queries {
       "\nORDER BY dist, token LIMIT 100"
   }
 
+  /** q178's oracle: the WEIGHTED fixed-point PageRank recurrence of
+    * [[graft.ops.PageRank.ranksWeighted]] unrolled — per-source ppm edge
+    * shares ((w·1e6) div W) keep every product inside signed-64, so the
+    * replay is EXACT, same as q116's unweighted form.
+    */
+  private def weightedPageRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM bg GROUP BY 1, 2),
+        |ow AS (SELECT a, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY 1),
+        |sh AS (SELECT e.a, e.b, (e.w * 1000000) // ow.tw AS sh
+        |      FROM e JOIN ow ON ow.a = e.a),
+        |vx AS (SELECT a AS v FROM sh UNION SELECT b FROM sh),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vx),
+        |ho AS (SELECT DISTINCT a AS v FROM sh),
+        |p0 AS (SELECT vx.v, 1000000000000 // n.n AS pr FROM vx, n)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      val prev = s"p${i - 1}"
+      s"""p$i AS (SELECT vx.v,
+         |    (3 * (1000000000000 // n.n)) // 20
+         |      + (17 * (COALESCE(c.cin, 0) + dg.dang // n.n)) // 20 AS pr
+         |  FROM vx
+         |  LEFT JOIN (SELECT sh.b AS v,
+         |             SUM((p.pr * sh.sh) // 1000000) AS cin
+         |             FROM sh JOIN $prev p ON p.v = sh.a
+         |             GROUP BY 1) c ON c.v = vx.v,
+         |  (SELECT COALESCE(SUM(p.pr), 0) AS dang
+         |   FROM $prev p LEFT JOIN ho ON ho.v = p.v WHERE ho.v IS NULL) dg,
+         |  n)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT v AS token, CAST(pr AS BIGINT) AS pr FROM p$iterations" +
+      "\nORDER BY pr DESC, token LIMIT 50"
+  }
+
   /** q170's oracle: [[graft.ops.GreedyCover]]'s k-round submodular greedy
     * unrolled — per round an argmax CTE (gain desc, doc_id asc via
     * row_number) and a covered-token-list CTE. Integer gains make every
@@ -6582,7 +6621,34 @@ object Queries {
         |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM s)
         |SELECT query_id, max(cos) AS best_cos, min(cos) AS kth_cos,
         |  true AS recall_ok
-        |FROM r WHERE rn <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin))
+        |FROM r WHERE rn <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
+    // ---- 178. WEIGHTED PageRank — q116's centrality with edge weights
+    //          (co-occurrence counts): mass flows proportionally to
+    //          w(u,v)/W(u). Weights normalize ONCE to per-source integer
+    //          ppm shares, so every hop's product pr·share stays inside
+    //          signed-64 at any weight magnitude and the recurrence
+    //          remains pure long arithmetic — exactly replayable as
+    //          unrolled CTEs, no tolerance gate, like every iterative
+    //          integer operator here (q116/q124/q134/q168). Same per-
+    //          iteration shape: one shares⋈pr join + combinable sum. ----
+    QDef("q178_weighted_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        val bgd = t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"bg.a", $"bg.b").filter($"a" =!= $"b")
+          .withColumn("w", lit(1L))
+        graft.ops.PageRank.ranksWeighted(bgd, "a", "b", "w", iterations = 4)
+          .select($"v".as("token"), $"pr")
+          .orderBy($"pr".desc, $"token")
+          .limit(50)
+      },
+      Some(weightedPageRankOracleSql(iterations = 4)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -100,4 +100,75 @@ object PageRank {
       outDeg.unpersist(blocking = false)
     }
   }
+
+  /** Edge-WEIGHTED PageRank in the same fixed-point discipline: vertex u
+    * donates mass to v proportionally to w(u,v)/W(u). To keep every
+    * product inside signed-64 at ANY weight magnitude, weights are first
+    * normalized to per-source integer ppm shares —
+    * share(u,v) = (w·1e6) div W(u), a one-off aggregate+join — and each
+    * hop's contribution is (pr · share) div 1e6: pr ≤ scale (1e12) and
+    * share ≤ 1e6, so the product is ≤ 1e18 < 2⁶³ no matter how large raw
+    * weights grow. Floor-normalization drops < 1e-6 of each vertex's
+    * donated mass per hop (the same truncation-bound argument as
+    * [[ranks]]); the recurrence stays pure long arithmetic, so the result
+    * is partitioning-independent and exactly replayable as unrolled CTEs.
+    * Self-loops are dropped; parallel edges sum their weights; weights
+    * must be positive (zero-weight edges are dropped with their mass —
+    * filter them out first if that is not intended).
+    */
+  def ranksWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, iterations: Int = 4,
+                    dampNum: Long = 17L, dampDen: Long = 20L,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && dampNum > 0 && dampNum < dampDen,
+      s"need iterations >= 1 and 0 < dampNum < dampDen, got " +
+        s"$iterations, $dampNum/$dampDen")
+    val e0 = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("s") =!= col("d") && col("w") > 0)
+      .groupBy(col("s"), col("d")).agg(sum(col("w")).as("w"))
+    val outW = e0.groupBy(col("s")).agg(sum(col("w")).as("__W"))
+    val shares = e0.join(outW, "s")
+      .select(col("s"), col("d"),
+        expr("(w * 1000000L) div __W").as("__sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = shares.select(col("s").as("v"))
+      .union(shares.select(col("d").as("v"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = verts.count()
+      require(n > 0, "weighted PageRank over an empty graph")
+      val p0 = scale / n
+      val base = ((dampDen - dampNum) * p0) / dampDen
+      val hasOut = shares.select(col("s").as("v")).distinct()
+      var pr = verts.withColumn("pr", lit(p0)).localCheckpoint(true)
+      var iter = 0
+      while (iter < iterations) {
+        val contribs = shares
+          .join(pr.select(col("v").as("s"), col("pr")), "s")
+          .select(col("d").as("v"),
+            expr("(pr * __sh) div 1000000L").as("__c"))
+          .groupBy(col("v")).agg(sum(col("__c")).as("__cin"))
+        val dangling = pr.join(hasOut, Seq("v"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("__dang"))
+        val next = verts
+          .join(contribs, Seq("v"), "left")
+          .crossJoin(dangling)
+          .withColumn("__recv",
+            coalesce(col("__cin"), lit(0L)) + expr(s"__dang div ${n}L"))
+          .select(col("v"),
+            (lit(base) + expr(s"(${dampNum}L * __recv) div ${dampDen}L"))
+              .as("pr"))
+          .localCheckpoint(true)
+        pr.unpersist(blocking = false)
+        pr = next
+        iter += 1
+      }
+      pr
+    } finally {
+      shares.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
+  }
 }

@@ -70,6 +70,62 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  /** Sequential replay of the WEIGHTED recurrence (ppm edge shares). */
+  private def referenceW(edges: Map[(Long, Long), Long], iterations: Int,
+                         scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.filter { case ((s, d), w) => s != d && w > 0 }
+    val outW = e.toSeq.groupBy(_._1._1)
+      .map { case (s, l) => s -> l.map(_._2).sum }
+    val sh = e.map { case ((s, d), w) => (s, d) -> (w * 1000000L) / outW(s) }
+    val verts = e.keySet.flatMap(p => Seq(p._1, p._2))
+    val n = verts.size.toLong
+    val p0 = scale / n
+    val base = (3L * p0) / 20L
+    var pr: Map[Long, Long] = verts.map(_ -> p0).toMap
+    for (_ <- 0 until iterations) {
+      val dang = pr.collect {
+        case (v, p) if !outW.contains(v) => p
+      }.sum / n
+      val cin = sh.toSeq.map { case ((s, d), shr) => d -> (pr(s) * shr) / 1000000L }
+        .groupBy(_._1).map { case (d, l) => d -> l.map(_._2).sum }
+      pr = verts.map(v =>
+        v -> (base + (17L * (cin.getOrElse(v, 0L) + dang)) / 20L)).toMap
+    }
+    pr
+  }
+
+  test("weighted: heavier edge pulls more rank; == sequential replay") {
+    // 1 -> 2 (w 9) and 1 -> 3 (w 1); 2,3 -> 1 closes the loop
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = PageRank.ranksWeighted(edges.toDF("s", "d", "w"), "s", "d", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(3L))
+    assert(got === referenceW(
+      edges.map { case (s, d, w) => (s, d) -> w }.toMap, 4))
+  }
+
+  test("weighted property: == sequential replay on random weighted digraphs") {
+    for (trial <- 0 until 6) {
+      val rng = new scala.util.Random(7200 + trial)
+      val n = 12
+      val edges = (for {
+        a <- 0L until n; b <- 0L until n
+        if a != b && rng.nextDouble() < 0.2
+      } yield (a, b) -> (1L + rng.nextInt(1000000).toLong)).toMap
+      if (edges.nonEmpty) {
+        // parallel-edge pollution: split one edge's weight in two rows
+        val rows = edges.toSeq.flatMap { case ((s, d), w) =>
+          if (w > 1 && s == 0L) Seq((s, d, w - 1), (s, d, 1L))
+          else Seq((s, d, w))
+        }
+        val got = PageRank.ranksWeighted(rows.toDF("s", "d", "w"),
+            "s", "d", "w", iterations = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got === referenceW(edges, 3), s"trial $trial")
+      }
+    }
+  }
+
   test("bit-identical across repartitionings") {
     val rng = new scala.util.Random(42)
     val edges = (for {
