@@ -6648,7 +6648,58 @@ object Queries {
           .orderBy($"pr".desc, $"token")
           .limit(50)
       },
-      Some(weightedPageRankOracleSql(iterations = 4)))
+      Some(weightedPageRankOracleSql(iterations = 4))),
+
+    // ---- 179. ABC (Pareto) classification — the 80/20 inventory cut:
+    //          parts rank by revenue, the cumulative share classifies A
+    //          (top 70% of revenue), B (to 90%), C (tail). Exact integer
+    //          cents via DECIMAL with explicit floor (DuckDB's
+    //          DECIMAL→BIGINT cast ROUNDS while Spark's truncates — floor
+    //          makes both engines agree by construction); the cumulative
+    //          sum is the range-partitioned distributed prefix sum over
+    //          the |parts|-row collapse (never a one-task window — q163's
+    //          convention, unit group); class thresholds are integer
+    //          cross-products (cum·10 ≤ tot·7), no division. ----
+    QDef("q179_abc_classification",
+      (s, dir) => {
+        import s.implicits._
+        val rev = Tables.lineitem(s, dir)
+          .groupBy($"l_partkey")
+          .agg(floor(revenue($"l_extendedprice", $"l_discount") * 100)
+            .cast("long").as("cents"))
+        val ranked = graft.ops.PrefixSum.withRunningSum(
+          rev.withColumn("g", lit(0)).withColumn("negc", -$"cents"),
+          Seq("g"), Seq("negc", "l_partkey"), "cents", "cum")
+        val tot = ranked.groupBy($"g").agg(max($"cum").as("tot"))
+        ranked.join(broadcast(tot), "g")
+          .select($"l_partkey", $"cents", $"cum", $"tot",
+            when($"cum" * 10 <= $"tot" * 7, "A")
+              .when($"cum" * 10 <= $"tot" * 9, "B")
+              .otherwise("C").as("cls"))
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_parts"), sum($"cents").as("cents"))
+          .withColumn("tot2", sum($"cents").over(Window.partitionBy()))
+          .select($"cls", $"n_parts", $"cents",
+            expr("(cents * 1000000) div tot2").cast("long").as("share_ppm"))
+          .orderBy($"cls")
+      },
+      Some("""WITH r AS (SELECT l_partkey,
+        |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * CAST(1.0 - l_discount AS DECIMAL(12,6))) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS tot FROM r),
+        |k AS (SELECT l_partkey, cents,
+        |    CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+        |      WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS cls FROM c)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST((sum(cents) * 1000000) // CAST(sum(sum(cents)) OVER ()
+        |    AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
