@@ -4776,11 +4776,23 @@ object Queries {
     // ---- 142. Kaplan–Meier survival — time from a user's first event to
     //          first purchase, right-censored at the end of the observed
     //          window (the time-to-conversion curve). Product-limit
-    //          estimator computed as exp of an ORDERED cumulative ln-sum
-    //          (both engines accumulate in duration order, so the doubles
-    //          agree bit-for-bit before the final round). Scale shape:
-    //          users collapse to a |durations|-row risk table before any
-    //          window; the cumulative pass runs on that tiny table. ----
+    //          estimator computed as an ORDERED IEEE product: each step
+    //          ratio (n_risk - n_event)/n_risk is a single double
+    //          division (bit-exact in every IEEE-754 engine) and the
+    //          cumulative product is a left fold in duration order
+    //          (Spark `aggregate` HOF / DuckDB `list_reduce`), so the
+    //          doubles agree bit-for-bit across engines before the final
+    //          round. The earlier exp(sum(ln(...))) form was hash-
+    //          unstable across libm builds (ln/exp last-ulp differences
+    //          flipped values across the 5e-7 rounding boundary —
+    //          CORRECTNESS_r06 q142). When all remaining at-risk users
+    //          convert, ratio = 0 exactly and the product pins to 0, so
+    //          no special-case flag is needed. n_risk is a suffix sum of
+    //          the risk table (no driver-side count), and the censoring
+    //          horizon joins in as a 1-row broadcast (no driver head()).
+    //          Scale shape: users collapse to a |durations|-row risk
+    //          table before any window; the cumulative pass, the
+    //          collect_list fold included, runs on that tiny table. ----
     QDef("q142_km_survival",
       (s, dir) => {
         import s.implicits._
@@ -4791,28 +4803,23 @@ object Queries {
         val t0 = e.groupBy($"user_id").agg(min($"day").as("t0"))
         val tp = e.filter($"event_type" === "purchase")
           .groupBy($"user_id").agg(min($"day").as("tp"))
-        // empty input → NULL max; any value works (everything downstream
-        // is empty) but getLong would throw — return empty, not crash
-        val dmaxRow = e.agg(max($"day")).head
-        val dmax = if (dmaxRow.isNullAt(0)) 0L else dmaxRow.getLong(0)
-        val users = t0.join(tp, Seq("user_id"), "left")
-          .select(coalesce($"tp" - $"t0", lit(dmax) - $"t0").as("dur"),
+        val dm = e.agg(max($"day").as("dmax")) // 1 row, broadcast
+        val users = t0.join(tp, Seq("user_id"), "left").crossJoin(dm)
+          .select(coalesce($"tp" - $"t0", $"dmax" - $"t0").as("dur"),
             $"tp".isNotNull.cast("long").as("ev"))
         val risk = users.groupBy($"dur")
           .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_censor"))
-        val nTotal = users.count()
-        val wPrev = Window.orderBy($"dur")
-          .rowsBetween(Window.unboundedPreceding, -1)
+        val wSuffix = Window.orderBy($"dur")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val wCum = Window.orderBy($"dur")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         risk
-          .withColumn("n_risk", lit(nTotal) -
-            coalesce(sum($"n_event" + $"n_censor").over(wPrev), lit(0L)))
-          .withColumn("lnr", when($"n_event" < $"n_risk",
-            log(($"n_risk" - $"n_event").cast("double") / $"n_risk")))
-          .withColumn("surv", when(
-            max(($"n_event" === $"n_risk").cast("int")).over(wCum) > 0,
-            lit(0.0)).otherwise(round(exp(sum($"lnr").over(wCum)), 6)))
+          .withColumn("n_risk", sum($"n_event" + $"n_censor").over(wSuffix))
+          .withColumn("ratio",
+            ($"n_risk" - $"n_event").cast("double") / $"n_risk")
+          .withColumn("rl", collect_list($"ratio").over(wCum))
+          .withColumn("surv", round(
+            expr("aggregate(rl, cast(1.0 as double), (a, x) -> a * x)"), 6))
           .select($"dur", $"n_risk", $"n_event", $"n_censor", $"surv")
           .orderBy($"dur")
       },
@@ -4827,19 +4834,15 @@ object Queries {
         |  FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id, dm),
         |r AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS n_event,
         |    CAST(sum(1 - ev) AS BIGINT) AS n_censor FROM u GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u),
         |k AS (SELECT dur, n_event, n_censor,
-        |    n.n_total - COALESCE(sum(n_event + n_censor) OVER (
-        |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND 1 PRECEDING), 0) AS n_risk
-        |  FROM r, n)
+        |    CAST(sum(n_event + n_censor) OVER (
+        |      ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM r)
         |SELECT dur, n_risk, n_event, n_censor,
-        |  CASE WHEN max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
-        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
-        |    ELSE round(exp(sum(CASE WHEN n_event < n_risk THEN
-        |      ln(CAST(n_risk - n_event AS DOUBLE) / n_risk) END)
-        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
-        |  END AS surv
+        |  round(list_reduce(list(CAST(n_risk - n_event AS DOUBLE) / n_risk)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING),
+        |    (a, b) -> a * b), 6) AS surv
         |FROM k ORDER BY dur""".stripMargin)),
 
     // ---- 143. skyline (Pareto frontier) — per event type, the users not
