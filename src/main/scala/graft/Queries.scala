@@ -2227,7 +2227,10 @@ object Queries {
     //          per-term df broadcast; the corpus is scanned once and only
     //          matched (doc, term) rows shuffle for the per-doc sum; top-k
     //          is a TakeOrderedAndProject. Contributions rounded before the
-    //          sum so engine libm ulp drift can't surface (see ops/Bm25). ----
+    //          sum so engine libm ulp drift can't surface (see ops/Bm25).
+    //          ln-idf is the one transcendental; BoundaryAuditSpec measures
+    //          its pre-round clearance from the 6dp rounding boundary at
+    //          all three SFs (min 1.6e-11, ~4000× libm drift). ----
     QDef("q77_bm25",
       (s, dir) => {
         import s.implicits._
@@ -2867,7 +2870,9 @@ object Queries {
     //          TakeOrderedAndProject); the fusion joins two 50-row dims —
     //          driver-free, corpus scanned twice total. Scores round
     //          BEFORE ranking on both engines so ulp drift cannot reorder
-    //          near-ties (id tie-break totalizes). ----
+    //          near-ties (id tie-break totalizes). The BM25 leg's ln-idf
+    //          round sites are covered by BoundaryAuditSpec (shared with
+    //          q77); the cosine/RRF legs are IEEE-exact (sqrt, div). ----
     QDef("q96_hybrid_rrf",
       (s, dir) => {
         import s.implicits._
@@ -2938,7 +2943,10 @@ object Queries {
     //          scale the vocabulary is 10^8+ — never broadcast, never
     //          collected); corpus totals are two driver scalars. Per-doc
     //          log-prob sums round to 6 before output, absorbing libm and
-    //          partial-merge-order ulp drift. ----
+    //          partial-merge-order ulp drift; ppl = exp(6dp-rounded nll)
+    //          so both engines exponentiate the same double. Pre-round
+    //          clearance from the rounding boundary is measured by
+    //          BoundaryAuditSpec (min 7.7e-11 across SFs). ----
     QDef("q97_lm_perplexity",
       (s, dir) => {
         import s.implicits._
@@ -4719,7 +4727,8 @@ object Queries {
     //          excluded (reported via n_bins). Scale shape: the fact
     //          stream collapses to |types|×|bins|×2 counts in one
     //          combinable aggregate; all double math happens on that tiny
-    //          table. ----
+    //          table. The p·ln(p/q) transcendental's pre-round boundary
+    //          clearance is measured by BoundaryAuditSpec (min 3.1e-9). ----
     QDef("q141_psi_drift",
       (s, dir) => {
         import s.implicits._
@@ -5060,7 +5069,8 @@ object Queries {
     //          "is traffic composition shifting" monitor. Counts collapse
     //          to |days|×|types| cells in one combinable aggregate; the
     //          p·ln p math runs on that tiny table (q97's ln-precision
-    //          discipline: round 6dp). ----
+    //          discipline: round 6dp; pre-round boundary clearance
+    //          measured by BoundaryAuditSpec, min 5.8e-9). ----
     QDef("q148_entropy",
       (s, dir) => {
         import s.implicits._
