@@ -4797,8 +4797,8 @@ object Queries {
     //          CORRECTNESS_r06 q142). When all remaining at-risk users
     //          convert, ratio = 0 exactly and the product pins to 0, so
     //          no special-case flag is needed. n_risk is a suffix sum of
-    //          the risk table (no driver-side count), and the censoring
-    //          horizon joins in as a 1-row broadcast (no driver head()).
+    //          the risk table (no driver-side total count); the censoring
+    //          horizon stays a bounded driver scalar (q97 precedent).
     //          Scale shape: users collapse to a |durations|-row risk
     //          table before any window; the cumulative pass, the
     //          collect_list fold included, runs on that tiny table. ----
@@ -4812,9 +4812,13 @@ object Queries {
         val t0 = e.groupBy($"user_id").agg(min($"day").as("t0"))
         val tp = e.filter($"event_type" === "purchase")
           .groupBy($"user_id").agg(min($"day").as("tp"))
-        val dm = e.agg(max($"day").as("dmax")) // 1 row, broadcast
-        val users = t0.join(tp, Seq("user_id"), "left").crossJoin(dm)
-          .select(coalesce($"tp" - $"t0", $"dmax" - $"t0").as("dur"),
+        // censoring horizon: a bounded driver scalar (q97/q141 precedent —
+        // a 1-row crossJoin would plan the BNLJ the PlanSpec sweep bans).
+        // Empty input → NULL max; return empty instead of crashing.
+        val dmaxRow = e.agg(max($"day")).head
+        val dmax = if (dmaxRow.isNullAt(0)) 0L else dmaxRow.getLong(0)
+        val users = t0.join(tp, Seq("user_id"), "left")
+          .select(coalesce($"tp" - $"t0", lit(dmax) - $"t0").as("dur"),
             $"tp".isNotNull.cast("long").as("ev"))
         val risk = users.groupBy($"dur")
           .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_censor"))
@@ -6605,9 +6609,18 @@ object Queries {
               .as("v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = nrm.filter($"vec_id" < 20)
-        val cb = graft.ops.Pq.train(nrm, "v", m = 8, ksub = 16, iters = 3)
+        val nVecs = embRaw.count()
+        // 100 TB discipline made literal: codebooks train on a BOUNDED
+        // sample (≤2k vectors — m·ksub=128 centroids saturate well below
+        // that), not the full corpus; encoding still covers every vector.
+        // The cap does not bite at the test SFs (≤2k vectors); recall
+        // floors re-measured with it in place: 6/6/8 of 10 at
+        // sf0.001/0.01/0.1 (PqSpec), above the >=4 gate.
+        val trainFrac = math.min(1.0, 2000.0 / math.max(1L, nVecs))
+        val cb = graft.ops.Pq.train(nrm, "v", m = 8, ksub = 16, iters = 3,
+          trainFraction = trainFrac)
         val enc = graft.ops.Pq.encode(nrm, "vec_id", "v", cb)
-        val shortlist = math.max(50L, embRaw.count() / 5).toInt
+        val shortlist = math.max(50L, nVecs / 5).toInt
         val pq = graft.ops.Pq.adcTopKJoin(
           queries.select($"vec_id".as("qid"), $"v"), "qid", "v",
           enc, "vec_id", cb, k = shortlist)
@@ -6615,15 +6628,16 @@ object Queries {
             pq.select($"query_id", $"id".as("vec_id")),
             Seq("query_id", "vec_id"), "left_semi")
           .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
-        val out = exact.groupBy($"query_id")
+        // no unpersist here: the returned plan still references nrm/embRaw
+        // (the harness evaluates it AFTER this builder returns), so an
+        // eager unpersist would force the exact and ADC legs to recompute
+        // from parquet; the tiny persisted projections age out instead.
+        exact.groupBy($"query_id")
           .agg(max($"cos").as("best_cos"), min($"cos").as("kth_cos"))
           .join(hits, Seq("query_id"), "left")
           .select($"query_id", $"best_cos", $"kth_cos",
             (coalesce($"n_hit", lit(0L)) >= 4).as("recall_ok"))
           .orderBy($"query_id")
-        nrm.unpersist(blocking = false)
-        embRaw.unpersist(blocking = false)
-        out
       },
       Some("""WITH q AS (SELECT vec_id AS query_id,
         |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),

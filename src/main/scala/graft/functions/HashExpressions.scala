@@ -308,6 +308,99 @@ object HashExpressions {
   def orderedPairs(sortedIds: Column): Column =
     GraftExprColumn.column(OrderedPairs(GraftExprColumn.expression(sortedIds)))
 
+  /** PQ code assignment: argmax over `cents` (array&lt;array&lt;double&gt;&gt;)
+    * of cosine(sv, cents[c]), ties to the LOWEST index; zero-norm cosine is
+    * 0.0 ([[CosineSim]]'s convention — an ascending strict-greater scan
+    * reproduces the struct-max-on-(cos, -c) tie rule exactly).
+    *
+    * Exists for plan-compilation stability, not just per-row speed: the
+    * centroid list is expected to be a complex-typed LITERAL child, which
+    * codegen emits as a reference-array access — the generated source is
+    * byte-identical across k-means iterations whose centroid VALUES differ,
+    * so Lloyd's pays Janino once per training run instead of once per
+    * iteration (the inlined-scalar-literals form recompiled a ~4000-node
+    * tree every iteration; the interpreted-HOF form paid µs-scale lambda
+    * overhead on every of the m·ksub·rows cosines).
+    */
+  case class PqAssign(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    private def floatElems: Boolean = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val sv = l.asInstanceOf[ArrayData]
+      val cs = r.asInstanceOf[ArrayData]
+      val lf = floatElems
+      var best = 0
+      var bestCos = java.lang.Double.NEGATIVE_INFINITY
+      var c = 0
+      while (c < cs.numElements()) {
+        val cent = cs.getArray(c)
+        val n = math.min(sv.numElements(), cent.numElements())
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (lf) sv.getFloat(i).toDouble else sv.getDouble(i)
+          val y = cent.getDouble(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val cos = if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (sv, cs) => {
+        val best = ctx.freshName("best")
+        val bestCos = ctx.freshName("bestCos")
+        val c = ctx.freshName("c")
+        val cent = ctx.freshName("cent")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val cos = ctx.freshName("cos")
+        val xAcc = if (floatElems) s"(double) $sv.getFloat($i)"
+          else s"$sv.getDouble($i)"
+        s"""
+          |int $best = 0;
+          |double $bestCos = java.lang.Double.NEGATIVE_INFINITY;
+          |for (int $c = 0; $c < $cs.numElements(); $c++) {
+          |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cs.getArray($c);
+          |  int $n = java.lang.Math.min($sv.numElements(), $cent.numElements());
+          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    double $x = $xAcc;
+          |    double $y = $cent.getDouble($i);
+          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          |  }
+          |  double $cos = ($na == 0.0 || $nb == 0.0) ? 0.0
+          |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          |  if ($cos > $bestCos) { $bestCos = $cos; $best = $c; }
+          |}
+          |${ev.value} = $best;
+        """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAssign =
+      copy(left = l, right = r)
+    override def prettyName: String = "pq_assign"
+  }
+
+  def pqAssign(sub: Column, cents: Column): Column =
+    GraftExprColumn.column(PqAssign(
+      GraftExprColumn.expression(sub), GraftExprColumn.expression(cents)))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftExprColumn.column(CosineSim(
       GraftExprColumn.expression(a), GraftExprColumn.expression(b)))

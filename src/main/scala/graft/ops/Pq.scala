@@ -39,22 +39,31 @@ object Pq {
   private def sub(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, s * subDim + 1, subDim)
 
-  /** Per-subspace code: argmax of compiled cosine over the ksub centroids,
-    * ties to the LOWEST code (struct max on (cos, -c) — the
-    * [[Knn]] assignment convention).
+  /** Per-subspace code: argmax of cosine over the ksub centroids, ties to
+    * the LOWEST code, zero-norm cosine = 0.0 (the [[Knn]] assignment
+    * convention), via the compiled
+    * [[graft.functions.HashExpressions.PqAssign]] expression.
+    *
+    * The centroids enter as ONE array&lt;array&lt;double&gt;&gt; literal
+    * (`centsArr`, built with typedlit) — NOT as m·ksub·subDim inlined
+    * scalar literals. Complex-typed literals land in the codegen reference
+    * array, so the expression tree and generated source stay IDENTICAL
+    * across Lloyd iterations even though the centroid VALUES change: no
+    * per-iteration Catalyst re-analysis of a thousands-of-nodes tree and
+    * no Janino recompile (the inlined form paid ~1s of plan compilation
+    * per iteration for microseconds of compute; an interpreted-HOF form
+    * pays µs-scale lambda overhead per cosine — PqAssign's compiled loop
+    * avoids both).
     */
   private def codeFor(vec: Column, s: Int, subDim: Int,
-                      cents: Seq[Seq[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      struct(graft.functions.HashExpressions
-        .cosineSim(sub(vec, s, subDim), array(c.map(lit): _*)).as("c"),
-        lit(-j).as("nj"))
-    }
-    (array_max(array(scored: _*)).getField("nj") * -1).cast("int")
-  }
+                      centsArr: Column): Column =
+    graft.functions.HashExpressions.pqAssign(sub(vec, s, subDim), centsArr)
+
+  private def centsLit(cents: Seq[Seq[Double]]): Column =
+    typedlit(cents.map(_.toSeq).toSeq)
 
   private def codeExpr(vec: Column, s: Int, cb: Codebook): Column =
-    codeFor(vec, s, cb.subDim, cb.cents(s))
+    codeFor(vec, s, cb.subDim, centsLit(cb.cents(s)))
 
   /** Train an m×ksub codebook. `vecCol` must be a fixed-dimension array
     * column with dim % m == 0; `trainFraction` bounds the training scan at
@@ -74,13 +83,16 @@ object Pq {
             trainFraction: Double = 1.0): Codebook = {
     require(m >= 1 && ksub >= 1 && iters >= 1,
       s"need m, ksub, iters >= 1; got $m, $ksub, $iters")
-    val dimRow = emb.select(size(col(vecCol)).as("__d")).limit(1).collect()
+    val base = emb.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+    // dimension probe runs on the null-FILTERED projection: a null vector
+    // surfacing first in scan order must not NPE the probe (it carries no
+    // dimension information anyway)
+    val dimRow = base.select(size(col("__v")).as("__d")).limit(1).collect()
     require(dimRow.nonEmpty, "cannot train a PQ codebook on an empty input")
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val base = emb.select(col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
     val train0 = if (trainFraction < 1.0)
       base.sample(withReplacement = false, trainFraction, seed = 42) else base
     val train = train0
@@ -97,7 +109,7 @@ object Pq {
       for (_ <- 0 until iters) {
         val entries = (0 until m).map { s =>
           struct(lit(s).as("s"),
-            codeFor(col("__v"), s, subDim, cents(s)).as("c"),
+            codeFor(col("__v"), s, subDim, centsLit(cents(s))).as("c"),
             sub(col("__v"), s, subDim).as("sv"))
         }
         val means = train.select(explode(array(entries: _*)).as("e"))
@@ -141,15 +153,20 @@ object Pq {
                   encoded: DataFrame, idCol: String, cb: Codebook,
                   k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val lutEntries: Seq[Column] = for {
-      s <- 0 until cb.m
-      c <- 0 until cb.ksubOf(s)
-    } yield struct(lit(s).as("s"), lit(c).as("c"),
-      graft.functions.VectorFunctions
-        .dot(sub(col(qVecCol).cast("array<double>"), s, cb.subDim),
-          array(cb.cents(s)(c).map(lit): _*)).as("d"))
+    // the full codebook rides along as one 3-level array literal (a
+    // codegen REFERENCE, same rationale as codeFor): the per-query m×ksub
+    // lookup table is a nested transform + flatten over it, not m·ksub
+    // separate inlined-literal dot expressions
+    val cb3 = typedlit(cb.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    val qv = col(qVecCol).cast("array<double>")
+    val lutCol = flatten(transform(cb3, (subCents, sIdx) =>
+      transform(subCents, (cent, cIdx) =>
+        struct(sIdx.as("s"), cIdx.as("c"),
+          graft.functions.VectorFunctions
+            .dot(slice(qv, sIdx * lit(cb.subDim) + 1, lit(cb.subDim)), cent)
+            .as("d")))))
     val lut = queries
-      .select(col(qIdCol).as("__qid"), explode(array(lutEntries: _*)).as("e"))
+      .select(col(qIdCol).as("__qid"), explode(lutCol).as("e"))
       .select(col("__qid"), col("e.s").as("__s"), col("e.c").as("__c"),
         col("e.d").as("__d"))
     val ex = encoded.select(col(idCol).as("__id"),
@@ -166,9 +183,5 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("__qid").as("query_id"), col("__id").as("id"),
         col("score_ppm"), col("rank").cast("long").as("rank"))
-  }
-
-  implicit private class CbOps(cb: Codebook) {
-    def ksubOf(s: Int): Int = cb.cents(s).length
   }
 }
