@@ -119,9 +119,11 @@ object Queries {
   }
 
   /** q178's oracle: the WEIGHTED fixed-point PageRank recurrence of
-    * [[graft.ops.PageRank.ranksWeighted]] unrolled — per-source ppm edge
-    * shares ((w·1e6) div W) keep every product inside signed-64, so the
-    * replay is EXACT, same as q116's unweighted form.
+    * [[graft.ops.PageRank.ranksWeighted]] unrolled — per-source integer
+    * edge shares ((w·1e9) div W, via HUGEINT so the one-off multiply
+    * cannot overflow) against the 1e9 pr scale keep every per-hop
+    * product ≤ 1e18 inside signed-64, so the replay is EXACT, same as
+    * q116's unweighted form.
     */
   private def weightedPageRankOracleSql(iterations: Int): String = {
     val head =
@@ -132,20 +134,21 @@ object Queries {
         |      WHERE toks[i] <> toks[i+1]),
         |e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM bg GROUP BY 1, 2),
         |ow AS (SELECT a, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY 1),
-        |sh AS (SELECT e.a, e.b, (e.w * 1000000) // ow.tw AS sh
+        |sh AS (SELECT e.a, e.b,
+        |      CAST((CAST(e.w AS HUGEINT) * 1000000000) // ow.tw AS BIGINT) AS sh
         |      FROM e JOIN ow ON ow.a = e.a),
         |vx AS (SELECT a AS v FROM sh UNION SELECT b FROM sh),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vx),
         |ho AS (SELECT DISTINCT a AS v FROM sh),
-        |p0 AS (SELECT vx.v, 1000000000000 // n.n AS pr FROM vx, n)""".stripMargin
+        |p0 AS (SELECT vx.v, 1000000000 // n.n AS pr FROM vx, n)""".stripMargin
     val iters = (1 to iterations).map { i =>
       val prev = s"p${i - 1}"
       s"""p$i AS (SELECT vx.v,
-         |    (3 * (1000000000000 // n.n)) // 20
+         |    (3 * (1000000000 // n.n)) // 20
          |      + (17 * (COALESCE(c.cin, 0) + dg.dang // n.n)) // 20 AS pr
          |  FROM vx
          |  LEFT JOIN (SELECT sh.b AS v,
-         |             SUM((p.pr * sh.sh) // 1000000) AS cin
+         |             SUM((p.pr * sh.sh) // 1000000000) AS cin
          |             FROM sh JOIN $prev p ON p.v = sh.a
          |             GROUP BY 1) c ON c.v = vx.v,
          |  (SELECT COALESCE(SUM(p.pr), 0) AS dang
@@ -6653,8 +6656,11 @@ object Queries {
     // ---- 178. WEIGHTED PageRank — q116's centrality with edge weights
     //          (co-occurrence counts): mass flows proportionally to
     //          w(u,v)/W(u). Weights normalize ONCE to per-source integer
-    //          ppm shares, so every hop's product pr·share stays inside
-    //          signed-64 at any weight magnitude and the recurrence
+    //          1e9-scale shares (decimal one-off, so the normalization
+    //          itself cannot overflow), so every hop's product pr·share
+    //          stays ≤ 1e18 inside signed-64 at any weight magnitude
+    //          (share floor loses ≤ outdeg/1e9 of a hub's donated mass
+    //          per hop — see ranksWeighted's bound) and the recurrence
     //          remains pure long arithmetic — exactly replayable as
     //          unrolled CTEs, no tolerance gate, like every iterative
     //          integer operator here (q116/q124/q134/q168). Same per-

@@ -104,14 +104,23 @@ object PageRank {
   /** Edge-WEIGHTED PageRank in the same fixed-point discipline: vertex u
     * donates mass to v proportionally to w(u,v)/W(u). To keep every
     * product inside signed-64 at ANY weight magnitude, weights are first
-    * normalized to per-source integer ppm shares —
-    * share(u,v) = (w·1e6) div W(u), a one-off aggregate+join — and each
-    * hop's contribution is (pr · share) div 1e6: pr ≤ scale (1e12) and
-    * share ≤ 1e6, so the product is ≤ 1e18 < 2⁶³ no matter how large raw
-    * weights grow. Floor-normalization drops < 1e-6 of each vertex's
-    * donated mass per hop (the same truncation-bound argument as
-    * [[ranks]]); the recurrence stays pure long arithmetic, so the result
-    * is partitioning-independent and exactly replayable as unrolled CTEs.
+    * normalized to per-source integer shares —
+    * share(u,v) = (w·shareScale) div W(u), a one-off aggregate+join — and
+    * each hop's contribution is (pr · share) div shareScale: with the
+    * defaults pr ≤ scale (1e9) and share ≤ shareScale (1e9), so the
+    * product is ≤ 1e18 < 2⁶³ no matter how large raw weights grow
+    * (guarded by a require, since both are tunable).
+    *
+    * Truncation bound, stated honestly: each of a vertex's outdeg share
+    * floors lose < 1 share unit, so up to outdeg/shareScale of the
+    * vertex's donated mass is dropped per hop — 0.01% at fanout 1e5 with
+    * the 1e9 default (the earlier 1e6 ppm default lost 10% there and
+    * zeroed every share past fanout 1e6, which is why shareScale is now
+    * 1e9 at the cost of a coarser pr grid: 1 pr unit = 1e-9 of total
+    * mass). For graphs whose max fanout is modest, raise `scale` and
+    * lower `shareScale` to trade back; the require keeps the product
+    * safe. The recurrence stays pure long arithmetic, so the result is
+    * partitioning-independent and exactly replayable as unrolled CTEs.
     * Self-loops are dropped; parallel edges sum their weights; weights
     * must be positive (zero-weight edges are dropped with their mass —
     * filter them out first if that is not intended).
@@ -119,19 +128,28 @@ object PageRank {
   def ranksWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, iterations: Int = 4,
                     dampNum: Long = 17L, dampDen: Long = 20L,
-                    scale: Long = 1000000000000L): DataFrame = {
+                    scale: Long = 1000000000L,
+                    shareScale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && dampNum > 0 && dampNum < dampDen,
       s"need iterations >= 1 and 0 < dampNum < dampDen, got " +
         s"$iterations, $dampNum/$dampDen")
+    require(shareScale > 0 && scale > 0 &&
+        scale <= Long.MaxValue / shareScale,
+      s"pr*share must fit signed-64: scale=$scale shareScale=$shareScale")
     val e0 = edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"),
         col(weightCol).cast("long").as("w"))
       .filter(col("s") =!= col("d") && col("w") > 0)
       .groupBy(col("s"), col("d")).agg(sum(col("w")).as("w"))
     val outW = e0.groupBy(col("s")).agg(sum(col("w")).as("__W"))
+    // The one-off normalization runs in DECIMAL(38,0) so w·shareScale
+    // cannot overflow for any int64 weight; `div` (IntegralDivide)
+    // returns BIGINT and share ≤ shareScale, so the per-hop arithmetic
+    // below stays pure long.
     val shares = e0.join(outW, "s")
       .select(col("s"), col("d"),
-        expr("(w * 1000000L) div __W").as("__sh"))
+        expr(s"(CAST(w AS DECIMAL(38,0)) * ${shareScale}L) div __W")
+          .as("__sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = shares.select(col("s").as("v"))
       .union(shares.select(col("d").as("v"))).distinct()
@@ -148,7 +166,7 @@ object PageRank {
         val contribs = shares
           .join(pr.select(col("v").as("s"), col("pr")), "s")
           .select(col("d").as("v"),
-            expr("(pr * __sh) div 1000000L").as("__c"))
+            expr(s"(pr * __sh) div ${shareScale}L").as("__c"))
           .groupBy(col("v")).agg(sum(col("__c")).as("__cin"))
         val dangling = pr.join(hasOut, Seq("v"), "left_anti")
           .agg(coalesce(sum(col("pr")), lit(0L)).as("__dang"))

@@ -70,13 +70,14 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
-  /** Sequential replay of the WEIGHTED recurrence (ppm edge shares). */
+  /** Sequential replay of the WEIGHTED recurrence (1e9-scale shares). */
   private def referenceW(edges: Map[(Long, Long), Long], iterations: Int,
-                         scale: Long = 1000000000000L): Map[Long, Long] = {
+                         scale: Long = 1000000000L): Map[Long, Long] = {
     val e = edges.filter { case ((s, d), w) => s != d && w > 0 }
     val outW = e.toSeq.groupBy(_._1._1)
       .map { case (s, l) => s -> l.map(_._2).sum }
-    val sh = e.map { case ((s, d), w) => (s, d) -> (w * 1000000L) / outW(s) }
+    val sh = e.map { case ((s, d), w) =>
+      (s, d) -> (BigInt(w) * 1000000000L / outW(s)).toLong }
     val verts = e.keySet.flatMap(p => Seq(p._1, p._2))
     val n = verts.size.toLong
     val p0 = scale / n
@@ -86,7 +87,8 @@ class PageRankSpec extends AnyFunSuite {
       val dang = pr.collect {
         case (v, p) if !outW.contains(v) => p
       }.sum / n
-      val cin = sh.toSeq.map { case ((s, d), shr) => d -> (pr(s) * shr) / 1000000L }
+      val cin = sh.toSeq.map { case ((s, d), shr) =>
+          d -> (pr(s) * shr) / 1000000000L }
         .groupBy(_._1).map { case (d, l) => d -> l.map(_._2).sum }
       pr = verts.map(v =>
         v -> (base + (17L * (cin.getOrElse(v, 0L) + dang)) / 20L)).toMap
@@ -102,6 +104,19 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(2L) > got(3L))
     assert(got === referenceW(
       edges.map { case (s, d, w) => (s, d) -> w }.toMap, 4))
+  }
+
+  test("weighted: int64-extreme weights survive share normalization") {
+    // w·shareScale = ~4.6e27 — far past int64; the DECIMAL(38,0) one-off
+    // must still produce exact shares (BigInt replay is the witness).
+    val big = Long.MaxValue / 2
+    val edges = Seq((1L, 2L, big), (1L, 3L, big / 3), (2L, 1L, 1L),
+      (3L, 1L, big))
+    val got = PageRank.ranksWeighted(edges.toDF("s", "d", "w"), "s", "d", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(got === referenceW(
+      edges.map { case (s, d, w) => (s, d) -> w }.toMap, 4))
+    assert(got(2L) > got(3L))
   }
 
   test("weighted property: == sequential replay on random weighted digraphs") {
