@@ -5872,9 +5872,13 @@ object Queries {
     //          contingency table. The fact stream collapses to |types|×7
     //          cells in ONE combinable aggregate; marginals and the grand
     //          total are windows on that tiny cell table. The statistic is
-    //          kept EXACT: the cell deviation N·obs − row·col is integral,
-    //          its square runs in DECIMAL(38,0) (HUGEINT in the oracle —
-    //          the q145/q146 precedent), and each cell's χ² contribution
+    //          kept EXACT: the cell deviation N·obs − row·col is integral
+    //          and computed with DECIMAL(38,0) OPERANDS (HUGEINT in the
+    //          oracle — the q145/q146 precedent; casting only the result
+    //          would re-introduce an int64 cliff at ~2³¹ events), its
+    //          square runs in DECIMAL(38,0) — exact headroom now
+    //          dev²·10⁶ < 10³⁸, i.e. dev ≲ 3·10¹⁵, and past it ANSI
+    //          errors loudly rather than wrapping — and each cell's χ²
     //          ships as integer ppm of (N·obs − row·col)²/(N·row·col) — no
     //          float ever reaches the hash. dow = epoch-day mod 7, the
     //          q149 calendar-free convention. ----
@@ -5894,7 +5898,8 @@ object Queries {
           .withColumn("col_n", sum($"n").over(wCol))
           .withColumn("tot", sum($"n").over(wTot))
           .select($"event_type", $"dow", $"n", $"row_n", $"col_n",
-            (($"tot" * $"n" - $"row_n" * $"col_n").cast(d38)).as("dev"),
+            ($"tot".cast(d38) * $"n" - $"row_n".cast(d38) * $"col_n")
+              .as("dev"),
             ($"tot".cast(d38) * $"row_n" * $"col_n").as("den"))
           .select($"event_type", $"dow", $"n", $"row_n", $"col_n",
             expr("(dev * dev * 1000000) div den").cast("long").as("chi2_ppm"))
@@ -5907,12 +5912,14 @@ object Queries {
         |m AS (SELECT event_type, dow, n,
         |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
         |    CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
-        |    CAST(sum(n) OVER () AS BIGINT) AS tot FROM c)
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot FROM c),
+        |d AS (SELECT event_type, dow, n, row_n, col_n,
+        |    CAST(tot AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n
+        |      AS dev,
+        |    CAST(tot AS HUGEINT) * row_n * col_n AS den FROM m)
         |SELECT event_type, dow, n, row_n, col_n,
-        |  CAST((CAST(tot * n - row_n * col_n AS HUGEINT)
-        |      * (tot * n - row_n * col_n) * 1000000)
-        |    // (CAST(tot AS HUGEINT) * row_n * col_n) AS BIGINT) AS chi2_ppm
-        |FROM m ORDER BY event_type, dow""".stripMargin)),
+        |  CAST((dev * dev * 1000000) // den AS BIGINT) AS chi2_ppm
+        |FROM d ORDER BY event_type, dow""".stripMargin)),
 
     // ---- 165. two-sample Kolmogorov–Smirnov drift — each event type's
     //          value distribution vs the REST of the stream (the
@@ -5922,7 +5929,11 @@ object Queries {
     //          value-ordered grid (range-partitioned — never a one-task
     //          window), and the pooled ECDF is a |types|-row window per
     //          value. D = max|c_t·n_rest − c_rest·n_t| stays integral
-    //          (the classic n₁·n₂ rescale), reported with its ppm
+    //          (the classic n₁·n₂ rescale) with DECIMAL(38,0) operands
+    //          (HUGEINT in the oracle) so the cross-products cannot wrap
+    //          past ~2³¹ events; only the final d_num/d_ppm outputs cast
+    //          to BIGINT (exact through d_num < 2⁶³ ≈ N²/4 at N ~ 6·10⁹;
+    //          past that ANSI errors loudly). Reported with its ppm
     //          normalization by integer division. ----
     QDef("q165_ks_drift",
       (s, dir) => {
@@ -5946,12 +5957,16 @@ object Queries {
           .withColumn("c_all", sum($"c").over(wVal))
           .join(broadcast(totals), "event_type")
           .select($"event_type", $"n_t", ($"n_all" - $"n_t").as("n_rest"),
-            abs($"c" * ($"n_all" - $"n_t") - ($"c_all" - $"c") * $"n_t")
+            abs($"c".cast(DecimalType(38, 0)) * ($"n_all" - $"n_t") -
+              ($"c_all" - $"c").cast(DecimalType(38, 0)) * $"n_t")
               .as("dev"))
           .groupBy($"event_type", $"n_t", $"n_rest")
           .agg(max($"dev").as("d_num"))
-          .select($"event_type", $"n_t", $"n_rest", $"d_num",
-            expr("(d_num * 1000000) div (n_t * n_rest)").as("d_ppm"))
+          .select($"event_type", $"n_t", $"n_rest",
+            $"d_num".cast("long").as("d_num"),
+            expr("(d_num * 1000000) div " +
+              "(CAST(n_t AS DECIMAL(38,0)) * n_rest)")
+              .cast("long").as("d_ppm"))
           .orderBy($"event_type")
       },
       Some("""WITH ev AS (SELECT event_type, value FROM events),
@@ -5974,9 +5989,11 @@ object Queries {
         |      AS c_all, t2.n_t, t2.n_all - t2.n_t AS n_rest
         |  FROM cum JOIN t2 ON t2.event_type = cum.event_type),
         |y AS (SELECT event_type, n_t, n_rest,
-        |    abs(c * n_rest - (c_all - c) * n_t) AS dev FROM x)
+        |    abs(CAST(c AS HUGEINT) * n_rest
+        |      - CAST(c_all - c AS HUGEINT) * n_t) AS dev FROM x)
         |SELECT event_type, n_t, n_rest, CAST(max(dev) AS BIGINT) AS d_num,
-        |  CAST((max(dev) * 1000000) // (n_t * n_rest) AS BIGINT) AS d_ppm
+        |  CAST((max(dev) * 1000000) // (CAST(n_t AS HUGEINT) * n_rest)
+        |    AS BIGINT) AS d_ppm
         |FROM y GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin)),
 
     // ---- 166. winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
