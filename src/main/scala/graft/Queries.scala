@@ -5379,8 +5379,12 @@ object Queries {
     //          the df-cut inverted index at a low floor, bucketed into
     //          Jaccard deciles. Bucketing happens on the 6-dp ROUNDED
     //          score both engines already hash-agree on, so decile
-    //          boundaries cannot diverge. Pair work is bounded by the
-    //          same C(maxDf,2) cap as q32. ----
+    //          boundaries cannot diverge. CONTRACT: exactNearDuplicates
+    //          is the EXACT-ORACLE leg — quadratic pair enumeration by
+    //          specification, bounded only by the C(maxDf,2) df-cut cap
+    //          (same as q32); at 100 TB the production path is q33's
+    //          collapsed MinHash-LSH with this exact form run on samples
+    //          to calibrate the threshold. ----
     QDef("q155_sim_histogram",
       (s, dir) => {
         import s.implicits._
