@@ -457,103 +457,18 @@ object ScaleProbe {
       s""""bucket_rx_sec":$bucketRx,"sf":"$sfDir"}""")
   }
 
-  /** Degenerate-content robustness sweep: every declared query runs against
-    * a pathological fixture — empty / whitespace-only / single-token /
-    * repeated-token documents, a ZERO embedding vector (cosine 0/0),
-    * tied timestamps, null-bearing dimension rows — and crashes are
-    * reported. This is exactly the hazard class of the round-5 advisor
-    * findings (q76 negative slice length, q100 descending `sequence` on
-    * empty token arrays): data-dependent latent errors the generated
-    * corpus never triggers. Run after adding any text/array query.
+  /** Degenerate-content robustness sweep — fixtures + sweep live in
+    * [[DegenFixtures]] (shared with the CI DegenSweepSpec, which is the
+    * enforcing copy; this probe form prints the JSON line for SCALING.md
+    * runs and honors SPARK_GRAFT_DEGEN_EMPTY=1 for the zero-row
+    * variant).
     */
   private def degenProbe(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.{Row => R}
     val dir = "/dev/shm/graft_degen"
-
-    def write(name: String, schema: org.apache.spark.sql.types.StructType,
-              rows: Seq[R]): Unit =
-      spark.createDataFrame(
-          new java.util.ArrayList[R](scala.jdk.CollectionConverters
-            .SeqHasAsJava(rows).asJava), schema)
-        .repartition(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
-
-    // SPARK_GRAFT_DEGEN_EMPTY=1: zero-row variant of every table (the
-    // empty-partition/empty-day case). Queries that seed from a specific
-    // row (a query vector, a trained quantizer) fail loud by design; all
-    // others must return empty, not crash.
-    if (sys.env.get("SPARK_GRAFT_DEGEN_EMPTY").contains("1")) {
-      Seq("documents" -> Tables.documentsSchema,
-        "embeddings" -> Tables.embeddingsSchema,
-        "region" -> Tables.regionSchema, "nation" -> Tables.nationSchema,
-        "customer" -> Tables.customerSchema,
-        "supplier" -> Tables.supplierSchema, "part" -> Tables.partSchema,
-        "orders" -> Tables.ordersSchema, "lineitem" -> Tables.lineitemSchema,
-        "events" -> Tables.eventsRawSchema)
-        .foreach { case (n, s) => write(n, s, Seq.empty) }
-      runAll(spark, dir)
-      return
-    }
-
-    val ts0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
-    write("documents", Tables.documentsSchema, Seq(
-      R(0L, "", "en", "web", 0L),                       // empty text
-      R(1L, "   ", "en", "web", 3L),                    // whitespace only
-      R(2L, "solo", "en", "web", 4L),                   // single token
-      R(3L, "a a a a a a a a", "fr", "book", 15L),      // one repeated token
-      R(4L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
-      R(5L, ("tok " * 200).trim, "fr", "book", 799L),   // long uniform run
-      R(6L, null, "en", "web", null)))                  // NULL text + n_chars
-    val dim = 8
-    write("embeddings", Tables.embeddingsSchema,
-      (0 until 30).map { i =>
-        val v: Seq[Float] =
-          if (i == 7) Seq.fill(dim)(0.0f)               // ZERO vector
-          else if (i == 11) null                        // NULL embedding
-          else Seq.tabulate(dim)(j => ((i + j) % 5 - 2).toFloat)
-        R(i.toLong, v, i % 3)
-      })
-    write("region", Tables.regionSchema, Seq(R(0, "EUROPE"), R(1, "ASIA")))
-    write("nation", Tables.nationSchema,
-      Seq(R(0, "FRANCE", 0), R(1, "CHINA", 1)))
-    write("customer", Tables.customerSchema, Seq(
-      R(1L, "c1", 0, 0.0, "BUILDING"), R(2L, "c2", 1, -5.5, "AUTOMOBILE")))
-    write("supplier", Tables.supplierSchema,
-      Seq(R(1L, "s1", 0, 1.0), R(2L, "s2", 1, 2.0)))
-    write("part", Tables.partSchema, Seq(
-      R(1L, "p1", "Brand#1", "TYPE A", 1, 10.0),
-      R(2L, "p2", "Brand#2", "TYPE B", 2, 20.0)))
-    write("orders", Tables.ordersSchema, Seq(
-      R(1L, 1L, "O", 100.0, ts0, "1-URGENT"),
-      R(2L, 2L, "F", 200.0, ts0.plusDays(400), "5-LOW"),
-      R(3L, 1L, "O", 0.0, ts0, "3-MEDIUM")))            // zero price
-    write("lineitem", Tables.lineitemSchema, Seq(
-      R(1L, 1L, 1L, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", ts0),   // all-zero amounts
-      R(1L, 2L, 2L, 2, 5.0, 100.0, 1.0, 0.1, "A", "O", ts0), // 100% discount
-      R(2L, 1L, 1L, 1, 3.0, 50.0, 0.05, 0.0, "N", "O", ts0.plusDays(400)),
-      R(3L, 2L, 2L, 1, 7.0, 70.0, 0.5, 0.2, "R", "F", ts0)))
-    // events: raw int64 NANO timestamps; three rows share one instant (ties)
-    val nano0 = 1704067200000000000L
-    write("events", Tables.eventsRawSchema, Seq(
-      R(1L, nano0, 1L, "view", 1.0, """{"k": 1}"""),
-      R(2L, nano0, 1L, "view", 2.0, """{"k": 2}"""),    // tied ts, same user
-      R(3L, nano0, 1L, "purchase", 3.0, null),          // null props
-      R(4L, nano0 + 3600L * 1000000000L, 2L, "error", -1.0, """{"k": -9}"""),
-      R(5L, nano0 + 7200L * 1000000000L, 2L, "view", 0.0, """not json""")))
-
-    runAll(spark, dir)
-  }
-
-  private def runAll(spark: SparkSession, dir: String): Unit = {
-    val failures = Queries.all.flatMap { q =>
-      try {
-        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-        None
-      } catch { case e: Throwable =>
-        Some(q.name -> s"${e.getClass.getSimpleName}: ${
-          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
-      }
-    }
+    if (sys.env.get("SPARK_GRAFT_DEGEN_EMPTY").contains("1"))
+      DegenFixtures.writeEmpty(spark, dir)
+    else DegenFixtures.writePathological(spark, dir)
+    val failures = DegenFixtures.sweep(spark, dir)
     if (failures.isEmpty)
       println(s"""{"metric":"degen_probe","queries":${Queries.all.length},"failures":0}""")
     else {
@@ -563,6 +478,7 @@ object ScaleProbe {
           failures.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")}}""")
     }
   }
+
 
   /** Round-5/6 query families at REP× (default 10×) — q96 RRF, q97
     * perplexity, q99 salted join, q100 RAG chunks, q101 union-evolve,
