@@ -118,6 +118,68 @@ object Queries {
       "\nORDER BY dist, token LIMIT 100"
   }
 
+  /** q180's oracle: the max-normalized integer HITS recurrence of
+    * [[graft.ops.Hits]] unrolled to `iterations` auth/hub CTE pairs.
+    * Raw sums run in HUGEINT (the oracle's stand-in for the operator's
+    * DECIMAL(38,0)) and the rescale is an integer multiply + floor
+    * division, so the replay is EXACT — the q116/q178 convention.
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    val head =
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |e AS (SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+        |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |      WHERE toks[i] <> toks[i+1]),
+        |vx AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+        |h0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS hub FROM vx)""".stripMargin
+    val iters = (1 to iterations).flatMap { i =>
+      val prevHub = s"h${i - 1}"
+      Seq(
+        s"""a${i}r AS (SELECT e.b AS v, SUM(CAST(h.hub AS HUGEINT)) AS raw
+           |  FROM e JOIN $prevHub h ON h.v = e.a GROUP BY 1),
+           |a${i}m AS (SELECT max(raw) AS m FROM a${i}r),
+           |a$i AS (SELECT vx.v,
+           |    COALESCE(CAST((r.raw * 1000000000000) // m.m AS BIGINT), 0)
+           |      AS auth
+           |  FROM vx LEFT JOIN a${i}r r ON r.v = vx.v, a${i}m m)""".stripMargin,
+        s"""h${i}r AS (SELECT e.a AS v, SUM(CAST(a.auth AS HUGEINT)) AS raw
+           |  FROM e JOIN a$i a ON a.v = e.b GROUP BY 1),
+           |h${i}m AS (SELECT max(raw) AS m FROM h${i}r),
+           |h$i AS (SELECT vx.v,
+           |    COALESCE(CAST((r.raw * 1000000000000) // m.m AS BIGINT), 0)
+           |      AS hub
+           |  FROM vx LEFT JOIN h${i}r r ON r.v = vx.v, h${i}m m)""".stripMargin)
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT a.v AS token, a.auth, h.hub FROM a$iterations a" +
+      s" JOIN h$iterations h ON h.v = a.v" +
+      "\nORDER BY auth DESC, token LIMIT 40"
+  }
+
+  /** q181's oracle: [[graft.ops.KCore]]'s synchronous parallel peel
+    * unrolled to `rounds` keep/restrict CTE pairs over the part
+    * co-purchase graph at the same fixed threshold `k` — EXACT replay
+    * (degree counts and comparisons only).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey <> y.l_partkey)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""k$i AS (SELECT a AS v FROM $prev GROUP BY 1
+         |  HAVING count(*) >= $k),
+         |e$i AS (SELECT e.a, e.b FROM $prev e
+         |  JOIN k$i x ON x.v = e.a JOIN k$i y ON y.v = e.b)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT a AS partkey, CAST(count(*) AS BIGINT) AS deg FROM e$rounds" +
+      "\nGROUP BY 1 ORDER BY deg DESC, partkey LIMIT 100"
+  }
+
   /** q178's oracle: the WEIGHTED fixed-point PageRank recurrence of
     * [[graft.ops.PageRank.ranksWeighted]] unrolled — per-source integer
     * edge shares ((w·1e9) div W, via HUGEINT so the one-off multiply
@@ -6753,7 +6815,66 @@ object Queries {
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST((sum(cents) * 1000000) // CAST(sum(sum(cents)) OVER ()
         |    AS BIGINT) AS BIGINT) AS share_ppm
-        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin))
+        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin)),
+
+    // ---- 180. HITS hubs & authorities — the second eigenvector-style
+    //          centrality next to PageRank (q116/q178), on the same token
+    //          bigram digraph. Max-normalized integer recurrence
+    //          (ops/Hits): raw sums in DECIMAL(38,0), rescale to the
+    //          1e12 grid by one multiply + floor division — no L2 norm,
+    //          no sqrt, so the iterative result replays EXACTLY as
+    //          unrolled CTEs (the q116 convention; see Hits scaladoc for
+    //          why max-norm ranks identically). Vertex set = vocabulary
+    //          (bounded at any corpus size); per half-step one edge⋈score
+    //          join + one combinable sum + a 1-row broadcast max. ----
+    QDef("q180_hits",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
+        val bgd = t.filter(size($"toks") > 1)
+          .select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"bg.a", $"bg.b").filter($"a" =!= $"b")
+        graft.ops.Hits.ranks(bgd, "a", "b", iterations = 4)
+          .select($"v".as("token"), $"auth", $"hub")
+          .orderBy($"auth".desc, $"token")
+          .limit(40)
+      },
+      Some(hitsOracleSql(iterations = 4))),
+
+    // ---- 181. k-core of the part co-purchase graph — the density-
+    //          peeling graph primitive (curation uses it to find the
+    //          tightly-connected "head" of an item graph; k-core is also
+    //          the standard pre-filter before community detection).
+    //          Parallel peel, fixed 3 rounds (ops/KCore): each round one
+    //          degree agg + two semi-joins — integer-only, exactly
+    //          replayable unrolled (q124/q134/q168 convention). k = 70
+    //          bites at every SF without cascading to empty because the
+    //          co-purchase degree distribution is scale-INVARIANT here
+    //          (≈ |lineitem|/|part| orders per part × partners-per-order
+    //          stays ~constant as both grow; measured median 89/115/119
+    //          at the three SFs). Baskets here are TPC-H orders (≤7
+    //          items), so pair fan-out is bounded; a production basket
+    //          graph caps basket size first (the q172 market-basket
+    //          discipline) since pairs grow quadratically in width. ----
+    QDef("q181_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val bk = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val pairs = bk.as("x").join(bk.as("y"),
+            $"x.l_orderkey" === $"y.l_orderkey" &&
+              $"x.l_partkey" =!= $"y.l_partkey")
+          .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b"))
+        graft.ops.KCore.peel(pairs, "a", "b", k = 70, rounds = 3,
+            bothDirections = true)
+          .select($"v".as("partkey"), $"deg")
+          .orderBy($"deg".desc, $"partkey")
+          .limit(100)
+      },
+      Some(kcoreOracleSql(k = 70, rounds = 3)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
