@@ -6874,7 +6874,253 @@ object Queries {
           .orderBy($"deg".desc, $"partkey")
           .limit(100)
       },
-      Some(kcoreOracleSql(k = 70, rounds = 3)))
+      Some(kcoreOracleSql(k = 70, rounds = 3))),
+
+    // ---- 182. grid-density clustering (DBSCAN's grid cousin) — embed
+    //          points into fixed cells on the first two embedding dims,
+    //          keep cells with ≥ minPts points (core cells), and cluster
+    //          = connected components of 8-adjacent core cells. This is
+    //          the scale-correct density-clustering shape: the fact table
+    //          collapses to a bounded CELL GRID before any graph work
+    //          (cells ≤ (40·range)² regardless of corpus size), adjacency
+    //          is generated by a 9-offset explode + EQUI-join (never an
+    //          inequality self-join), and the CC runs on the tiny grid
+    //          (ops/ConnectedComponents, q57's oracle device). Cell
+    //          arithmetic is floor(x·40) of an IEEE double — multiply
+    //          and floor are exact-identical on both engines. The cell
+    //          encode (cx+100)·1000 + cy+100 is collision-free for
+    //          cy ∈ (-100, 900) — embeddings are unit-normalized
+    //          upstream, so coordinates are ≤ 1 and cx/cy ∈ [-40, 40].
+    //          Points in
+    //          non-core cells are DBSCAN noise (the complement; not
+    //          emitted here). ----
+    QDef("q182_grid_density",
+      (s, dir) => {
+        import s.implicits._
+        val core = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select(
+            floor(element_at($"embedding", 1).cast("double") * 40)
+              .cast("long").as("cx"),
+            floor(element_at($"embedding", 2).cast("double") * 40)
+              .cast("long").as("cy"))
+          .groupBy($"cx", $"cy").agg(count(lit(1)).as("n_pts"))
+          .filter($"n_pts" >= 3)
+          .withColumn("cell", ($"cx" + 100L) * 1000L + $"cy" + 100L)
+        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
+        val edges = core.select($"cell", $"cx", $"cy")
+          .crossJoin(broadcast(offs))
+          .select($"cell", ($"cx" + $"dx").as("nx"), ($"cy" + $"dy").as("ny"))
+          .join(core.select($"cell".as("cell_b"), $"cx".as("nx"),
+            $"cy".as("ny")), Seq("nx", "ny"))
+          .select($"cell".as("a"), $"cell_b".as("b"))
+        val comp = graft.ops.ConnectedComponents.run(edges, "a", "b")
+          .withColumnRenamed("v", "cell")
+        core.join(comp, Seq("cell"), "left")
+          .withColumn("cluster", coalesce($"comp", $"cell"))
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_cells"), sum($"n_pts").as("n_pts"))
+          .orderBy($"n_pts".desc, $"cluster")
+      },
+      Some("""WITH RECURSIVE pts AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 40) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 40) AS BIGINT) AS cy
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |core AS (SELECT cx, cy, count(*) AS n_pts,
+        |    (cx + 100) * 1000 + cy + 100 AS cell
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a.cell AS s, b.cell AS d FROM core a JOIN core b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.cell <> b.cell),
+        |verts AS (SELECT DISTINCT s AS v FROM e),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT e.s, reach.m FROM e JOIN reach ON e.d = reach.v),
+        |cmp AS (SELECT v, min(m) AS comp FROM reach GROUP BY 1)
+        |SELECT COALESCE(cmp.comp, core.cell) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(core.n_pts) AS BIGINT) AS n_pts
+        |FROM core LEFT JOIN cmp ON cmp.v = core.cell
+        |GROUP BY 1 ORDER BY n_pts DESC, cluster""".stripMargin)),
+
+    // ---- 183. calibration / reliability table — the model-eval staple:
+    //          bucket a score into deciles, compare each bucket's
+    //          positive rate (accuracy) against its mean score
+    //          (confidence); the per-bucket gap is what ECE sums. Score =
+    //          first embedding coordinate shifted to [0,1], outcome =
+    //          label ≥ 5. Deciles come from the DISTRIBUTED exact
+    //          quantiles (ops/Quantiles, q91's device — never a global
+    //          one-task ntile window); all comparisons are integer ppm
+    //          (floor(p·1e6) per row — IEEE multiply + floor, exact on
+    //          both engines), so acc, conf and gap replay bit-for-bit.
+    //          The ECE numerator stays with the caller: ece =
+    //          Σ n·gap div N over this 10-row table. ----
+    QDef("q183_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select($"vec_id",
+            (element_at($"embedding", 1).cast("double") + 0.5).as("p"),
+            when($"label" >= 5, 1L).otherwise(0L).as("y"))
+          .withColumn("p_ppm", floor($"p" * 1000000).cast("long"))
+          .withColumn("__g", lit(0))
+        val probs = (1 to 9).map(_ / 10.0)
+        val bs = graft.ops.Quantiles.exact(scored, Seq("__g"), "p", probs)
+          .select(transform($"quantiles", q => round(q, 6)).as("bs"))
+          .as[Seq[Double]].collect().headOption
+          .map(_.toArray).getOrElse(Array.empty[Double])
+        scored.select($"y", $"p_ppm",
+            graft.functions.ZOrderFunctions.boundaryBucket(bs, $"p")
+              .as("bin"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"y").as("pos"),
+            sum($"p_ppm").as("sum_ppm"))
+          .select($"bin", $"n",
+            expr("(pos * 1000000) div n").as("acc_ppm"),
+            expr("sum_ppm div n").as("conf_ppm"),
+            abs(expr("(pos * 1000000) div n") - expr("sum_ppm div n"))
+              .as("gap_ppm"))
+          .orderBy($"bin")
+      },
+      Some("""WITH sc AS (SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) + 0.5 AS p,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |b AS (SELECT list_transform(
+        |    quantile_cont(p, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS bs FROM sc),
+        |d AS (SELECT y, CAST(floor(p * 1000000) AS BIGINT) AS p_ppm,
+        |    CAST(len(list_filter(b.bs, x -> x <= p)) AS BIGINT) AS bin
+        |  FROM sc, b),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(p_ppm) AS BIGINT) AS sum_ppm
+        |  FROM d GROUP BY 1)
+        |SELECT bin, n, (pos * 1000000) // n AS acc_ppm,
+        |  sum_ppm // n AS conf_ppm,
+        |  abs((pos * 1000000) // n - sum_ppm // n) AS gap_ppm
+        |FROM g ORDER BY bin""".stripMargin)),
+
+    // ---- 184. Holt double-exponential smoothing — level + trend
+    //          forecasting per series (monthly order counts per
+    //          priority), the time-series complement to q92's EWMA and
+    //          q175's MASE backtest. The recurrence
+    //          l' = (3·y·S + 7·(l+b)) div 10, b' = (2·(l'−l) + 8·b)
+    //          div 10 (α=0.3, β=0.2, S=1e6) is pure integer arithmetic
+    //          folded over each series' month-sorted values with the
+    //          `aggregate` HOF — series are the parallel unit (one
+    //          shuffle to group; each fold is O(months)). Trunc-division
+    //          of possibly-NEGATIVE trend values is safe because Spark's
+    //          `div` and DuckDB's `//` both truncate toward zero; the
+    //          lambda's div is (x − x%10)/10 in exact double space
+    //          (|operand| < 2^53 whenever monthly counts < ~3e8 at
+    //          S=1e6 — beyond that, drop S; documented, not silent).
+    //          Oracle replays the fold as a recursive CTE over the
+    //          month index (the q171 device). ----
+    QDef("q184_holt",
+      (s, dir) => {
+        import s.implicits._
+        val S = 1000000L
+        def idiv10(x: Column): Column =
+          ((x - (x % 10L)) / lit(10L)).cast("long")
+        val series = Tables.orders(s, dir)
+          .groupBy($"o_orderpriority".as("prio"),
+            date_trunc("month", $"o_orderdate").as("m"))
+          .agg(count(lit(1)).as("y"))
+        series.groupBy($"prio")
+          .agg(sort_array(collect_list(struct($"m", $"y"))).as("pts"))
+          .select($"prio",
+            transform($"pts", p => p.getField("y")).as("ys"))
+          .select($"prio", size($"ys").as("n_obs"),
+            aggregate(
+              slice($"ys", lit(2), greatest(size($"ys") - 1, lit(0))),
+              struct((element_at($"ys", 1) * S).as("l"), lit(0L).as("b")),
+              (acc, y) => {
+                val lNew = idiv10(lit(3L) * y * S +
+                  lit(7L) * (acc.getField("l") + acc.getField("b")))
+                struct(lNew.as("l"),
+                  idiv10(lit(2L) * (lNew - acc.getField("l")) +
+                    lit(8L) * acc.getField("b")).as("b"))
+              }).as("st"))
+          .select($"prio", $"n_obs",
+            $"st.l".as("level_s"), $"st.b".as("trend_s"),
+            ($"st.l" + $"st.b" * 3L).as("forecast3_s"))
+          .orderBy($"prio")
+      },
+      Some("""WITH RECURSIVE series AS (SELECT
+        |    o_orderpriority AS prio, date_trunc('month', o_orderdate) AS m,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT prio, y, row_number() OVER (PARTITION BY prio
+        |    ORDER BY m) AS t FROM series),
+        |n AS (SELECT prio, max(t) AS tmax FROM s GROUP BY 1),
+        |rec(prio, t, l, b) AS (
+        |  SELECT prio, 1, y * 1000000, CAST(0 AS BIGINT) FROM s WHERE t = 1
+        |  UNION ALL
+        |  SELECT s.prio, s.t,
+        |    (3 * s.y * 1000000 + 7 * (rec.l + rec.b)) // 10,
+        |    (2 * ((3 * s.y * 1000000 + 7 * (rec.l + rec.b)) // 10 - rec.l)
+        |      + 8 * rec.b) // 10
+        |  FROM rec JOIN s ON s.prio = rec.prio AND s.t = rec.t + 1)
+        |SELECT rec.prio AS prio, n.tmax AS n_obs, rec.l AS level_s,
+        |  rec.b AS trend_s, rec.l + 3 * rec.b AS forecast3_s
+        |FROM rec JOIN n ON n.prio = rec.prio AND rec.t = n.tmax
+        |ORDER BY rec.prio""".stripMargin)),
+
+    // ---- 185. item-item collaborative filtering — co-purchase cosine
+    //          neighbors per part, the classic item-CF retrieval table
+    //          (q121's lift grid ranks association strength; this ranks
+    //          COSINE similarity and keeps top-3 neighbors per item).
+    //          Baskets = orders; sim²(i,j) = c_ij²/(c_i·c_j) in integer
+    //          ppm — squaring removes the sqrt while preserving the
+    //          ranking, so the score replays exactly. The c_ij² product
+    //          runs in DECIMAL(38,0)/HUGEINT (c_ij can reach |orders| on
+    //          a dense item, and long² overflows past ~3e9 — the q164
+    //          widening convention). Support floor c_ij ≥ 3 prunes the
+    //          noise tail BEFORE the join to counts; top-3 via a
+    //          per-item window (20k item partitions, never global). ----
+    QDef("q185_item_cf",
+      (s, dir) => {
+        import s.implicits._
+        val bk = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val ci = bk.groupBy($"l_partkey".as("i")).agg(count(lit(1)).as("ci"))
+        val pairs = bk.as("x").join(bk.as("y"),
+            $"x.l_orderkey" === $"y.l_orderkey" &&
+              $"x.l_partkey" =!= $"y.l_partkey")
+          .groupBy($"x.l_partkey".as("i"), $"y.l_partkey".as("j"))
+          .agg(count(lit(1)).as("cij"))
+          .filter($"cij" >= 3)
+        val scored = pairs
+          .join(ci, "i")
+          .join(ci.select($"i".as("j"), $"ci".as("cj")), "j")
+          .select($"i", $"j", $"cij",
+            expr("(CAST(cij AS DECIMAL(38,0)) * cij * 1000000)" +
+              " div (ci * cj)").as("sim_ppm"))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"i").orderBy($"sim_ppm".desc, $"j")))
+          .filter($"rk" <= 3)
+          .select($"i".as("item"), $"j".as("neighbor"), $"cij", $"sim_ppm",
+            $"rk")
+          .orderBy($"item", $"rk")
+      },
+      Some("""WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ci AS (SELECT l_partkey AS i, count(*) AS ci FROM bk GROUP BY 1),
+        |pr AS (SELECT x.l_partkey AS i, y.l_partkey AS j, count(*) AS cij
+        |  FROM bk x JOIN bk y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey <> y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (SELECT pr.i, pr.j, pr.cij,
+        |    CAST((CAST(pr.cij AS HUGEINT) * pr.cij * 1000000)
+        |      // (a.ci * b.ci) AS BIGINT) AS sim_ppm
+        |  FROM pr JOIN ci a ON a.i = pr.i JOIN ci b ON b.i = pr.j),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY i
+        |    ORDER BY sim_ppm DESC, j) AS rk FROM sc)
+        |SELECT i AS item, j AS neighbor, CAST(cij AS BIGINT) AS cij,
+        |  sim_ppm, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
