@@ -7120,7 +7120,186 @@ object Queries {
         |    ORDER BY sim_ppm DESC, j) AS rk FROM sc)
         |SELECT i AS item, j AS neighbor, CAST(cij AS BIGINT) AS cij,
         |  sim_ppm, CAST(rk AS BIGINT) AS rk
-        |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin))
+        |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin)),
+
+    // ---- 186. matryoshka (truncated-embedding) recall — how much of the
+    //          exact top-10 survives when retrieval uses only the FIRST
+    //          32 of 64 dims (the matryoshka-representation serving trick:
+    //          half the memory and FLOPs at the shortlist tier). Unlike
+    //          q104/q177 whose approximate legs need a tolerance gate,
+    //          BOTH legs here are exact brute-force kNN (Knn.topKJoin,
+    //          bounded heaps, no Q×C materialization), so the overlap
+    //          count itself replays EXACTLY in the oracle (q49's cosine
+    //          conventions: round-6, id tiebreak). ----
+    QDef("q186_trunc_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = emb.filter($"vec_id" < 20)
+        val full = graft.ops.Knn.topKJoin(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        val qT = q.select($"vec_id", slice($"embedding", 1, 32).as("e32"))
+        val cT = emb.select($"vec_id", slice($"embedding", 1, 32).as("e32"))
+        val trunc = graft.ops.Knn.topKJoin(qT, cT,
+          "vec_id", "e32", "vec_id", "e32", k = 10)
+        val hits = full.join(trunc.select($"query_id", $"vec_id"),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        val out = full.groupBy($"query_id")
+          .agg(max($"cos").as("best_cos"), min($"cos").as("kth_cos"))
+          .join(hits, Seq("query_id"), "left")
+          .select($"query_id", $"best_cos", $"kth_cos",
+            coalesce($"n_hit", lit(0L)).as("n_trunc_hit"))
+          .orderBy($"query_id")
+        emb.unpersist(blocking = false)   // lazy plan re-reads parquet once
+        out
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv,
+        |    CAST(embedding[1:32] AS DOUBLE[]) AS qt
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    CAST(embedding[1:32] AS DOUBLE[]) AS ct FROM embeddings),
+        |sf AS (SELECT query_id, c.vec_id,
+        |    round(list_cosine_similarity(cv, qv), 6) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC,
+        |        c.vec_id) AS rn
+        |  FROM q CROSS JOIN c),
+        |st AS (SELECT query_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(ct, qt), 6) DESC,
+        |        c.vec_id) AS rn
+        |  FROM q CROSS JOIN c),
+        |h AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM sf f JOIN st t ON t.query_id = f.query_id
+        |    AND t.vec_id = f.vec_id AND f.rn <= 10 AND t.rn <= 10
+        |  GROUP BY 1)
+        |SELECT f.query_id, max(f.cos) AS best_cos, min(f.cos) AS kth_cos,
+        |  COALESCE(any_value(h.n_hit), 0) AS n_trunc_hit
+        |FROM sf f LEFT JOIN h ON h.query_id = f.query_id
+        |WHERE f.rn <= 10 GROUP BY f.query_id ORDER BY f.query_id""".stripMargin)),
+
+    // ---- 187. containment dedup — A is (near-)contained in B when
+    //          ≥ 90% of A's 3-gram shingles appear in B: the asymmetric
+    //          complement to Jaccard near-dup (q167), catching quote-
+    //          expansions and supersets that symmetric similarity misses
+    //          (|A∩B|/|A∪B| is small when B is much larger). Same
+    //          scale discipline as PPJoin: exact-dup collapse FIRST,
+    //          then the pigeonhole prefix filter — if A is 90%-contained
+    //          in B, any ⌊|A|/10⌋+1 of A's shingles must hit B, so
+    //          probing with A's RAREST ⌊|A|/10⌋+1 shingles (global df
+    //          order) against B's full inverted index is EXACT, and the
+    //          hottest posting lists are never probed. Verify is
+    //          integral: 10·|∩| ≥ 9·|A|, |B| ≥ |A|. ----
+    QDef("q187_containment",
+      (s, dir) => {
+        import s.implicits._
+        // one eager materialization of the collapsed shingle sets — the
+        // inverted index (e), probe prefixes AND both verify sides all
+        // re-derive from it, and without the checkpoint the tokenize+
+        // shingle HOF pipeline runs three times (measured 5.0 s → 2.3 s
+        // at sf0.1; |canon| rows of ~250-string arrays, bounded).
+        val docs = Tables.documents(s, dir)
+          .groupBy($"lang", $"text").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id", $"lang", TF.shingles($"text", 3).as("tset"))
+          .localCheckpoint(true)
+        val e = docs.select($"doc_id", $"lang", explode($"tset").as("token"))
+        val df = e.groupBy($"token").agg(count(lit(1)).as("df"))
+        val probe = e.join(df, "token")
+          .groupBy($"doc_id", $"lang")
+          .agg(sort_array(collect_list(struct($"df", $"token"))).as("ord"))
+          .select($"doc_id", $"lang",
+            explode(slice(transform($"ord", s => s.getField("token")),
+              lit(1), expr("size(ord) div 10 + 1"))).as("token"))
+        val cand = probe.as("a")
+          .join(e.as("b"),
+            $"a.lang" === $"b.lang" && $"a.token" === $"b.token" &&
+              $"a.doc_id" =!= $"b.doc_id")
+          .select($"a.lang".as("lang"), $"a.doc_id".as("da"),
+            $"b.doc_id".as("db"))
+          .distinct()
+        val ta = docs.select($"doc_id".as("da"), $"tset".as("tsa"))
+        val tb = docs.select($"doc_id".as("db"), $"tset".as("tsb"))
+        cand.join(ta, "da").join(tb, "db")
+          .filter(size($"tsb") >= size($"tsa"))
+          .select($"lang",
+            size(array_intersect($"tsa", $"tsb")).as("inter"),
+            size($"tsa").as("na"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when($"inter" * 10 >= $"na" * 9, 1L).otherwise(0L))
+              .as("n_contained"))
+          .orderBy($"lang")
+      },
+      Some("""WITH canon AS (SELECT lang, text, min(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1, 2),
+        |tk AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM canon),
+        |tok AS (SELECT doc_id, lang,
+        |    CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS tset FROM tk),
+        |e AS (SELECT doc_id, lang, unnest(tset) AS token FROM tok),
+        |df AS (SELECT token, count(*) AS df FROM e GROUP BY 1),
+        |r AS (SELECT e.doc_id, e.lang, e.token,
+        |    row_number() OVER (PARTITION BY e.doc_id
+        |      ORDER BY df.df, e.token) AS rn,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS n
+        |  FROM e JOIN df USING (token)),
+        |probe AS (SELECT doc_id, lang, token FROM r WHERE rn <= n // 10 + 1),
+        |cand AS (SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db
+        |  FROM probe a JOIN e b
+        |    ON a.lang = b.lang AND a.token = b.token
+        |      AND a.doc_id <> b.doc_id),
+        |v AS (SELECT c.lang,
+        |    len(list_intersect(ta.tset, tb.tset)) AS inter,
+        |    len(ta.tset) AS na
+        |  FROM cand c JOIN tok ta ON ta.doc_id = c.da
+        |  JOIN tok tb ON tb.doc_id = c.db
+        |  WHERE len(tb.tset) >= len(ta.tset))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN inter * 10 >= na * 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contained
+        |FROM v GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- 188. transposition-aware fuzzy matching — FULL Damerau–
+    //          Levenshtein (adjacent swap = 1 edit) as a custom compiled
+    //          Catalyst expression (functions/StringExpressions; Spark
+    //          ships only plain levenshtein), verified against DuckDB's
+    //          built-in damerau_levenshtein — an integer distance, so
+    //          the oracle compare is hash-exact. Entity-resolution
+    //          shape: distances run on the DISTINCT-NAME vocabulary
+    //          (bounded regardless of row count), blocked on the last
+    //          name token — never an all-pairs join on the fact table
+    //          (the q109 SymSpell discipline, with blocking instead of
+    //          deletion neighborhoods because transpositions span two
+    //          deletions). ----
+    QDef("q188_damerau_fuzzy",
+      (s, dir) => {
+        import s.implicits._
+        val names = Tables.part(s, dir).select($"p_name").distinct()
+          .select($"p_name",
+            element_at(split($"p_name", " "), -1).as("noun"))
+        names.as("a").join(names.as("b"),
+            $"a.noun" === $"b.noun" && $"a.p_name" < $"b.p_name")
+          .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+            graft.functions.StringExpressions
+              .damerauLevenshtein($"a.p_name", $"b.p_name")
+              .cast("long").as("dist"))
+          .filter($"dist" <= 2)
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM n)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        |  CAST(damerau_levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.noun = b2.noun AND a.p_name < b2.p_name
+        |WHERE damerau_levenshtein(a.p_name, b2.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
