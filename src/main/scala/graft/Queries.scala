@@ -48,6 +48,19 @@ object Queries {
   private val benfordPpm: Seq[Long] =
     (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
 
+  /** q189's Poisson(1) inverse-CDF thresholds floor(P(X ≤ k)·2⁶⁰),
+    * k = 0..5 — Scala-computed once and printed into both engines as
+    * integer literals (the benfordPpm device), so the bootstrap
+    * multiplicity draw is pure integer comparison in the compared plan.
+    */
+  private val poissonThresholds60: Seq[Long] = {
+    var cdf = 0.0
+    (0 to 5).map { k =>
+      cdf += math.exp(-1.0) / (1 to k).product.toDouble.max(1.0)
+      math.floor(cdf * math.pow(2.0, 60)).toLong
+    }
+  }
+
   /** q116's oracle: the fixed-point PageRank recurrence of
     * [[graft.ops.PageRank]] unrolled to `iterations` CTEs. Because the
     * operator is pure integer arithmetic (sums + floor divisions), the
@@ -7299,7 +7312,205 @@ object Queries {
         |  CAST(damerau_levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
         |FROM b a JOIN b b2 ON a.noun = b2.noun AND a.p_name < b2.p_name
         |WHERE damerau_levenshtein(a.p_name, b2.p_name) <= 2
-        |ORDER BY name_a, name_b""".stripMargin))
+        |ORDER BY name_a, name_b""".stripMargin)),
+
+    // ---- 189. deterministic bootstrap — resampled means of per-row
+    //          revenue for a confidence band, with the "random" Poisson(1)
+    //          multiplicities drawn from a seeded md5 (the q108/q56 hash
+    //          device), so every resample is REPRODUCIBLE and the oracle
+    //          replays it exactly. The inverse-CDF thresholds
+    //          floor(P(Pois(1) ≤ k)·2⁶⁰), k = 0..5, are Scala-computed
+    //          once and printed into BOTH engines as integer literals
+    //          (the benfordPpm trick — no transcendental executes inside
+    //          the compared plan); tail mass beyond m = 6 (6e-5) folds
+    //          into 6, bias far below the resampling noise. One scan
+    //          fans each row out to the 16 replicas (multiplicity as a
+    //          WEIGHT — never an exploded copy), map-side-combinable
+    //          sums; the mean's ·1e6 widens through DECIMAL(38,0)
+    //          (sum_c·1e6 passes 2⁶³ beyond ~9e12 cents, the q164
+    //          convention). ----
+    QDef("q189_bootstrap_mean",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(
+            concat($"l_orderkey".cast("string"), lit(":"),
+              $"l_linenumber".cast("string")).as("rid"),
+            floor($"l_extendedprice".cast(dec18_6) *
+              (lit(1.0) - $"l_discount").cast(dec12_6) * 100)
+              .cast("long").as("cents"))
+          // single-split fixture: fan the 16-way replica fan-out and its
+          // md5s across cores (the q70 small-input rule — one 10 MB
+          // parquet split would otherwise run 9.6M hashes in one task)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"rid", $"cents",
+            explode(sequence(lit(1), lit(16))).as("r"))
+          // ONE md5 per (row, replica), then a codegen'd comparison
+          // chain. The first cut counted thresholds inside a
+          // higher-order `filter` lambda, which re-evaluated the md5
+          // per ELEMENT in interpreted mode: 62 s at sf0.1 vs 2.0 s
+          // for this shape (the q166 lesson again — HOF lambdas run
+          // interpreted per element; keep per-row work outside them).
+          .withColumn("h", TF.hash60(concat(lit("boot:"),
+            $"r".cast("string"), lit(":"), $"rid")))
+          .select($"r", $"cents",
+            poissonThresholds60.map(t =>
+              when($"h" >= t, 1L).otherwise(0L)).reduce(_ + _).as("m"))
+          .groupBy($"r")
+          .agg(sum($"m").as("n_eff"), sum($"m" * $"cents").as("sum_c"))
+          .select($"r".cast("long").as("r"), $"n_eff",
+            expr("(CAST(sum_c AS DECIMAL(38,0)) * 1000000) div n_eff")
+              .as("mean_microcents"))
+          .orderBy($"r")
+      },
+      Some(s"""WITH rows_ AS (SELECT
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) AS rid,
+        |    CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * CAST(1.0 - l_discount AS DECIMAL(12,6)) AS DECIMAL(38,12))
+        |      * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |fan AS (SELECT rid, cents, CAST(unnest(generate_series(1, 16))
+        |    AS BIGINT) AS r FROM rows_),
+        |mm AS (SELECT r, cents, CAST(len(list_filter(
+        |      [${poissonThresholds60.mkString(", ")}],
+        |      t -> t <= CAST(('0x' || substring(md5('boot:' ||
+        |        CAST(r AS VARCHAR) || ':' || rid), 1, 15)) AS BIGINT)))
+        |    AS BIGINT) AS m FROM fan)
+        |SELECT r, CAST(sum(m) AS BIGINT) AS n_eff,
+        |  CAST((CAST(sum(m * cents) AS HUGEINT) * 1000000)
+        |    // sum(m) AS BIGINT) AS mean_microcents
+        |FROM mm GROUP BY 1 ORDER BY r""".stripMargin)),
+
+    // ---- 190. cluster purity — the label-quality audit for q182's grid
+    //          density clusters: assign every point to its core cell's
+    //          cluster (noise drops), score each cluster by its majority
+    //          LABEL share in integer ppm. Same grid + CC derivation as
+    //          q182 (floor(coord·40), minPts 3, 8-adjacency components);
+    //          purity = max label count ·1e6 div n — all counts, no
+    //          float. This is the eval loop a curation pipeline runs
+    //          after any unsupervised dedup/clustering stage. ----
+    QDef("q190_cluster_purity",
+      (s, dir) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select($"label".cast("long").as("label"),
+            floor(element_at($"embedding", 1).cast("double") * 40)
+              .cast("long").as("cx"),
+            floor(element_at($"embedding", 2).cast("double") * 40)
+              .cast("long").as("cy"))
+        val core = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("n_pts"))
+          .filter($"n_pts" >= 3)
+          .withColumn("cell", ($"cx" + 100L) * 1000L + $"cy" + 100L)
+        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
+        val edges = core.select($"cell", $"cx", $"cy")
+          .crossJoin(broadcast(offs))
+          .select($"cell", ($"cx" + $"dx").as("nx"), ($"cy" + $"dy").as("ny"))
+          .join(core.select($"cell".as("cell_b"), $"cx".as("nx"),
+            $"cy".as("ny")), Seq("nx", "ny"))
+          .select($"cell".as("a"), $"cell_b".as("b"))
+        val comp = graft.ops.ConnectedComponents.run(edges, "a", "b")
+          .withColumnRenamed("v", "cell")
+        val assigned = pts
+          .join(core.select($"cx", $"cy", $"cell"), Seq("cx", "cy"))
+          .join(comp, Seq("cell"), "left")
+          .withColumn("cluster", coalesce($"comp", $"cell"))
+        val byLabel = assigned.groupBy($"cluster", $"label")
+          .agg(count(lit(1)).as("c"))
+        val top = byLabel.groupBy($"cluster")
+          .agg(max($"c").as("maxc"), sum($"c").as("n"))
+        byLabel.join(top, "cluster")
+          .filter($"c" === $"maxc")
+          .groupBy($"cluster", $"n", $"maxc")
+          .agg(min($"label").as("top_label"))
+          .select($"cluster", $"n".as("n_pts"), $"top_label",
+            expr("(maxc * 1000000) div n").as("purity_ppm"))
+          .orderBy($"n_pts".desc, $"cluster")
+      },
+      Some("""WITH RECURSIVE pts AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 40) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 40) AS BIGINT) AS cy
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |core AS (SELECT cx, cy, count(*) AS n_pts,
+        |    (cx + 100) * 1000 + cy + 100 AS cell
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a.cell AS s, b.cell AS d FROM core a JOIN core b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.cell <> b.cell),
+        |verts AS (SELECT DISTINCT s AS v FROM e),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT e.s, reach.m FROM e JOIN reach ON e.d = reach.v),
+        |cmp AS (SELECT v, min(m) AS comp FROM reach GROUP BY 1),
+        |asg AS (SELECT p.label,
+        |    COALESCE(cmp.comp, core.cell) AS cluster
+        |  FROM pts p JOIN core ON core.cx = p.cx AND core.cy = p.cy
+        |  LEFT JOIN cmp ON cmp.v = core.cell),
+        |bl AS (SELECT cluster, label, count(*) AS c FROM asg GROUP BY 1, 2),
+        |tp AS (SELECT cluster, max(c) AS maxc, sum(c) AS n FROM bl
+        |  GROUP BY 1)
+        |SELECT bl.cluster AS cluster, CAST(tp.n AS BIGINT) AS n_pts,
+        |  min(bl.label) AS top_label,
+        |  CAST((tp.maxc * 1000000) // tp.n AS BIGINT) AS purity_ppm
+        |FROM bl JOIN tp ON tp.cluster = bl.cluster AND bl.c = tp.maxc
+        |GROUP BY bl.cluster, tp.n, tp.maxc
+        |ORDER BY n_pts DESC, bl.cluster""".stripMargin)),
+
+    // ---- 191. kNN label agreement — the confident-learning label-noise
+    //          probe: how often a vector's 5 nearest neighbors (self
+    //          excluded) share its label, aggregated per label. Exact
+    //          brute-force kNN on a bounded query set (Knn.topKJoin with
+    //          k = 6 then self dropped: self is either in the top-6 —
+    //          leaving exactly 5 — or displaced by ≥ 6 cos-1.0
+    //          duplicates, leaving 6 to re-rank; both cases reduce to
+    //          the oracle's rank-over-non-self ≤ 5), so the agreement
+    //          counts replay exactly (q49 conventions). Low agreement
+    //          for a label = candidate annotation noise. ----
+    QDef("q191_knn_label_agree",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" < 200)
+        val nn = graft.ops.Knn.topKJoin(q, emb,
+            "vec_id", "embedding", "vec_id", "embedding", k = 6)
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"query_id")
+              .orderBy($"cos".desc, $"vec_id")))
+          .filter($"rn" <= 5)
+        val lbl = emb.select($"vec_id", $"label".cast("long").as("label"))
+        nn.join(lbl.withColumnRenamed("vec_id", "query_id")
+              .withColumnRenamed("label", "qlabel"), "query_id")
+          .join(lbl, "vec_id")
+          .groupBy($"qlabel")
+          .agg(countDistinct($"query_id").as("n_queries"),
+            count(lit(1)).as("n_neighbors"),
+            sum(when($"label" === $"qlabel", 1L).otherwise(0L))
+              .as("n_match"))
+          .select($"qlabel", $"n_queries", $"n_neighbors", $"n_match",
+            expr("(n_match * 1000000) div n_neighbors").as("agree_ppm"))
+          .orderBy($"qlabel")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(label AS BIGINT) AS qlabel,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, qlabel, c.vec_id, c.label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC,
+        |        c.vec_id) AS rn
+        |  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id)
+        |SELECT qlabel, CAST(count(DISTINCT query_id) AS BIGINT)
+        |    AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST((sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS agree_ppm
+        |FROM s WHERE rn <= 5 GROUP BY qlabel ORDER BY qlabel""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
