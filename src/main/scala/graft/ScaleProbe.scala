@@ -54,6 +54,7 @@ object ScaleProbe {
       case "recall" => recallProbe(spark, sfDir); spark.stop(); return
       case "fam6" => fam6Probe(spark, sfDir, time(_)); spark.stop(); return
       case "fam7" => fam7Probe(spark, sfDir, time(_)); spark.stop(); return
+      case "fam8" => fam8Probe(spark, sfDir, time(_)); spark.stop(); return
       case "degen" => degenProbe(spark); spark.stop(); return
       case _ => ()
     }
@@ -642,6 +643,81 @@ object ScaleProbe {
       s""""$name":{"t1x_sec":$t1,"t${r}x_sec":$tR}"""
     }
     println(s"""{"metric":"fam7_probe","rep":$r,"sf":"$sfDir",""" +
+      rows.mkString(",") + "}")
+  }
+
+  /** Round-7 family probe (q180–q191). Differs from fam7's replica in ONE
+    * deliberate way: o_orderkey AND l_orderkey are SHIFTED per replica, so
+    * order BASKETS replicate disjointly (same parts, R× baskets) — the
+    * linear-growth shape the basket-pair generators (q181 k-core, q185
+    * item-CF) must survive. fam7's unshifted orderkey would fan every
+    * basket R× wider and measure an R² pair artifact instead (the reason
+    * q176 is excluded there). doc_id/vec_id shift as in fam7; part/dims
+    * stay 1×; documents' replicas share text, so collapse-first queries
+    * (q187) should go FLAT — replicas are exact dups by construction.
+    */
+  private def fam8Probe(spark: SparkSession, sfDir: String,
+                        time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "10").toLong
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/dev/shm/graft_fam8")
+    val shift = 10000000L
+    val par = spark.sparkContext.defaultParallelism
+
+    def explodeR(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__r", explode(sequence(lit(0L), lit(r - 1))))
+    explodeR(Tables.documents(spark, sfDir))
+      .select((col("doc_id") + col("__r") * shift).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    explodeR(Tables.embeddings(spark, sfDir))
+      .select((col("vec_id") + col("__r") * shift).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    explodeR(Tables.orders(spark, sfDir))
+      .select((col("o_orderkey") + col("__r") * shift).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    explodeR(Tables.lineitem(spark, sfDir))
+      .select((col("l_orderkey") + col("__r") * shift).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("part", "supplier", "nation", "region", "customer").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    explodeR(Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .select((col("event_id") + col("__r") * shift).as("event_id"),
+        col("ts"), (col("user_id") + col("__r") * shift).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val famsAll = Seq("q180_hits", "q181_kcore", "q182_grid_density",
+      "q183_calibration", "q184_holt", "q185_item_cf", "q186_trunc_recall",
+      "q187_containment", "q188_damerau_fuzzy", "q189_bootstrap_mean",
+      "q190_cluster_purity", "q191_knn_label_agree")
+    val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
+      .map(_.split(",").toSeq).getOrElse(famsAll)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val rows = fams.map { name =>
+      val fn = Queries.byName(name).fn
+      noop(fn(spark, sfDir))                        // warm codegen/JIT
+      val t1 = time(noop(fn(spark, sfDir)))
+      val tR = time(noop(fn(spark, out)))
+      s""""$name":{"t1x_sec":$t1,"t${r}x_sec":$tR}"""
+    }
+    println(s"""{"metric":"fam8_probe","rep":$r,"sf":"$sfDir",""" +
       rows.mkString(",") + "}")
   }
 
