@@ -74,6 +74,8 @@ object GraftExtensions {
     })
     once("zorder2")(args =>
       graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1)))
+    once("damerau_levenshtein")(args =>
+      graft.functions.StringExpressions.DamerauLevenshtein(args(0), args(1)))
     once("topk_pairs")(args => {
       val k = args(2) match {
         case Literal(v: Int, _) => v
@@ -138,6 +140,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder2", "_FUNC_(x, y) - 62-bit Morton interleave of two integral coordinates"),
       (args: Seq[Expression]) =>
         graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "_FUNC_(a, b) - full Damerau-Levenshtein distance (unrestricted transpositions)"),
+      (args: Seq[Expression]) =>
+        graft.functions.StringExpressions.DamerauLevenshtein(args(0), args(1))))
 
     ext.injectFunction((
       FunctionIdentifier("topk_pairs"),

@@ -7510,7 +7510,71 @@ object Queries {
         |    AS n_match,
         |  CAST((sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) * 1000000)
         |    // count(*) AS BIGINT) AS agree_ppm
-        |FROM s WHERE rn <= 5 GROUP BY qlabel ORDER BY qlabel""".stripMargin))
+        |FROM s WHERE rn <= 5 GROUP BY qlabel ORDER BY qlabel""".stripMargin)),
+
+    // ---- 192. frame-sample dedup — the video-ingest shape on the
+    //          multimodal surface: payloads split into fixed 64-byte
+    //          frames, every 2nd frame sampled (Multimodal.sampleFrames,
+    //          a narrow flatMap that never shuffles the blob), each
+    //          sampled frame fingerprinted with the shared 60-bit md5,
+    //          and per-doc frame counts vs DISTINCT fingerprints — the
+    //          repeated-frame collapse a real pipeline runs before the
+    //          expensive per-frame decode/embed. The corpus is pure
+    //          ASCII (spec-pinned by the oracle equality itself:
+    //          octet_length = length), so DuckDB's character substring
+    //          replays the byte slicing exactly. ----
+    QDef("q192_frame_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select($"doc_id".as("id"), encode($"text", "UTF-8").as("payload"),
+            $"lang".as("format"))
+          .as[Multimodal.Media]
+        Multimodal.sampleFrames(media, frameBytes = 64, everyK = 2)
+          .toDF()
+          .select($"id".as("doc_id"), TF.hash60($"payload").as("fh"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct($"fh").as("n_distinct"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+        |    CAST(ceil(len(text) / 64.0) AS BIGINT) AS nf FROM documents
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |f AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(substring(text, i * 64 + 1, 64)),
+        |      1, 15)) AS BIGINT) AS fh
+        |  FROM d, unnest(generate_series(0, nf - 1, 2)) AS g(i))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT fh) AS BIGINT) AS n_distinct
+        |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- 193. SQL surface for the transposition-aware distance (X2):
+    //          q188's compiled DamerauLevenshtein registered as a
+    //          spark.sql function via GraftExtensions — the
+    //          blocked-pairs distance histogram, entirely from SQL.
+    //          Same vocabulary-bounded discipline as q188. ----
+    QDef("q193_sql_damerau",
+      (s, dir) => {
+        GraftExtensions.registerAll(s)
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql("""WITH n AS (SELECT DISTINCT p_name FROM part_v),
+                |b AS (SELECT p_name,
+                |    element_at(split(p_name, ' '), -1) AS noun FROM n)
+                |SELECT CAST(damerau_levenshtein(a.p_name, b2.p_name)
+                |    AS BIGINT) AS dist,
+                |  count(*) AS n_pairs
+                |FROM b a JOIN b b2
+                |  ON a.noun = b2.noun AND a.p_name < b2.p_name
+                |GROUP BY 1 ORDER BY dist""".stripMargin)
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM n)
+        |SELECT CAST(damerau_levenshtein(a.p_name, b2.p_name) AS BIGINT)
+        |    AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM b a JOIN b b2 ON a.noun = b2.noun AND a.p_name < b2.p_name
+        |GROUP BY 1 ORDER BY dist""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -121,7 +121,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(frameBytes > 0 && everyK > 0)
     media.mapPartitions { it =>
-      it.flatMap { m =>
+      // NULL payloads skipped, the extractFeatures convention: zero frames
+      // of nothing, dead-letter upstream (caught by the degen sweep — a
+      // NULL-text doc NPE'd here when q192 encoded text as the payload).
+      it.filter(_.payload != null).flatMap { m =>
         val n = m.payload.length
         val nFrames = (n + frameBytes - 1) / frameBytes
         Iterator.range(0, nFrames, everyK).map { f =>
