@@ -7574,7 +7574,44 @@ object Queries {
         |    AS dist,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM b a JOIN b b2 ON a.noun = b2.noun AND a.p_name < b2.p_name
-        |GROUP BY 1 ORDER BY dist""".stripMargin))
+        |GROUP BY 1 ORDER BY dist""".stripMargin)),
+
+    // ---- 194. multi-pattern blocklist scan — the content-filter gate of
+    //          a curation pipeline, as ONE compiled Aho–Corasick pass per
+    //          document (functions/StringExpressions.MultiPatternHits):
+    //          goto/fail/output tables built once at plan time, then a
+    //          single linear scan regardless of pattern count — vs |P|
+    //          separate `contains` scans (the naive shape re-reads every
+    //          byte |P| times; at a 10k-pattern production blocklist
+    //          that's the difference between 1× and 10,000× text
+    //          bandwidth). Result = DISTINCT patterns present, which is
+    //          what a gate thresholds on and what plain SQL replays
+    //          exactly with per-pattern contains. ----
+    QDef("q194_blocklist_scan",
+      (s, dir) => {
+        import s.implicits._
+        val ps = Seq("spark", "join", "merge", "the quick", "window")
+        Tables.documents(s, dir)
+          .filter($"text".isNotNull)
+          .select($"lang",
+            graft.functions.StringExpressions
+              .multiPatternHits($"text", ps).cast("long").as("hits"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"hits" >= 1, 1L).otherwise(0L)).as("n_flagged"),
+            sum($"hits").as("sum_hits"))
+          .orderBy($"lang")
+      },
+      Some("""WITH h AS (SELECT lang,
+        |    CAST(len(list_filter(
+        |      ['spark', 'join', 'merge', 'the quick', 'window'],
+        |      p -> contains(text, p))) AS BIGINT) AS hits
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(sum(hits) AS BIGINT) AS sum_hits
+        |FROM h GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

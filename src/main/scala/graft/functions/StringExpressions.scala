@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.classic.GraftExprColumn
 import org.apache.spark.sql.types.{DataType, IntegerType}
@@ -76,4 +76,89 @@ object StringExpressions {
   def damerauLevenshtein(a: Column, b: Column): Column =
     GraftExprColumn.column(DamerauLevenshtein(
       GraftExprColumn.expression(a), GraftExprColumn.expression(b)))
+
+  /** Aho–Corasick automaton over a fixed pattern set: goto/fail/output
+    * tables built once per expression instance (driver-side, shipped with
+    * the serialized expression), then ONE linear scan per row regardless
+    * of pattern count — the multi-pattern blocklist shape, vs |P|
+    * separate `contains` scans. Marks which patterns occur (any
+    * position, overlaps included); [[MultiPatternHits]] returns the
+    * DISTINCT-pattern hit count, which is what a blocklist gate
+    * thresholds on and what plain SQL replays as
+    * `len(list_filter(ps, p -> contains(text, p)))`.
+    */
+  private[functions] final class AhoCorasick(patterns: Seq[String])
+      extends Serializable {
+    private val goto_ = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    private val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.immutable.BitSet.empty)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { ch =>
+        val nxt = goto_(s).get(ch)
+        s = if (nxt != null) nxt.intValue
+        else {
+          goto_ += new java.util.HashMap[Character, Integer]()
+          out += scala.collection.immutable.BitSet.empty
+          goto_(s).put(ch, goto_.size - 1)
+          goto_.size - 1
+        }
+      }
+      out(s) = out(s) + pi
+    }
+    private val fail = Array.fill(goto_.size)(0)
+    locally {
+      val q = scala.collection.mutable.Queue.empty[Int]
+      goto_(0).forEach((_, v) => q.enqueue(v.intValue))
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        goto_(u).forEach { (ch, v) =>
+          q.enqueue(v.intValue)
+          var f = fail(u)
+          while (f != 0 && goto_(f).get(ch) == null) f = fail(f)
+          val t = goto_(f).get(ch)
+          fail(v.intValue) =
+            if (t != null && t.intValue != v.intValue) t.intValue else 0
+          out(v.intValue) = out(v.intValue) | out(fail(v.intValue))
+        }
+      }
+    }
+    /** Number of DISTINCT patterns occurring in `text`. */
+    def distinctHits(text: String): Int = {
+      var s = 0
+      var found = scala.collection.immutable.BitSet.empty
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        var g = goto_(s).get(ch)
+        while (g == null && s != 0) { s = fail(s); g = goto_(s).get(ch) }
+        s = if (g != null) g.intValue else 0
+        if (out(s).nonEmpty) found = found | out(s)
+        i += 1
+      }
+      found.size
+    }
+  }
+
+  /** string → int: distinct blocklist patterns present in the text, via
+    * one Aho–Corasick pass (patterns fixed at plan time).
+    */
+  case class MultiPatternHits(child: Expression, patterns: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "need a non-empty pattern set with non-empty patterns")
+    override def dataType: DataType = IntegerType
+    @transient private lazy val ac = new AhoCorasick(patterns)
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Integer.valueOf(
+        ac.distinctHits(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): MultiPatternHits =
+      copy(child = c)
+    override def prettyName: String = "multi_pattern_hits"
+  }
+
+  def multiPatternHits(text: Column, patterns: Seq[String]): Column =
+    GraftExprColumn.column(MultiPatternHits(
+      GraftExprColumn.expression(text), patterns))
 }
