@@ -193,6 +193,49 @@ object Queries {
       "\nGROUP BY 1 ORDER BY deg DESC, partkey LIMIT 100"
   }
 
+  /** q195's oracle: replay the k-permutation MinHash signature in SQL
+    * from the SAME printed (A, B) parameters the compiled
+    * [[graft.functions.HashExpressions.MinHashSignature]] uses — pure
+    * integer arithmetic ((a·(h mod P) + b) mod P, min per permutation),
+    * so the signature, the positional match count, and the ppm error
+    * grid all replay EXACTLY.
+    */
+  private def minhashErrOracleSql(k: Int): String = {
+    val a = graft.ops.MinHashLSH.A.take(k).mkString(", ")
+    val b = graft.ops.MinHashLSH.B.take(k).mkString(", ")
+    s"""WITH canon AS (SELECT lang, text, min(doc_id) AS doc_id
+       |  FROM documents GROUP BY 1, 2),
+       |tk AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM canon WHERE doc_id < 100),
+       |tok AS (SELECT doc_id, lang,
+       |    CASE WHEN len(toks) >= 3
+       |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+       |      for i in range(1, len(toks) - 1)])
+       |    ELSE [array_to_string(toks, ' ')] END AS tset FROM tk),
+       |h AS (SELECT doc_id, lang,
+       |    list_transform(tset,
+       |      t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+       |  FROM tok),
+       |sg AS (SELECT doc_id, lang, hs, len(hs) AS n,
+       |    [list_min(list_transform(hs,
+       |        x -> ([$a][i] * (x % 2147483647) + [$b][i]) % 2147483647))
+       |      for i in range(1, $k + 1)] AS sig
+       |  FROM h),
+       |pr AS (SELECT a.lang,
+       |    len(list_intersect(a.hs, b.hs)) AS inter,
+       |    a.n + b.n - len(list_intersect(a.hs, b.hs)) AS uni,
+       |    len(list_filter(generate_series(1, $k),
+       |      i -> a.sig[i] = b.sig[i])) AS est
+       |  FROM sg a JOIN sg b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id),
+       |e AS (SELECT abs((est * 1000000) // $k
+       |      - (inter * 1000000) // uni) // 50000 AS err_bucket
+       |  FROM pr)
+       |SELECT err_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin
+  }
+
   /** q178's oracle: the WEIGHTED fixed-point PageRank recurrence of
     * [[graft.ops.PageRank.ranksWeighted]] unrolled — per-source integer
     * edge shares ((w·1e9) div W, via HUGEINT so the one-off multiply
@@ -7611,7 +7654,55 @@ object Queries {
         |  CAST(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged,
         |  CAST(sum(hits) AS BIGINT) AS sum_hits
-        |FROM h GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM h GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- 195. MinHash estimation-error audit — the sketch-calibration
+    //          loop that justifies every LSH threshold upstream (q33's
+    //          banding math assumes E[positional matches]/k ≈ Jaccard;
+    //          this measures the realized error grid). On a bounded
+    //          audit set (collapsed docs, id < 100 — the fixture ids
+    //          every SF shares), all same-lang pairs get the EXACT
+    //          hashed-shingle Jaccard (compiled sorted-merge intersect)
+    //          and the k=32 signature estimate (positional matches, the
+    //          same printed (A, B) permutation constants on both
+    //          engines), bucketed by |est − exact| in 5-point ppm bands.
+    //          Everything is integer ppm — signature arithmetic, match
+    //          counts, the error grid — so an APPROXIMATION'S quality is
+    //          itself hash-exactly replayable. At 100 TB the same audit
+    //          runs on a fixed-size sample; cost is |audit|² within
+    //          lang, deliberately bounded. ----
+    QDef("q195_minhash_error",
+      (s, dir) => {
+        import s.implicits._
+        val k = 32
+        val sg = Tables.documents(s, dir)
+          .groupBy($"lang", $"text").agg(min($"doc_id").as("doc_id"))
+          .filter($"doc_id" < 100)
+          .select($"doc_id", $"lang",
+            graft.functions.HashExpressions
+              .hash60Array(TF.shingles($"text", 3)).as("hs"))
+          .select($"doc_id", $"lang", $"hs", size($"hs").as("n"),
+            graft.functions.HashExpressions.minhashSignature(
+              $"hs", k, graft.ops.MinHashLSH.A.take(k),
+              graft.ops.MinHashLSH.B.take(k)).as("sig"))
+        val pr = sg.as("a").join(sg.as("b"),
+            $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+          .select(
+            graft.functions.HashExpressions
+              .sortedIntersectCount($"a.hs", $"b.hs").cast("long")
+              .as("inter"),
+            ($"a.n" + $"b.n").cast("long").as("ab"),
+            size(filter(zip_with($"a.sig", $"b.sig",
+              (x, y) => x === y), p => p)).cast("long").as("est"))
+        pr.select(
+            expr(s"abs((est * 1000000) div $k" +
+              " - (inter * 1000000) div (ab - inter)) div 50000")
+              .as("err_bucket"))
+          .groupBy($"err_bucket")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"err_bucket")
+      },
+      Some(minhashErrOracleSql(k = 32)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
