@@ -53,6 +53,13 @@ object Queries {
     * integer literals (the benfordPpm device), so the bootstrap
     * multiplicity draw is pure integer comparison in the compared plan.
     */
+  /** q198's half-life-7-day decay curve floor(1e6·0.5^(d/7)), d = 0..27 —
+    * printed into both engines (the benfordPpm device) so `pow` never
+    * runs inside the compared plan.
+    */
+  private val decayPpm: Seq[Long] =
+    (0 to 27).map(d => math.floor(1e6 * math.pow(0.5, d / 7.0)).toLong)
+
   private val poissonThresholds60: Seq[Long] = {
     var cdf = 0.0
     (0 to 5).map { k =>
@@ -7702,7 +7709,182 @@ object Queries {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy($"err_bucket")
       },
-      Some(minhashErrOracleSql(k = 32)))
+      Some(minhashErrOracleSql(k = 32))),
+
+    // ---- 196. boilerplate detection — the C4-cleaning shape: a 3-gram
+    //          shingle is BOILERPLATE for a source when it appears in
+    //          ≥ 50% of that source's documents (nav bars, footers,
+    //          licence blocks); each doc then gets its boilerplate
+    //          fraction, the signal the cleaning pass strips or gates
+    //          on. Scale shape: one (doc, shingle) explode → per-
+    //          (source, shingle) df agg (combinable) → the ≥50% cut
+    //          collapses the join side to the SMALL template set before
+    //          re-joining the incidence → per-doc counts → per-source
+    //          roll-up. Integer throughout: the 50% cut is 2·df ≥ n_docs,
+    //          fractions in ppm via floor division. ----
+    QDef("q196_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        // one eager materialization: the df-agg branch and the per-doc
+        // rejoin both read the incidence, and without the checkpoint the
+        // tokenize+shingle pipeline runs twice (measured 4.0 s → 2.6 s
+        // at sf0.1 — the q187 discipline)
+        val inc = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            explode(TF.shingles($"text", 3)).as("sh"))
+          .localCheckpoint(true)
+        val perSource = Tables.documents(s, dir)
+          .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        val bp = inc.groupBy($"source", $"sh")
+          .agg(count(lit(1)).as("df"))
+          .join(perSource, "source")
+          .filter($"df" * 2 >= $"n_docs")
+          .select($"source", $"sh")
+        val perDoc = inc
+          .join(bp.withColumn("__bp", lit(1L)), Seq("source", "sh"), "left")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(coalesce($"__bp", lit(0L))).as("n_bp"))
+          .select($"doc_id", $"source",
+            expr("(n_bp * 1000000) div n_sh").as("bp_ppm"))
+        perDoc.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"bp_ppm").as("sum_ppm"))
+          .join(bp.groupBy($"source").agg(count(lit(1)).as("n_bp_shingles")),
+            Seq("source"), "left")
+          .select($"source", $"n_docs",
+            coalesce($"n_bp_shingles", lit(0L)).as("n_bp_shingles"),
+            expr("sum_ppm div n_docs").as("avg_bp_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source,
+        |    CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS tset FROM tk),
+        |inc AS (SELECT doc_id, source, unnest(tset) AS sh FROM tok),
+        |ns AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |bp AS (SELECT i.source, i.sh FROM (
+        |    SELECT source, sh, count(*) AS df FROM inc GROUP BY 1, 2) i
+        |  JOIN ns ON ns.source = i.source WHERE i.df * 2 >= ns.n_docs),
+        |pd AS (SELECT i.doc_id, i.source,
+        |    (sum(CASE WHEN bp.sh IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+        |      // count(*) AS bp_ppm
+        |  FROM inc i LEFT JOIN bp
+        |    ON bp.source = i.source AND bp.sh = i.sh
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bp_shingles
+        |  FROM bp GROUP BY 1)
+        |SELECT pd.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  COALESCE(any_value(nb.n_bp_shingles), 0) AS n_bp_shingles,
+        |  CAST(sum(pd.bp_ppm) // count(*) AS BIGINT) AS avg_bp_ppm
+        |FROM pd LEFT JOIN nb ON nb.source = pd.source
+        |GROUP BY pd.source ORDER BY pd.source""".stripMargin)),
+
+    // ---- 197. join-skew audit — the pre-flight a cluster job runs
+    //          before shuffling on a key: per-key count distribution
+    //          (keys, total, max, exact lower median via the distributed
+    //          crossing-point selector — q157's device, never a one-task
+    //          sort), the max/median skew ratio, and the ceil(max/avg)
+    //          salt factor a salted-join (q99) would use. All integer:
+    //          ratios ×100 / salt via floor-division cross-products.
+    //          One count agg + a &#124;keys&#124;-row selection per
+    //          audited key — the audit never rescans the fact table
+    //          twice. ----
+    QDef("q197_skew_audit",
+      (s, dir) => {
+        import s.implicits._
+        def dist(df: DataFrame, keyCol: String, label: String): DataFrame = {
+          val cnt = df.groupBy(col(keyCol).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("key", lit(label)).withColumn("w", lit(1L))
+          val med = graft.ops.WeightedMedian
+            .perGroup(cnt, Seq("key"), "cnt", "w")
+            .select($"key", $"wmedian".as("med_cnt"),
+              $"total_weight".as("n_keys"))
+          cnt.groupBy($"key")
+            .agg(max($"cnt").as("max_cnt"), sum($"cnt").as("total"))
+            .join(med, "key")
+            .select($"key", $"n_keys", $"total", $"max_cnt", $"med_cnt",
+              expr("(max_cnt * 100) div med_cnt").as("skew_x100"),
+              expr("(max_cnt * n_keys + total - 1) div total")
+                .as("salt_parts"))
+        }
+        dist(Tables.orders(s, dir), "o_custkey", "orders.o_custkey")
+          .unionByName(
+            dist(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey"))
+          .orderBy($"key")
+      },
+      Some("""WITH c1 AS (SELECT 'orders.o_custkey' AS key, o_custkey AS k,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 2),
+        |c2 AS (SELECT 'lineitem.l_partkey' AS key, l_partkey AS k,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 2),
+        |c AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+        |g AS (SELECT key, cnt, CAST(count(*) AS BIGINT) AS w
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT key, cnt, w,
+        |    CAST(sum(w) OVER (PARTITION BY key ORDER BY cnt
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY key) AS BIGINT) AS tot
+        |  FROM g),
+        |med AS (SELECT key, cnt AS med_cnt, tot AS n_keys FROM r
+        |  WHERE 2 * cum >= tot AND 2 * (cum - w) < tot),
+        |agg AS (SELECT key, max(cnt) AS max_cnt,
+        |    CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT agg.key AS key, med.n_keys, agg.total, agg.max_cnt,
+        |  med.med_cnt,
+        |  (agg.max_cnt * 100) // med.med_cnt AS skew_x100,
+        |  (agg.max_cnt * med.n_keys + agg.total - 1) // agg.total
+        |    AS salt_parts
+        |FROM agg JOIN med ON med.key = agg.key
+        |ORDER BY agg.key""".stripMargin)),
+
+    // ---- 198. time-decay weighted engagement score — the recency-
+    //          weighted feature every ranking/curation pipeline derives:
+    //          score(u) = Σ value·w(age), half-life 7 days. The decay
+    //          curve floor(1e6·0.5^(d/7)), d = 0..27 (0 beyond — the
+    //          tail is < 7% weight) is Scala-computed ONCE and printed
+    //          into both engines as integer literals (the benfordPpm
+    //          device), so no `pow` executes inside the compared plan;
+    //          values enter as floored cents, so the weighted sum is
+    //          pure long arithmetic. The age anchor is the corpus max
+    //          timestamp — a 1-row broadcast cross join, not a driver
+    //          action. One scan, one combinable per-user agg, bounded
+    //          top-50. ----
+    QDef("q198_decay_score",
+      (s, dir) => {
+        import s.implicits._
+        val wArr = expr(s"array(${decayPpm.mkString("L, ")}L)")
+        val mx = Tables.events(s, dir).agg(max($"ts_us").as("mx"))
+        Tables.events(s, dir)
+          .select($"user_id", $"ts_us",
+            floor($"value" * 100).cast("long").as("cents"))
+          .crossJoin(broadcast(mx))
+          .withColumn("d", expr("(mx - ts_us) div 86400000000"))
+          .withColumn("w", when($"d" > 27, 0L)
+            .otherwise(element_at(wArr, ($"d" + 1).cast("int"))))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"cents" * $"w").as("score_ppm_cents"))
+          .orderBy($"score_ppm_cents".desc, $"user_id")
+          .limit(50)
+      },
+      Some(s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+        |e AS (SELECT user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    (mx.mx - epoch_us(ts)) // 86400000000 AS d
+        |  FROM events, mx),
+        |w AS (SELECT user_id, cents,
+        |    CASE WHEN d > 27 THEN 0
+        |      ELSE [${decayPpm.mkString(", ")}][CAST(d + 1 AS INTEGER)]
+        |    END AS w FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents * w) AS BIGINT) AS score_ppm_cents
+        |FROM w GROUP BY 1
+        |ORDER BY score_ppm_cents DESC, user_id LIMIT 50""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
