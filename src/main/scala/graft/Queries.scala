@@ -7884,7 +7884,134 @@ object Queries {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(cents * w) AS BIGINT) AS score_ppm_cents
         |FROM w GROUP BY 1
-        |ORDER BY score_ppm_cents DESC, user_id LIMIT 50""".stripMargin))
+        |ORDER BY score_ppm_cents DESC, user_id LIMIT 50""".stripMargin)),
+
+    // ---- 199. multi-horizon feature matrix — the point-in-time feature-
+    //          store build: per (user, day), trailing 1/7/28-day activity
+    //          counts and 7-day spend plus the NEXT-day purchase label,
+    //          every horizon a RANGE frame over the integer day index on
+    //          ONE per-user sort (calendar-correct across gap days —
+    //          value offsets, not row offsets; the q162/q175 frame
+    //          discipline). The label frame (1 FOLLOWING, 1 FOLLOWING)
+    //          yields NULL on absent next days → coalesce 0, no self-join
+    //          leakage path. Values as floored cents — all long. The
+    //          user_id < 50 cut bounds the AUDIT output only; production
+    //          drops it (partition key filter, no plan change). ----
+    QDef("q199_feature_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 50)
+          .select($"user_id", expr("ts_us div 86400000000").as("day"),
+            floor($"value" * 100).cast("long").as("cents"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("pur"))
+          .groupBy($"user_id", $"day")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"),
+            sum($"pur").as("n_pur"))
+        val w7 = Window.partitionBy($"user_id").orderBy($"day")
+          .rangeBetween(-6, 0)
+        val w28 = Window.partitionBy($"user_id").orderBy($"day")
+          .rangeBetween(-27, 0)
+        val wn = Window.partitionBy($"user_id").orderBy($"day")
+          .rangeBetween(1, 1)
+        daily.select($"user_id", $"day", $"n".as("cnt_1d"),
+            sum($"n").over(w7).as("cnt_7d"),
+            sum($"n").over(w28).as("cnt_28d"),
+            sum($"cents").over(w7).as("cents_7d"),
+            coalesce(max($"n_pur").over(wn), lit(0L))
+              .as("next_day_purchases"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pur
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2)
+        |SELECT user_id, day, n AS cnt_1d,
+        |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cnt_7d,
+        |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cnt_28d,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents_7d,
+        |  CAST(COALESCE(max(n_pur) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING), 0) AS BIGINT)
+        |    AS next_day_purchases
+        |FROM d ORDER BY user_id, day""".stripMargin)),
+
+    // ---- 200. reranker training-pair features — the feature-assembly
+    //          join that feeds a cross-encoder/LTR trainer: for each
+    //          (query doc, same-lang candidate) pair, lexical overlap
+    //          (exact hashed-shingle Jaccard via the compiled sorted-
+    //          merge intersect), a length-ratio feature, the same-source
+    //          flag, and embedding cosine (vec_id ≡ doc_id, the q96
+    //          alignment). Query/candidate sets are id-bounded (the
+    //          audit convention): the SHAPE is one broadcast-sized query
+    //          side against a filtered candidate scan — at production
+    //          scale the candidate side comes from a retrieval stage
+    //          (q77/q96), not an id cut. Integer ppm features; cosine
+    //          rounds at 6 (q49 convention). ----
+    QDef("q200_rerank_features",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .groupBy($"lang", $"text")
+          .agg(min($"doc_id").as("doc_id"), min($"source").as("source"))
+          .join(Tables.embeddings(s, dir)
+            .select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+          .select($"doc_id", $"lang", $"source", $"embedding",
+            graft.functions.HashExpressions
+              .hash60Array(TF.shingles($"text", 3)).as("hs"))
+        val q = base.filter($"doc_id" < 5)
+        val c = base.filter($"doc_id" >= 5 && $"doc_id" < 200)
+        q.as("q").join(c.as("c"), $"q.lang" === $"c.lang")
+          .select($"q.doc_id".as("query_id"), $"c.doc_id".as("cand_id"),
+            graft.functions.HashExpressions
+              .sortedIntersectCount($"q.hs", $"c.hs").cast("long")
+              .as("inter"),
+            size($"q.hs").cast("long").as("na"),
+            size($"c.hs").cast("long").as("nb"),
+            ($"q.source" === $"c.source").as("same_source"),
+            round(graft.functions.HashExpressions.cosineSim(
+              $"q.embedding", $"c.embedding"), 6).as("cos"))
+          .select($"query_id", $"cand_id",
+            expr("(inter * 1000000) div (na + nb - inter)").as("jac_ppm"),
+            expr("(least(na, nb) * 1000000) div greatest(na, nb)")
+              .as("len_ratio_ppm"),
+            $"same_source", $"cos")
+          .orderBy($"query_id", $"cand_id")
+      },
+      Some("""WITH canon AS (SELECT lang, text, min(doc_id) AS doc_id,
+        |    min(source) AS source FROM documents GROUP BY 1, 2),
+        |tk AS (SELECT doc_id, lang, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM canon),
+        |tok AS (SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS tset FROM tk),
+        |b AS (SELECT t.doc_id, t.lang, t.source,
+        |    list_transform(t.tset,
+        |      x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS hs,
+        |    CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM tok t JOIN embeddings e ON e.vec_id = t.doc_id)
+        |SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+        |  (len(list_intersect(q.hs, c.hs)) * 1000000)
+        |    // (len(q.hs) + len(c.hs) - len(list_intersect(q.hs, c.hs)))
+        |    AS jac_ppm,
+        |  (least(len(q.hs), len(c.hs)) * 1000000)
+        |    // greatest(len(q.hs), len(c.hs)) AS len_ratio_ppm,
+        |  q.source = c.source AS same_source,
+        |  round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+        |FROM b q JOIN b c ON q.lang = c.lang
+        |  AND q.doc_id < 5 AND c.doc_id >= 5 AND c.doc_id < 200
+        |ORDER BY query_id, cand_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -707,7 +707,8 @@ object ScaleProbe {
       "q187_containment", "q188_damerau_fuzzy", "q189_bootstrap_mean",
       "q190_cluster_purity", "q191_knn_label_agree", "q192_frame_dedup",
       "q193_sql_damerau", "q194_blocklist_scan", "q195_minhash_error",
-      "q196_boilerplate", "q197_skew_audit", "q198_decay_score")
+      "q196_boilerplate", "q197_skew_audit", "q198_decay_score",
+      "q199_feature_matrix", "q200_rerank_features")
     val fams = sys.env.get("SPARK_GRAFT_PROBE_FAMS")
       .map(_.split(",").toSeq).getOrElse(famsAll)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
