@@ -7797,25 +7797,30 @@ object Queries {
     QDef("q197_skew_audit",
       (s, dir) => {
         import s.implicits._
-        def dist(df: DataFrame, keyCol: String, label: String): DataFrame = {
-          val cnt = df.groupBy(col(keyCol).as("k"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("key", lit(label)).withColumn("w", lit(1L))
-          val med = graft.ops.WeightedMedian
-            .perGroup(cnt, Seq("key"), "cnt", "w")
-            .select($"key", $"wmedian".as("med_cnt"),
-              $"total_weight".as("n_keys"))
-          cnt.groupBy($"key")
-            .agg(max($"cnt").as("max_cnt"), sum($"cnt").as("total"))
-            .join(med, "key")
-            .select($"key", $"n_keys", $"total", $"max_cnt", $"med_cnt",
-              expr("(max_cnt * 100) div med_cnt").as("skew_x100"),
-              expr("(max_cnt * n_keys + total - 1) div total")
-                .as("salt_parts"))
-        }
-        dist(Tables.orders(s, dir), "o_custkey", "orders.o_custkey")
-          .unionByName(
-            dist(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey"))
+        // union the per-key count tables BEFORE the stats join: a
+        // per-branch join on a single literal label constant-folds the
+        // equality away and degenerates to a BroadcastNestedLoopJoin
+        // (caught by PlanSpec's whole-surface sweep); with both labels
+        // in one frame the agg⋈med join is a real 2-key equi-join.
+        def cnts(df: DataFrame, keyCol: String, label: String): DataFrame =
+          df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+            .withColumn("key", lit(label))
+        val cnt = cnts(Tables.orders(s, dir), "o_custkey",
+            "orders.o_custkey")
+          .unionByName(cnts(Tables.lineitem(s, dir), "l_partkey",
+            "lineitem.l_partkey"))
+          .withColumn("w", lit(1L))
+        val med = graft.ops.WeightedMedian
+          .perGroup(cnt, Seq("key"), "cnt", "w")
+          .select($"key", $"wmedian".as("med_cnt"),
+            $"total_weight".as("n_keys"))
+        cnt.groupBy($"key")
+          .agg(max($"cnt").as("max_cnt"), sum($"cnt").as("total"))
+          .join(med, "key")
+          .select($"key", $"n_keys", $"total", $"max_cnt", $"med_cnt",
+            expr("(max_cnt * 100) div med_cnt").as("skew_x100"),
+            expr("(max_cnt * n_keys + total - 1) div total")
+              .as("salt_parts"))
           .orderBy($"key")
       },
       Some("""WITH c1 AS (SELECT 'orders.o_custkey' AS key, o_custkey AS k,
@@ -7858,12 +7863,17 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val wArr = expr(s"array(${decayPpm.mkString("L, ")}L)")
-        val mx = Tables.events(s, dir).agg(max($"ts_us").as("mx"))
+        // anchor = corpus max ts as ONE driver scalar (the PageRank-n
+        // precedent): the 1-row crossJoin form plans a
+        // BroadcastNestedLoopJoin, which the whole-surface sweep bans.
+        // Empty events → null max → anchor 0, and the aggregate below is
+        // empty anyway.
+        val mxRow = Tables.events(s, dir).agg(max($"ts_us")).head()
+        val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
         Tables.events(s, dir)
           .select($"user_id", $"ts_us",
             floor($"value" * 100).cast("long").as("cents"))
-          .crossJoin(broadcast(mx))
-          .withColumn("d", expr("(mx - ts_us) div 86400000000"))
+          .withColumn("d", expr(s"(${mx}L - ts_us) div 86400000000"))
           .withColumn("w", when($"d" > 27, 0L)
             .otherwise(element_at(wArr, ($"d" + 1).cast("int"))))
           .groupBy($"user_id")
