@@ -53,12 +53,12 @@ object Queries {
     * integer literals (the benfordPpm device), so the bootstrap
     * multiplicity draw is pure integer comparison in the compared plan.
     */
-  /** q198's half-life-7-day decay curve floor(1e6·0.5^(d/7)), d = 0..27 —
-    * printed into both engines (the benfordPpm device) so `pow` never
-    * runs inside the compared plan.
+  /** q198's half-life-7-day decay curve — the SINGLE source of truth
+    * lives in [[graft.streaming.DecayStream]] (its incremental store
+    * derives scores from the same printed weights; referencing, not
+    * copying, keeps the batch and streaming paths structurally equal).
     */
-  private val decayPpm: Seq[Long] =
-    (0 to 27).map(d => math.floor(1e6 * math.pow(0.5, d / 7.0)).toLong)
+  private val decayPpm: Seq[Long] = graft.streaming.DecayStream.decayPpm
 
   private val poissonThresholds60: Seq[Long] = {
     var cdf = 0.0
@@ -443,6 +443,40 @@ object Queries {
     * Oracle side pairs with `CAST(... AS VARCHAR)`.
     */
   private def decStr(c: Column): Column = c.cast("string")
+
+  /** The q182/q190 shared grid-density derivation: embedding points →
+    * fixed cells (floor(coord·40), minPts 3) → 8-adjacency connected
+    * components over core cells. Returns (cx, cy, cell, n_pts, cluster)
+    * — one row per CORE cell; q182 aggregates it to cluster sizes, q190
+    * joins points back for label purity. One definition, so the two
+    * queries can never silently score different clusterings.
+    */
+  private def gridCoreClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val core = Tables.embeddings(s, dir)
+      .filter($"embedding".isNotNull)
+      .select(
+        floor(element_at($"embedding", 1).cast("double") * 40)
+          .cast("long").as("cx"),
+        floor(element_at($"embedding", 2).cast("double") * 40)
+          .cast("long").as("cy"))
+      .groupBy($"cx", $"cy").agg(count(lit(1)).as("n_pts"))
+      .filter($"n_pts" >= 3)
+      .withColumn("cell", ($"cx" + 100L) * 1000L + $"cy" + 100L)
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+      (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
+    val edges = core.select($"cell", $"cx", $"cy")
+      .crossJoin(broadcast(offs))
+      .select($"cell", ($"cx" + $"dx").as("nx"), ($"cy" + $"dy").as("ny"))
+      .join(core.select($"cell".as("cell_b"), $"cx".as("nx"),
+        $"cy".as("ny")), Seq("nx", "ny"))
+      .select($"cell".as("a"), $"cell_b".as("b"))
+    val comp = graft.ops.ConnectedComponents.run(edges, "a", "b")
+      .withColumnRenamed("v", "cell")
+    core.join(comp, Seq("cell"), "left")
+      .withColumn("cluster", coalesce($"comp", $"cell"))
+      .select($"cx", $"cy", $"cell", $"n_pts", $"cluster")
+  }
 
   val all: Seq[QDef] = Seq(
 
@@ -6960,28 +6994,7 @@ object Queries {
     QDef("q182_grid_density",
       (s, dir) => {
         import s.implicits._
-        val core = Tables.embeddings(s, dir)
-          .filter($"embedding".isNotNull)
-          .select(
-            floor(element_at($"embedding", 1).cast("double") * 40)
-              .cast("long").as("cx"),
-            floor(element_at($"embedding", 2).cast("double") * 40)
-              .cast("long").as("cy"))
-          .groupBy($"cx", $"cy").agg(count(lit(1)).as("n_pts"))
-          .filter($"n_pts" >= 3)
-          .withColumn("cell", ($"cx" + 100L) * 1000L + $"cy" + 100L)
-        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
-          (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
-        val edges = core.select($"cell", $"cx", $"cy")
-          .crossJoin(broadcast(offs))
-          .select($"cell", ($"cx" + $"dx").as("nx"), ($"cy" + $"dy").as("ny"))
-          .join(core.select($"cell".as("cell_b"), $"cx".as("nx"),
-            $"cy".as("ny")), Seq("nx", "ny"))
-          .select($"cell".as("a"), $"cell_b".as("b"))
-        val comp = graft.ops.ConnectedComponents.run(edges, "a", "b")
-          .withColumnRenamed("v", "cell")
-        core.join(comp, Seq("cell"), "left")
-          .withColumn("cluster", coalesce($"comp", $"cell"))
+        gridCoreClusters(s, dir)
           .groupBy($"cluster")
           .agg(count(lit(1)).as("n_cells"), sum($"n_pts").as("n_pts"))
           .orderBy($"n_pts".desc, $"cluster")
@@ -7160,7 +7173,7 @@ object Queries {
           .join(ci.select($"i".as("j"), $"ci".as("cj")), "j")
           .select($"i", $"j", $"cij",
             expr("(CAST(cij AS DECIMAL(38,0)) * cij * 1000000)" +
-              " div (ci * cj)").as("sim_ppm"))
+              " div (CAST(ci AS DECIMAL(38,0)) * cj)").as("sim_ppm"))
         scored
           .withColumn("rk", row_number().over(
             Window.partitionBy($"i").orderBy($"sim_ppm".desc, $"j")))
@@ -7177,7 +7190,7 @@ object Queries {
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |sc AS (SELECT pr.i, pr.j, pr.cij,
         |    CAST((CAST(pr.cij AS HUGEINT) * pr.cij * 1000000)
-        |      // (a.ci * b.ci) AS BIGINT) AS sim_ppm
+        |      // (CAST(a.ci AS HUGEINT) * b.ci) AS BIGINT) AS sim_ppm
         |  FROM pr JOIN ci a ON a.i = pr.i JOIN ci b ON b.i = pr.j),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY i
         |    ORDER BY sim_ppm DESC, j) AS rk FROM sc)
@@ -7215,7 +7228,11 @@ object Queries {
           .select($"query_id", $"best_cos", $"kth_cos",
             coalesce($"n_hit", lit(0L)).as("n_trunc_hit"))
           .orderBy($"query_id")
-        emb.unpersist(blocking = false)   // lazy plan re-reads parquet once
+        // no unpersist: the returned plan references emb THREE times (the
+        // full leg twice — hits semi-join and the best/kth agg — plus the
+        // truncated leg); releasing it here would re-scan parquet and
+        // redo the cosine work per reference at evaluation time (the
+        // q177-advice hazard). The small persisted table ages out.
         out
       },
       Some("""WITH q AS (SELECT vec_id AS query_id,
@@ -7408,8 +7425,12 @@ object Queries {
               when($"h" >= t, 1L).otherwise(0L)).reduce(_ + _).as("m"))
           .groupBy($"r")
           .agg(sum($"m").as("n_eff"), sum($"m" * $"cents").as("sum_c"))
+          // a replica whose every row drew multiplicity 0 has n_eff = 0:
+          // its mean is NULL (same CASE on the oracle side), never a
+          // division error
           .select($"r".cast("long").as("r"), $"n_eff",
-            expr("(CAST(sum_c AS DECIMAL(38,0)) * 1000000) div n_eff")
+            when($"n_eff" > 0,
+              expr("(CAST(sum_c AS DECIMAL(38,0)) * 1000000) div n_eff"))
               .as("mean_microcents"))
           .orderBy($"r")
       },
@@ -7428,8 +7449,9 @@ object Queries {
         |        CAST(r AS VARCHAR) || ':' || rid), 1, 15)) AS BIGINT)))
         |    AS BIGINT) AS m FROM fan)
         |SELECT r, CAST(sum(m) AS BIGINT) AS n_eff,
-        |  CAST((CAST(sum(m * cents) AS HUGEINT) * 1000000)
-        |    // sum(m) AS BIGINT) AS mean_microcents
+        |  CASE WHEN sum(m) > 0 THEN
+        |    CAST((CAST(sum(m * cents) AS HUGEINT) * 1000000)
+        |      // sum(m) AS BIGINT) END AS mean_microcents
         |FROM mm GROUP BY 1 ORDER BY r""".stripMargin)),
 
     // ---- 190. cluster purity — the label-quality audit for q182's grid
@@ -7450,23 +7472,9 @@ object Queries {
               .cast("long").as("cx"),
             floor(element_at($"embedding", 2).cast("double") * 40)
               .cast("long").as("cy"))
-        val core = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("n_pts"))
-          .filter($"n_pts" >= 3)
-          .withColumn("cell", ($"cx" + 100L) * 1000L + $"cy" + 100L)
-        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
-          (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
-        val edges = core.select($"cell", $"cx", $"cy")
-          .crossJoin(broadcast(offs))
-          .select($"cell", ($"cx" + $"dx").as("nx"), ($"cy" + $"dy").as("ny"))
-          .join(core.select($"cell".as("cell_b"), $"cx".as("nx"),
-            $"cy".as("ny")), Seq("nx", "ny"))
-          .select($"cell".as("a"), $"cell_b".as("b"))
-        val comp = graft.ops.ConnectedComponents.run(edges, "a", "b")
-          .withColumnRenamed("v", "cell")
         val assigned = pts
-          .join(core.select($"cx", $"cy", $"cell"), Seq("cx", "cy"))
-          .join(comp, Seq("cell"), "left")
-          .withColumn("cluster", coalesce($"comp", $"cell"))
+          .join(gridCoreClusters(s, dir).select($"cx", $"cy", $"cluster"),
+            Seq("cx", "cy"))
         val byLabel = assigned.groupBy($"cluster", $"label")
           .agg(count(lit(1)).as("c"))
         val top = byLabel.groupBy($"cluster")
@@ -7819,8 +7827,8 @@ object Queries {
           .join(med, "key")
           .select($"key", $"n_keys", $"total", $"max_cnt", $"med_cnt",
             expr("(max_cnt * 100) div med_cnt").as("skew_x100"),
-            expr("(max_cnt * n_keys + total - 1) div total")
-              .as("salt_parts"))
+            expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys + total - 1)" +
+              " div total").as("salt_parts"))
           .orderBy($"key")
       },
       Some("""WITH c1 AS (SELECT 'orders.o_custkey' AS key, o_custkey AS k,
@@ -7842,8 +7850,8 @@ object Queries {
         |SELECT agg.key AS key, med.n_keys, agg.total, agg.max_cnt,
         |  med.med_cnt,
         |  (agg.max_cnt * 100) // med.med_cnt AS skew_x100,
-        |  (agg.max_cnt * med.n_keys + agg.total - 1) // agg.total
-        |    AS salt_parts
+        |  CAST((CAST(agg.max_cnt AS HUGEINT) * med.n_keys + agg.total - 1)
+        |    // agg.total AS BIGINT) AS salt_parts
         |FROM agg JOIN med ON med.key = agg.key
         |ORDER BY agg.key""".stripMargin)),
 
