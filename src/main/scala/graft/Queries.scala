@@ -398,6 +398,62 @@ object Queries {
     * min label at the max, keep-if-no-in-neighbors — over the
     * symmetrized distinct bigram graph of q116/q124.
     */
+  /** q204's unrolled per-source BFS oracle: the q124 layer-CTE device
+    * with the source label carried through every frontier (mirroring
+    * MultiBfs.perSourceDistances round for round) over the q182 density-
+    * grid adjacency graph, then harmonic centrality as Σ 1e6 div dist —
+    * integer division per hop, so the iterative all-sources expansion
+    * replays under the exact hash gate.
+    */
+  private def harmonicOracleSql(hops: Int): String = {
+    val head =
+      """WITH pts AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 40) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 40) AS BIGINT) AS cy
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |core AS (SELECT cx, cy, count(*) AS n_pts,
+        |    (cx + 100) * 1000 + cy + 100 AS cell
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 3),
+        |es AS (SELECT a.cell AS a, b.cell AS b FROM core a JOIN core b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.cell <> b.cell),
+        |vx AS (SELECT DISTINCT a AS v FROM es),
+        |r0 AS (SELECT v AS src, v, CAST(0 AS BIGINT) AS dist FROM vx),
+        |f0 AS (SELECT src, v FROM r0)""".stripMargin
+    val steps = (1 to hops).map { h =>
+      s"""f$h AS (SELECT DISTINCT f.src, es.b AS v
+         |    FROM f${h - 1} f JOIN es ON es.a = f.v
+         |    WHERE NOT EXISTS (SELECT 1 FROM r${h - 1} r
+         |      WHERE r.src = f.src AND r.v = es.b)),
+         |r$h AS (SELECT src, v, dist FROM r${h - 1}
+         |    UNION ALL SELECT src, v, CAST($h AS BIGINT) FROM f$h)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+      |SELECT src AS cell, CAST(count(*) AS BIGINT) AS n_reach,
+      |  CAST(sum(1000000 // dist) AS BIGINT) AS harm_ppm
+      |FROM r$hops WHERE dist > 0 GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
+  /** The generic LPA round CTEs — `rounds` blocks replaying
+    * LabelProp.communities exactly (neighbor-label counts, max count,
+    * min label at the max, keep-if-no-in-neighbors) over whatever `es`
+    * (symmetrized edges) and `l0` (initial labeling) the head CTEs
+    * defined. Shared by the q134 token-graph oracle and the q203
+    * fuzzy-graph oracle so the replayed recurrence is textually one
+    * definition.
+    */
+  private def lpaStepCtes(rounds: Int): Seq[String] =
+    (1 to rounds).map { h =>
+      s"""n$h AS (SELECT es.b AS v, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM es JOIN l${h - 1} l ON es.a = l.v GROUP BY 1, 2),
+         |m$h AS (SELECT v, max(c) AS mx FROM n$h GROUP BY v),
+         |a$h AS (SELECT n.v, min(n.lab) AS newlab
+         |  FROM n$h n JOIN m$h m ON n.v = m.v AND n.c = m.mx GROUP BY n.v),
+         |l$h AS (SELECT l.v, COALESCE(a.newlab, l.lab) AS lab
+         |  FROM l${h - 1} l LEFT JOIN a$h a ON l.v = a.v)""".stripMargin
+    }
+
   private def lpaOracleSql(rounds: Int): String = {
     val head =
       """WITH t AS (SELECT
@@ -408,17 +464,50 @@ object Queries {
         |es AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
         |vx AS (SELECT a AS v FROM es UNION SELECT b FROM es),
         |l0 AS (SELECT v, v AS lab FROM vx)""".stripMargin
-    val steps = (1 to rounds).map { h =>
-      s"""n$h AS (SELECT es.b AS v, l.lab, CAST(count(*) AS BIGINT) AS c
-         |  FROM es JOIN l${h - 1} l ON es.a = l.v GROUP BY 1, 2),
-         |m$h AS (SELECT v, max(c) AS mx FROM n$h GROUP BY v),
-         |a$h AS (SELECT n.v, min(n.lab) AS newlab
-         |  FROM n$h n JOIN m$h m ON n.v = m.v AND n.c = m.mx GROUP BY n.v),
-         |l$h AS (SELECT l.v, COALESCE(a.newlab, l.lab) AS lab
-         |  FROM l${h - 1} l LEFT JOIN a$h a ON l.v = a.v)""".stripMargin
-    }
-    (head +: steps).mkString(",\n") +
+    (head +: lpaStepCtes(rounds)).mkString(",\n") +
       s"\nSELECT v AS token, lab AS label FROM l$rounds ORDER BY token"
+  }
+
+  /** q203's oracle: the SAME LPA recurrence as q134 (shared step CTEs)
+    * run over the q114 fuzzy-match graph, followed by the modularity
+    * aggregation over the canonical undirected edge set: per community,
+    * intra-edge count e_c and degree mass d_c, contribution numerator
+    * 4·m·e_c − d_c² in HUGEINT, rendered as sign + |num|·1e9 div 4m².
+    * Pure integers, so the modularity of an ITERATIVE labeling replays
+    * under the exact-hash gate (the q116/q134 convention).
+    */
+  private def modularityOracleSql(rounds: Int): String = {
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |e0 AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.s, b.s) <= 1),
+        |es AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |vx AS (SELECT a AS v FROM es UNION SELECT b FROM es),
+        |l0 AS (SELECT v, v AS lab FROM vx)""".stripMargin
+    (head +: lpaStepCtes(rounds)).mkString(",\n") + s""",
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT unnest([a, b]) AS v FROM e0) GROUP BY 1),
+      |vl AS (SELECT l.v, l.lab, COALESCE(dg.deg, 0) AS deg
+      |  FROM l$rounds l LEFT JOIN dg ON l.v = dg.v),
+      |ds AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_vertices,
+      |    CAST(sum(deg) AS BIGINT) AS d_sum FROM vl GROUP BY 1),
+      |ia AS (SELECT la.lab AS lab, CAST(count(*) AS BIGINT) AS e_in
+      |  FROM e0 JOIN l$rounds la ON e0.a = la.v
+      |          JOIN l$rounds lb ON e0.b = lb.v
+      |  WHERE la.lab = lb.lab GROUP BY 1),
+      |f AS (SELECT ds.lab, ds.n_vertices, ds.d_sum,
+      |    COALESCE(ia.e_in, 0) AS e_in, mm.m,
+      |    4 * CAST(mm.m AS HUGEINT) * COALESCE(ia.e_in, 0)
+      |      - CAST(ds.d_sum AS HUGEINT) * ds.d_sum AS num
+      |  FROM ds LEFT JOIN ia ON ds.lab = ia.lab, mm)
+      |SELECT lab AS label, n_vertices, CAST(e_in AS BIGINT) AS e_in, d_sum,
+      |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+      |    AS BIGINT) AS sign_q,
+      |  CAST((abs(num) * 1000000000) // (4 * CAST(m AS HUGEINT) * m)
+      |    AS BIGINT) AS q_abs_ppb
+      |FROM f ORDER BY label""".stripMargin
   }
 
   private val dec38_6 = DecimalType(38, 6)
@@ -8029,7 +8118,412 @@ object Queries {
         |  round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
         |FROM b q JOIN b c ON q.lang = c.lang
         |  AND q.doc_id < 5 AND c.doc_id >= 5 AND c.doc_id < 200
-        |ORDER BY query_id, cand_id""".stripMargin))
+        |ORDER BY query_id, cand_id""".stripMargin)),
+
+    // ---- 201. local clustering coefficient — per-vertex transitivity of
+    //          q114's fuzzy-match graph: lcc = 2·tri/(deg·(deg−1)), the
+    //          "is this vertex's neighborhood a clique or a star" audit
+    //          that separates genuine dup-clusters (lcc→1) from hub
+    //          artifacts of the candidate generator (lcc→0). Triangle
+    //          counts ride the degree-ordered wedge join (ops/Triangles,
+    //          O(m^1.5) bound, no hub quadratics); degrees are one
+    //          combinable count over the canonical edge set. Integer ppm
+    //          (2·tri·1e6 div deg·(deg−1) — non-negative, so truncating
+    //          vs flooring division cannot diverge), exact replay. ----
+    QDef("q201_clustering_coefficient",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        val e = edges
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+        val deg = e.select(explode(array($"a", $"b")).as("id"))
+          .groupBy($"id").agg(count(lit(1)).as("deg"))
+        val tri = graft.ops.Triangles.perVertexSupport(edges, "id_a", "id_b")
+        deg.filter($"deg" >= 2)
+          .join(tri, Seq("id"), "left")
+          .select($"id", $"deg", coalesce($"n_tri", lit(0L)).as("n_tri"))
+          .withColumn("lcc_ppm",
+            expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+          .orderBy($"id")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |e AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.s, b.s) <= 1),
+        |d AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS deg
+        |      FROM (SELECT unnest([a, b]) AS v FROM e) GROUP BY 1),
+        |t AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tv AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS n_tri
+        |      FROM (SELECT unnest([a, b, c]) AS v FROM t) GROUP BY 1)
+        |SELECT d.id, d.deg,
+        |  CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_tri,
+        |  (2 * CAST(COALESCE(tv.n_tri, 0) AS BIGINT) * 1000000)
+        |    // (d.deg * (d.deg - 1)) AS lcc_ppm
+        |FROM d LEFT JOIN tv ON d.id = tv.id
+        |WHERE d.deg >= 2
+        |ORDER BY d.id""".stripMargin)),
+
+    // ---- 202. degree assortativity — Pearson correlation of endpoint
+    //          degrees over the per-lang token graph (Newman 2002): do
+    //          hubs link to hubs (r>0, social-graph shape) or to leaves
+    //          (r<0, star/hub shape — the shape LSH bucket skew comes
+    //          from)? Counting BOTH stub directions makes the moments
+    //          symmetric, so r is EXACTLY rational: r = (S1·Sjk − Sj²) /
+    //          (S1·Sjj − Sj²) — the sqrt in Pearson's denominator
+    //          squares away. Moments widen to DECIMAL(38,0)/HUGEINT
+    //          BEFORE the cross products (the q164 overflow lesson: long
+    //          moments die past ~2^31 edges); sign rides a separate
+    //          column so truncating-vs-flooring division on negatives
+    //          (Spark div vs DuckDB //) can never diverge (q162 device).
+    //          Scale shape: one distinct-edge collapse, one combinable
+    //          degree count, two |V|-row equi-joins to attach endpoint
+    //          degrees, one combinable moment aggregate — the quotient
+    //          runs on the |langs|-row result. ----
+    QDef("q202_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val t = Tables.documents(s, dir)
+          .select($"lang", TF.tokens($"text").as("toks"))
+        val eu = t.filter(size($"toks") > 1)
+          .select($"lang", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+          .select($"lang", $"bg.a", $"bg.b").filter($"a" =!= $"b")
+          .select($"lang", least($"a", $"b").as("a"),
+            greatest($"a", $"b").as("b"))
+          .distinct()
+        val deg = eu.select($"lang", explode(array($"a", $"b")).as("v"))
+          .groupBy($"lang", $"v").agg(count(lit(1)).as("d"))
+        val st = eu
+          .join(deg.select($"lang", $"v".as("a"), $"d".as("da")),
+            Seq("lang", "a"))
+          .join(deg.select($"lang", $"v".as("b"), $"d".as("db")),
+            Seq("lang", "b"))
+        st.groupBy($"lang").agg(
+            (count(lit(1)) * 2).as("n_stubs"),
+            sum(($"da" + $"db").cast(d38)).as("sj"),
+            sum($"da".cast(d38) * $"da".cast(d38)
+              + $"db".cast(d38) * $"db".cast(d38)).as("sjj"),
+            sum($"da".cast(d38) * $"db".cast(d38) * 2).as("sjk"))
+          .select($"lang", $"n_stubs",
+            ($"n_stubs".cast(d38) * $"sjk" - $"sj" * $"sj").as("num"),
+            ($"n_stubs".cast(d38) * $"sjj" - $"sj" * $"sj").as("den"))
+          .withColumn("sign_r", when($"den" === 0, lit(null).cast("long"))
+            .otherwise(when($"num" > 0, 1L).when($"num" < 0, -1L)
+              .otherwise(0L)))
+          .withColumn("r_abs_ppm", when($"den" === 0, lit(null).cast("long"))
+            .otherwise(expr("(abs(num) * 1000000) div den")))
+          .select($"lang", $"n_stubs", $"sign_r", $"r_abs_ppm")
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |e0 AS (SELECT DISTINCT lang,
+        |      least(toks[i], toks[i+1]) AS a,
+        |      greatest(toks[i], toks[i+1]) AS b
+        |    FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |    WHERE toks[i] <> toks[i+1]),
+        |dg AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT lang, unnest([a, b]) AS v FROM e0) GROUP BY 1, 2),
+        |st AS (SELECT e.lang, da.d AS da, db.d AS db
+        |  FROM e0 e JOIN dg da ON e.lang = da.lang AND e.a = da.v
+        |            JOIN dg db ON e.lang = db.lang AND e.b = db.v),
+        |ag AS (SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_stubs,
+        |    sum(CAST(da + db AS HUGEINT)) AS sj,
+        |    sum(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db) AS sjj,
+        |    sum(2 * CAST(da AS HUGEINT) * db) AS sjk
+        |  FROM st GROUP BY 1),
+        |f AS (SELECT lang, n_stubs,
+        |    CAST(n_stubs AS HUGEINT) * sjk - sj * sj AS num,
+        |    CAST(n_stubs AS HUGEINT) * sjj - sj * sj AS den FROM ag)
+        |SELECT lang, n_stubs,
+        |  CAST(CASE WHEN den = 0 THEN NULL WHEN num > 0 THEN 1
+        |    WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign_r,
+        |  CAST(CASE WHEN den = 0 THEN NULL
+        |    ELSE (abs(num) * 1000000) // den END AS BIGINT) AS r_abs_ppm
+        |FROM f ORDER BY lang""".stripMargin)),
+
+    // ---- 203. modularity audit of the LPA dup-communities — the
+    //          quality score (Newman–Girvan Q) for an LPA clustering of
+    //          q114's fuzzy-match graph: per community c, Q_c = e_c/m −
+    //          (d_c/2m)², positive when c holds more of its edges than a
+    //          degree-preserving random graph would — the "are the dup
+    //          clusters real structure or candidate-generator noise"
+    //          check that closes the dedup-graph loop (q57 merges, q114
+    //          confirms cohesion, q203 scores the partition). The
+    //          labeling is LabelProp's exact recurrence (q134's op; the
+    //          oracle shares the same step CTEs by construction).
+    //          Numerator 4·m·e_c − d_c² stays integral in
+    //          DECIMAL(38,0)/HUGEINT; sign + |num|·1e9 div 4m² (the
+    //          q162/q202 negative-division device). The edge set is
+    //          localCheckpointed ONCE (LPA, degrees, intra-counts and
+    //          the m scalar all read the materialized copy); m itself is
+    //          a bounded driver scalar off that copy (the q198/PageRank-n
+    //          precedent — the 1-row crossJoin form would plan the BNLJ
+    //          the whole-surface sweep bans). Scale shape: degrees and
+    //          intra-edge counts are combinable aggregates off two
+    //          |V|-row label equi-joins; the modularity arithmetic runs
+    //          on the |communities|-row result. ----
+    QDef("q203_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        val eu = edges
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+          .localCheckpoint(true)
+        val m = eu.count()
+        val eSym = eu.unionByName(eu.select($"b".as("a"), $"a".as("b")))
+          .distinct()
+        val labels = graft.ops.LabelProp.communities(eSym, "a", "b", rounds = 3)
+        val deg = eu.select(explode(array($"a", $"b")).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        val dsum = labels.join(deg, Seq("v"), "left")
+          .select($"label", coalesce($"deg", lit(0L)).as("deg"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vertices"), sum($"deg").as("d_sum"))
+        val intra = eu
+          .join(labels.select($"v".as("a"), $"label".as("la")), "a")
+          .join(labels.select($"v".as("b"), $"label".as("lb")), "b")
+          .filter($"la" === $"lb")
+          .groupBy($"la".as("label")).agg(count(lit(1)).as("e_in"))
+        dsum.join(intra, Seq("label"), "left")
+          .withColumn("e_in", coalesce($"e_in", lit(0L)))
+          .withColumn("num",
+            lit(m).cast(d38) * $"e_in".cast(d38) * 4
+              - $"d_sum".cast(d38) * $"d_sum".cast(d38))
+          .withColumn("den", lit(m).cast(d38) * lit(m).cast(d38) * 4)
+          .select($"label", $"n_vertices", $"e_in", $"d_sum",
+            when($"num" > 0, 1L).when($"num" < 0, -1L).otherwise(0L)
+              .as("sign_q"),
+            expr("(abs(num) * 1000000000) div den").as("q_abs_ppb"))
+          .orderBy($"label")
+      },
+      Some(modularityOracleSql(rounds = 3))),
+
+    // ---- 204. harmonic centrality — Σ 1/d(u,v) over the ≤3-hop ball of
+    //          every vertex of the q182 density-grid adjacency graph:
+    //          WHICH cells sit interior to their cluster vs on its rim
+    //          (the spatial "central member" audit; fourth centrality
+    //          after degree q156, the eigenvector family q116/q178/q180,
+    //          and k-core q181). Per-source bounded BFS (ops/MultiBfs):
+    //          frontier-only expansion carrying the source label, state
+    //          = Σ k-ball mass over the sources. The GRAPH is the scale
+    //          contract here: grid adjacency has degree ≤ 8 by
+    //          construction, so the k-ball is ≤ (2k+1)² and all-sources
+    //          closeness is linear in |cells| — this is the graph shape
+    //          where unsampled closeness is tractable. (The first cut
+    //          ran on the q114 fuzzy-dup graph of near-cliques: ball
+    //          mass Σ g² per dup group, measured 12.6 s at sf0.1 and
+    //          ~10× at the 10× probe — linear in state as predicted but
+    //          the wrong default; on dense graphs sample sources, the
+    //          q115/q200 audit convention.) 1e6 div dist per hop keeps
+    //          the score integral; the oracle replays the expansion as
+    //          per-source layer CTEs (q124 device). ----
+    QDef("q204_harmonic_centrality",
+      (s, dir) => {
+        import s.implicits._
+        val core = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select(
+            floor(element_at($"embedding", 1).cast("double") * 40)
+              .cast("long").as("cx"),
+            floor(element_at($"embedding", 2).cast("double") * 40)
+              .cast("long").as("cy"))
+          .groupBy($"cx", $"cy").agg(count(lit(1)).as("n_pts"))
+          .filter($"n_pts" >= 3)
+          .withColumn("cell", ($"cx" + 100L) * 1000L + $"cy" + 100L)
+        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
+        // symmetric offset set ⇒ the equi-join emits both directions
+        val eSym = core.select($"cell", $"cx", $"cy")
+          .crossJoin(broadcast(offs))
+          .select($"cell".as("a"), ($"cx" + $"dx").as("nx"),
+            ($"cy" + $"dy").as("ny"))
+          .join(core.select($"cell".as("b"), $"cx".as("nx"),
+            $"cy".as("ny")), Seq("nx", "ny"))
+          .select($"a", $"b")
+        val verts = eSym.select($"a".as("cell")).distinct()
+        graft.ops.MultiBfs
+          .perSourceDistances(eSym, "a", "b", verts, "cell", maxHops = 3)
+          .filter($"dist" > 0)
+          .groupBy($"src")
+          .agg(count(lit(1)).as("n_reach"),
+            sum(expr("1000000 div dist")).as("harm_ppm"))
+          .select($"src".as("cell"), $"n_reach", $"harm_ppm")
+          .orderBy($"cell")
+      },
+      Some(harmonicOracleSql(hops = 3))),
+
+    // ---- 205. windowFunnel — the ClickHouse signature funnel aggregate
+    //          (windowFunnel(W)(ts, s1, s2, s3)): per user, the longest
+    //          prefix of view→click→purchase completed IN ORDER with
+    //          every step inside W of the CHAIN'S FIRST event. q81 is the
+    //          unwindowed firsts-chain; the window anchor changes the
+    //          algorithm entirely — a click only advances the chain if
+    //          some EARLIER view is still "open" (c ≤ v + W), and the
+    //          best anchor for any purchase is the max open-view anchor
+    //          over all preceding clicks (anchors are monotone in scan
+    //          order, so a running MAX suffices — no per-user loop, no
+    //          self-join). Two window passes over (user, ts) order:
+    //          pass 1 carries the latest preceding view, pass 2 the max
+    //          anchored-click view; level is then row-local. All integer
+    //          µs arithmetic; ties broken by event_id both sides. Scale:
+    //          two ROWS-frame windows on one sort of events by (user,
+    //          ts) — the q11/q92 shape, shuffle-partitioned by user. ----
+    QDef("q205_window_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val W = 3600000000L // 1h in µs
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        val prev = Window.partitionBy($"user_id")
+          .orderBy($"ts_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withV = e.withColumn("v_prev",
+          max(when($"event_type" === "view", $"ts_us")).over(prev))
+        val withC = withV.withColumn("c_anchor",
+          max(when($"event_type" === "click" && $"v_prev".isNotNull &&
+            $"ts_us" <= $"v_prev" + W, $"v_prev")).over(prev))
+        withC.groupBy($"user_id").agg(
+          greatest(
+            max(when($"event_type" === "purchase" && $"c_anchor".isNotNull &&
+              $"ts_us" <= $"c_anchor" + W, 3)),
+            max(when($"event_type" === "click" && $"v_prev".isNotNull &&
+              $"ts_us" <= $"v_prev" + W, 2)),
+            max(when($"event_type" === "view", 1)),
+            lit(0)).cast("long").as("level"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |         event_id FROM events),
+        |v AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS v_prev FROM e),
+        |c AS (SELECT *, max(CASE WHEN event_type = 'click'
+        |            AND v_prev IS NOT NULL
+        |            AND ts_us <= v_prev + 3600000000 THEN v_prev END)
+        |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS c_anchor FROM v)
+        |SELECT user_id, CAST(greatest(
+        |    COALESCE(max(CASE WHEN event_type = 'purchase'
+        |        AND c_anchor IS NOT NULL
+        |        AND ts_us <= c_anchor + 3600000000 THEN 3 END), 0),
+        |    COALESCE(max(CASE WHEN event_type = 'click'
+        |        AND v_prev IS NOT NULL
+        |        AND ts_us <= v_prev + 3600000000 THEN 2 END), 0),
+        |    COALESCE(max(CASE WHEN event_type = 'view' THEN 1 END), 0))
+        |  AS BIGINT) AS level
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- 206. peak concurrency (maxIntersections) — per event type, the
+    //          maximum number of simultaneously-open intervals, each event
+    //          opening [ts, ts + value seconds). The sweep line: ±1 deltas
+    //          at interval endpoints, ONE running sum per type partition,
+    //          max of the running sum. Half-open semantics pinned by the
+    //          sort: at equal t the −1 (close) sorts before the +1 (open)
+    //          (d ascending), so back-to-back intervals never double-count
+    //          and zero-length intervals count zero — the tie rule IS the
+    //          [s,e) contract, stated in the ORDER BY both sides. Duration
+    //          µs = floor(value·1e6): one IEEE double multiply + floor,
+    //          bit-identical in both engines (no rounding cast). Scale:
+    //          2|E| delta rows, one shuffle by type, one sort — and the
+    //          per-type running sum is the q148 ECDF shape: when one type
+    //          dominates at 100 TB, swap the window for the range-
+    //          partitioned ops/PrefixSum (same arithmetic, no single-
+    //          partition sort). ----
+    QDef("q206_peak_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val iv = Tables.events(s, dir)
+          .select($"event_type", $"event_id", $"ts_us",
+            ($"ts_us" + floor($"value" * 1e6).cast("long")).as("en_us"))
+        val pts = iv.select($"event_type", $"ts_us".as("t"),
+            lit(1L).as("d"), $"event_id")
+          .unionByName(iv.select($"event_type", $"en_us".as("t"),
+            lit(-1L).as("d"), $"event_id"))
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"t", $"d", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        pts.withColumn("open", sum($"d").over(w))
+          .groupBy($"event_type")
+          .agg(max($"open").as("peak"),
+            (count(lit(1)) / 2).cast("long").as("n_intervals"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH iv AS (SELECT event_type, event_id, epoch_us(ts) AS t,
+        |         epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS en
+        |       FROM events),
+        |pts AS (SELECT event_type, t, CAST(1 AS BIGINT) AS d, event_id FROM iv
+        |        UNION ALL
+        |        SELECT event_type, en, CAST(-1 AS BIGINT), event_id FROM iv),
+        |sw AS (SELECT event_type, sum(d) OVER (PARTITION BY event_type
+        |         ORDER BY t, d, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |       FROM pts)
+        |SELECT event_type, CAST(max(open) AS BIGINT) AS peak,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM sw GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 207. intra-document repetition audit — the Gopher/MassiveText
+    //          repetition filters (Rae et al. 2021 §A1.1): per document,
+    //          the fraction of word bigrams that are repeats (1 −
+    //          distinct/total) and the share of the single most frequent
+    //          bigram. Catches the "lorem lorem lorem" and template-spam
+    //          shapes that per-corpus boilerplate detection (q196, cross-
+    //          doc lines) and exact dedup can't see — repetition is
+    //          WITHIN one row. One explode → one (doc, bigram) count →
+    //          one per-doc roll-up, all combinable; ppm via integer div
+    //          on non-negative counts so truncate-vs-floor never
+    //          diverges. Scale: rows ≤ total tokens; the (doc_id, bigram)
+    //          grouping key is naturally high-cardinality (no skew), and
+    //          nothing is per-corpus — embarrassingly partitionable. ----
+    QDef("q207_repetition_audit",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .filter(size($"toks") > 5)
+        val bg = t.select($"doc_id", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        bg.groupBy($"doc_id")
+          .agg(sum($"c").as("n_bg"), count(lit(1)).as("n_distinct"),
+            max($"c").as("top_c"))
+          .select($"doc_id", $"n_bg",
+            expr("((n_bg - n_distinct) * 1000000) div n_bg").as("dup_ppm"),
+            expr("(top_c * 1000000) div n_bg").as("top_ppm"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks FROM t WHERE len(toks) > 5),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM f, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |       GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |  (CAST(sum(c) - count(*) AS BIGINT) * 1000000)
+        |    // CAST(sum(c) AS BIGINT) AS dup_ppm,
+        |  (CAST(max(c) AS BIGINT) * 1000000)
+        |    // CAST(sum(c) AS BIGINT) AS top_ppm
+        |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

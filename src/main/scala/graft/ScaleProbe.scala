@@ -625,7 +625,9 @@ object ScaleProbe {
       "q167_ppjoin", "q168_shortest_path", "q169_rendezvous_shards",
       "q170_greedy_cover", "q171_sql_recursive", "q172_apriori_triples",
       "q173_max_drawdown", "q174_curation_funnel", "q175_mase_backtest",
-      "q178_weighted_pagerank", "q179_abc_classification")
+      "q178_weighted_pagerank", "q179_abc_classification",
+      "q201_clustering_coefficient", "q202_assortativity", "q203_modularity",
+      "q204_harmonic_centrality")
     // q176_star_join5 is excluded: this replica keeps o_orderkey unshifted
     // (q129's asymmetric fact-grows-dims-don't witness), so a 6-table join
     // here would measure a 10×10 duplicate-orderkey fan-out artifact, not
