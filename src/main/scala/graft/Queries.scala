@@ -8523,7 +8523,181 @@ object Queries {
         |    // CAST(sum(c) AS BIGINT) AS dup_ppm,
         |  (CAST(max(c) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS top_ppm
-        |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- 208. link prediction (resource-allocation index) — for every
+    //          NON-edge pair of the fuzzy dup graph sharing >= 1 common
+    //          neighbor: RA(x,y) = Σ_z 1e9 div deg(z) over common
+    //          neighbors z (Zhou/Lü/Zhang 2009) — the rational cousin of
+    //          Adamic–Adar (1/deg, not 1/ln deg: exact integer parity,
+    //          no transcendental; RA also outperforms AA in the original
+    //          study). The dedup use: rank candidate links the edit-
+    //          distance generator MISSED inside near-dup neighborhoods.
+    //          Wedge enumeration is the q114/q201 shape (Σ deg² on the
+    //          adjacency self-join) with an explicit deg <= 32 center cap
+    //          BOTH sides — hubs are uninformative for RA by definition
+    //          (their contribution → 0) and the cap is the 100 TB bound
+    //          that keeps Σ deg² linear-ish; known edges leave via one
+    //          anti-join. Per-z floor division BEFORE the sum is the
+    //          pinned semantic (deterministic in any engine, order-free
+    //          because addition of exact integers commutes). ----
+    QDef("q208_link_prediction",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        val e = edges
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+        val adj = e.select($"a".as("z"), $"b".as("n"))
+          .unionByName(e.select($"b".as("z"), $"a".as("n")))
+        val deg = adj.groupBy($"z").agg(count(lit(1)).as("deg"))
+        val centers = adj.join(deg.filter($"deg" <= 32), "z")
+          .withColumn("w", expr("1000000000 div deg"))
+        val wedges = centers.select($"z", $"n".as("x"), $"w")
+          .join(centers.select($"z", $"n".as("y")), "z")
+          .filter($"x" < $"y")
+        wedges
+          .join(e, wedges("x") === e("a") && wedges("y") === e("b"),
+            "left_anti")
+          .groupBy($"x", $"y")
+          .agg(sum($"w").as("ra_ppb"), count(lit(1)).as("n_common"))
+          .orderBy($"x", $"y")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |e AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.s, b.s) <= 1),
+        |adj AS (SELECT a AS z, b AS n FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |d AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+        |ctr AS (SELECT adj.z, adj.n, 1000000000 // d.deg AS w
+        |        FROM adj JOIN d ON adj.z = d.z WHERE d.deg <= 32),
+        |wg AS (SELECT l.z, l.n AS x, r.n AS y, l.w
+        |       FROM ctr l JOIN ctr r ON l.z = r.z AND l.n < r.n)
+        |SELECT x, y, CAST(sum(w) AS BIGINT) AS ra_ppb,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM wg WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.a = wg.x AND e.b = wg.y)
+        |GROUP BY x, y ORDER BY x, y""".stripMargin)),
+
+    // ---- 209. Theil–Sen robust trend — per event type, the median of
+    //          all pairwise slopes of the daily-revenue series (Sen 1968;
+    //          29% breakdown point vs OLS's zero — q126's robust
+    //          complement, immune to the spike days q210 flags). Exact-
+    //          parity device: slopes are integer-scaled with the sign
+    //          split out (sign·(|Δcents|·1e6 div Δdays) — Spark div
+    //          truncates toward zero, DuckDB // floors, so ABS-then-
+    //          divide is the only portable form), and "median" is pinned
+    //          to the LOWER median (row (n+1) div 2 in (slope, d1, d2)
+    //          order — total order, no ties ambiguity). Scale: the pair
+    //          enumeration is quadratic in DAYS, not rows — the facts
+    //          collapse to a calendar grid first (the q164 device), and a
+    //          calendar is bounded by wall-clock time, not data volume:
+    //          10 years × 5 types = 6.7M pairs, a footnote. ----
+    QDef("q209_theil_sen",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            floor($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"d").agg(sum($"cents").as("y"))
+        val l = daily.select($"event_type", $"d".as("d1"), $"y".as("y1"))
+        val r = daily.select($"event_type", $"d".as("d2"), $"y".as("y2"))
+        val slopes = l.join(r, Seq("event_type")).filter($"d1" < $"d2")
+          .select($"event_type", $"d1", $"d2",
+            (signum($"y2" - $"y1").cast("long") *
+              expr("(abs(y2 - y1) * 1000000) div (d2 - d1)")).as("sl"))
+        val w = Window.partitionBy($"event_type").orderBy($"sl", $"d1", $"d2")
+        slopes
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_pairs",
+            count(lit(1)).over(Window.partitionBy($"event_type")))
+          .filter($"rn" === expr("(n_pairs + 1) div 2"))
+          .select($"event_type", $"n_pairs", $"sl".as("ts_slope_scaled"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT l.event_type, l.d AS d1, r.d AS d2,
+        |    CAST(sign(r.y - l.y) AS BIGINT) *
+        |      ((abs(r.y - l.y) * 1000000) // (r.d - l.d)) AS sl
+        |  FROM daily l JOIN daily r
+        |    ON l.event_type = r.event_type AND l.d < r.d),
+        |rk AS (SELECT event_type, sl,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY sl, d1, d2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM sl)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  sl AS ts_slope_scaled
+        |FROM rk WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- 210. MAD outlier days — robust spike detection on the daily
+    //          event-count series: flag days where |x − median| > 3·MAD
+    //          (median absolute deviation; the robust z-score of
+    //          Iglewicz–Hoaglin, breakdown 50% where stddev-based
+    //          3σ has 0% — one spike inflates σ enough to hide itself,
+    //          which is exactly the q120 burst detector's blind spot
+    //          this complements). Counts are integers, both medians are
+    //          pinned LOWER medians (q209's row-pick device), and the
+    //          3·MAD threshold compares integers — no division anywhere,
+    //          so the whole query is exact in any engine. Scale: two
+    //          median picks + one flag pass over the per-type calendar
+    //          grid (bounded by wall-clock); the only shuffles are by
+    //          event_type over day-grid rows. ----
+    QDef("q210_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("n"))
+        def lowerMedian(df: DataFrame, valCol: String, outCol: String) = {
+          val w = Window.partitionBy($"event_type")
+            .orderBy(col(valCol), $"d")
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("cnt",
+              count(lit(1)).over(Window.partitionBy($"event_type")))
+            .filter($"rn" === expr("(cnt + 1) div 2"))
+            .select($"event_type", col(valCol).as(outCol))
+        }
+        val med = lowerMedian(daily, "n", "med")
+        val dev = daily.join(med, "event_type")
+          .withColumn("dev", abs($"n" - $"med"))
+        val mad = lowerMedian(dev, "dev", "mad")
+        dev.join(mad, "event_type")
+          .filter($"dev" > lit(3) * $"mad")
+          .select($"event_type", $"d", $"n", $"med", $"mad", $"dev")
+          .orderBy($"event_type", $"d")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m1 AS (SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n, d,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n, d) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM daily) WHERE rn = (cnt + 1) // 2),
+        |dv AS (SELECT daily.event_type, d, n, med, abs(n - med) AS dev
+        |       FROM daily JOIN m1 ON daily.event_type = m1.event_type),
+        |m2 AS (SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, d,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY dev, d) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dv) WHERE rn = (cnt + 1) // 2)
+        |SELECT dv.event_type, d, n, med, mad, dev
+        |FROM dv JOIN m2 ON dv.event_type = m2.event_type
+        |WHERE dev > 3 * mad
+        |ORDER BY dv.event_type, d""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
