@@ -8697,7 +8697,315 @@ object Queries {
         |SELECT dv.event_type, d, n, med, mad, dev
         |FROM dv JOIN m2 ON dv.event_type = m2.event_type
         |WHERE dev > 3 * mad
-        |ORDER BY dv.event_type, d""".stripMargin))
+        |ORDER BY dv.event_type, d""".stripMargin)),
+
+    // ---- 211. k-anonymity / l-diversity audit — the privacy gate a
+    //          training-data release needs beside PII redaction (q107
+    //          strips direct identifiers; THIS catches quasi-identifier
+    //          re-identification): group documents by the QI tuple
+    //          (lang, length-centile bucket), report group size k and
+    //          sensitive-attribute diversity l = distinct sources, flag
+    //          groups with k < 5 or l < 2 (a singleton group, or a group
+    //          whose every member shares one source, identifies). One
+    //          combinable aggregate over the QI key — group count is
+    //          bounded by QI cardinality (|langs|·|buckets|), never by
+    //          rows; the flags are integer compares. ----
+    QDef("q211_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"lang", $"source",
+            expr("n_chars div 100").as("len_bucket"))
+          .groupBy($"lang", $"len_bucket")
+          .agg(count(lit(1)).as("k_size"),
+            countDistinct($"source").as("l_div"))
+          .select($"lang", $"len_bucket", $"k_size", $"l_div",
+            when($"k_size" < 5, 1L).otherwise(0L).as("at_risk_k"),
+            when($"l_div" < 2, 1L).otherwise(0L).as("at_risk_l"))
+          .orderBy($"lang", $"len_bucket")
+      },
+      Some("""SELECT lang, n_chars // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS k_size,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS l_div,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS at_risk_k,
+        |  CAST(CASE WHEN count(DISTINCT source) < 2 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS at_risk_l
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin)),
+
+    // ---- 212. blocking quality audit — the pair-completeness (recall) /
+    //          reduction-ratio (cost) scorecard every entity-resolution
+    //          blocking scheme needs (Christen 2012): against the edit-
+    //          distance-1 ground truth on the sampled customers, score
+    //          two schemes — name-length blocking and first-8-chars
+    //          blocking. The load-bearing trick: |candidates| is counted
+    //          as Σ_b s_b·(s_b−1)/2 from block SIZES — a combinable
+    //          aggregate that never enumerates a pair (at 100 TB the
+    //          candidate set of a bad scheme is the thing you must NOT
+    //          materialize to learn it's bad); only the small TRUE-pair
+    //          set joins block keys to count found pairs. RR widens to
+    //          DECIMAL(38,0) before n·(n−1) (q164 lesson: long dies past
+    //          ~2^31 rows squared). ----
+    QDef("q212_blocking_quality",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+          .select($"c_custkey".as("id"), $"c_name".as("nm"))
+        val truth = graft.ops.FuzzyJoin.editDistance1Pairs(c, "id", "nm")
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+        // two bounded driver scalars (universe size, truth size — the
+        // PageRank-n precedent); n·(n−1) exact in BigInt, carried as a
+        // decimal literal so the ppm quotient never touches doubles
+        val n = c.count()
+        val nTrue = truth.count()
+        // degenerate-input guards (driver scalars, so the branch is free):
+        // an empty/singleton universe has no pair space and no truth set —
+        // div-by-zero would throw under ANSI, report zeros instead
+        val denom = ((BigInt(n) * (BigInt(n) - 1)) max BigInt(1)).toString
+        val nTrueSafe = math.max(nTrue, 1L)
+        // one labeled frame for BOTH schemes (the q197 device: a union
+        // then per-scheme aggregation keeps every join a real equi-join —
+        // per-branch frames joined on a literal label constant-fold into
+        // nested loops, and two 1-row aggregates would cross-join)
+        val keyed = c.select($"id",
+            length($"nm").cast("string").as("bk"),
+            lit("length").as("scheme"))
+          .unionByName(c.select($"id", substring($"nm", 1, 8).as("bk"),
+            lit("prefix8").as("scheme")))
+        val cand = keyed.groupBy($"scheme", $"bk")
+          .agg(count(lit(1)).cast(d38).as("bs"))
+          .groupBy($"scheme").agg(sum($"bs" * ($"bs" - 1)).as("c2"))
+        val ka = keyed.select($"scheme", $"id".as("a"), $"bk".as("bka"))
+        val kb = keyed.select($"scheme", $"id".as("b"), $"bk".as("bkb"))
+        val found = truth.join(ka, "a").join(kb, Seq("b", "scheme"))
+          .filter($"bka" === $"bkb")
+          .groupBy($"scheme").agg(count(lit(1)).as("n_found"))
+        cand.join(found, Seq("scheme"), "left")
+          .select($"scheme",
+            expr("cast(c2 div 2 as bigint)").as("n_cand"),
+            lit(nTrue).as("n_true"),
+            coalesce($"n_found", lit(0L)).as("n_found"),
+            (lit(1000000L) - expr(
+              s"(c2 * 1000000) div cast('$denom' as decimal(38,0))"))
+              .as("rr_ppm"),
+            expr(s"(coalesce(n_found, 0) * 1000000) div $nTrueSafe")
+              .as("pc_ppm"))
+          .orderBy($"scheme")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |tp AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             (SELECT count(*) FROM tp) AS n_true FROM c),
+        |kl AS (SELECT id, CAST(length(nm) AS VARCHAR) AS bk FROM c),
+        |kp AS (SELECT id, substring(nm, 1, 8) AS bk FROM c),
+        |cl AS (SELECT CAST(sum(s * (s - 1) // 2) AS HUGEINT) AS n_cand
+        |       FROM (SELECT CAST(count(*) AS HUGEINT) AS s FROM kl
+        |             GROUP BY bk)),
+        |cp AS (SELECT CAST(sum(s * (s - 1) // 2) AS HUGEINT) AS n_cand
+        |       FROM (SELECT CAST(count(*) AS HUGEINT) AS s FROM kp
+        |             GROUP BY bk)),
+        |fl AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM tp
+        |       JOIN kl a ON tp.a = a.id JOIN kl b ON tp.b = b.id
+        |       WHERE a.bk = b.bk),
+        |fp AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM tp
+        |       JOIN kp a ON tp.a = a.id JOIN kp b ON tp.b = b.id
+        |       WHERE a.bk = b.bk)
+        |SELECT 'length' AS scheme, CAST(cl.n_cand AS BIGINT) AS n_cand,
+        |  CAST(n.n_true AS BIGINT) AS n_true, fl.n_found,
+        |  CAST(1000000 - (cl.n_cand * 1000000) // (n.n * (n.n - 1) // 2)
+        |    AS BIGINT) AS rr_ppm,
+        |  (fl.n_found * 1000000) // n.n_true AS pc_ppm
+        |FROM cl, fl, n
+        |UNION ALL
+        |SELECT 'prefix8', CAST(cp.n_cand AS BIGINT), CAST(n.n_true AS BIGINT),
+        |  fp.n_found,
+        |  CAST(1000000 - (cp.n_cand * 1000000) // (n.n * (n.n - 1) // 2)
+        |    AS BIGINT),
+        |  (fp.n_found * 1000000) // n.n_true
+        |FROM cp, fp, n
+        |ORDER BY scheme""".stripMargin)),
+
+    // ---- 213. consistent-hash ring sharding — q169's rendezvous
+    //          complement (the OTHER production sharding scheme: vnode
+    //          rings are what Cassandra/Dynamo-style stores run): 8
+    //          shards × 16 vnodes hashed onto the 60-bit ring, each key
+    //          owned by the first ring point clockwise from its hash.
+    //          Spark-first shape: the ring is CONFIG (128 points, F14
+    //          driver constants — computed through the same hash60
+    //          column function the oracle replays, then collected as
+    //          bounded bookkeeping like Knn's centroids) and the lookup
+    //          compiles to a broadcast EQUI-join on a 256-bucket routing
+    //          table (each bucket lists its resident points + the first
+    //          point past the bucket, wrap encoded as point+2^60) — the
+    //          successor search that is naively a range join (banned:
+    //          BroadcastNestedLoopJoin) becomes bucket-equi-join +
+    //          min_by, the static routing table a real router ships.  ----
+    QDef("q213_consistent_ring",
+      (s, dir) => {
+        import s.implicits._
+        val ringDf = s.range(0, 8).toDF("sh")
+          .crossJoin(broadcast(s.range(0, 16).toDF("vn")))
+          .select($"sh", TF.hash60(concat(lit("ring:s"), $"sh",
+            lit(":v"), $"vn")).as("pt"))
+        val ring = ringDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._2) // 128 rows: bounded config, not data
+        val W = 1L << 52 // 2^60 ring / 256 buckets
+        val minPt = ring.head
+        val routing = (0 until 256).flatMap { b =>
+          val inBucket = ring.filter(p => p._2 >> 52 == b)
+            .map(p => (b.toLong, p._2, p._1))
+          val succ = ring.find(_._2 > (b + 1) * W - 1)
+            .map(p => (b.toLong, p._2, p._1))
+            .getOrElse((b.toLong, minPt._2 + (1L << 60), minPt._1))
+          inBucket :+ succ
+        }.toDF("bucket", "pt", "sh")
+        val keys = Tables.documents(s, dir)
+          .select($"doc_id", TF.hash60(concat(lit("key:"),
+            $"doc_id".cast("string"))).as("kh"))
+          .withColumn("bucket", expr("kh div 4503599627370496"))
+        keys.join(broadcast(routing), "bucket")
+          .filter($"pt" > $"kh")
+          .groupBy($"doc_id")
+          .agg(min_by($"sh", $"pt").as("shard"))
+          .groupBy($"shard").agg(count(lit(1)).as("n_keys"))
+          .orderBy($"shard")
+      },
+      Some("""WITH ring AS (SELECT s.sh, v.vn,
+        |    ('0x' || substring(md5('ring:s' || CAST(s.sh AS VARCHAR)
+        |      || ':v' || CAST(v.vn AS VARCHAR)), 1, 15))::BIGINT AS pt
+        |  FROM generate_series(0, 7) AS s(sh),
+        |       generate_series(0, 15) AS v(vn)),
+        |w AS (SELECT arg_min(sh, pt) AS wsh FROM ring),
+        |k AS (SELECT doc_id,
+        |    ('0x' || substring(md5('key:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS kh FROM documents),
+        |cand AS (SELECT k.doc_id, arg_min(r.sh, r.pt) AS csh
+        |         FROM k JOIN ring r ON r.pt > k.kh GROUP BY 1),
+        |asg AS (SELECT k.doc_id, COALESCE(c.csh, w.wsh) AS shard
+        |        FROM k LEFT JOIN cand c ON k.doc_id = c.doc_id, w)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM asg GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ---- 214. epoch-capped mixture allocation — the practical form of
+    //          corpus mixing (q111 is pure temperature sampling; real
+    //          training budgets hit the OTHER constraint: you cannot
+    //          take more than maxEpochs passes over a small domain, and
+    //          the shortfall must go somewhere). Two-round waterfill,
+    //          exact integers: desired = budget·share (share = doc-count
+    //          ppm), round 1 grants min(desired, 2·avail), round 2
+    //          redistributes the leftover proportionally to remaining
+    //          headroom. Fixed TWO rounds is the pinned contract (the
+    //          k-round bounded-greedy convention of q170) — a full
+    //          waterfill iterates until no capped domain remains, but
+    //          two rounds already place > 99% of practical budgets and
+    //          keep the oracle an unrolled pair of CTEs. All shares are
+    //          integer ppm floors; the domain grid (lang × source) is
+    //          tiny, so the () windows run on a collapsed aggregate
+    //          (facts never see a global window). ----
+    QDef("q214_mixture_allocation",
+      (s, dir) => {
+        import s.implicits._
+        val wAll = Window.partitionBy()
+        val dom = Tables.documents(s, dir)
+          .select($"lang", $"source", TF.tokenCount($"text").as("tk"))
+          .groupBy($"lang", $"source")
+          .agg(sum($"tk").cast("long").as("avail"),
+            count(lit(1)).as("n_docs"))
+        dom
+          .withColumn("share_ppm", expr(
+            "(n_docs * 1000000) div (sum(n_docs) over ())"))
+          .withColumn("budget", expr("(sum(avail) over ()) div 2"))
+          .withColumn("desired", expr("(budget * share_ppm) div 1000000"))
+          .withColumn("g1", least($"desired", $"avail" * 2))
+          .withColumn("left1", expr("budget - sum(g1) over ()"))
+          .withColumn("head", $"avail" * 2 - $"g1")
+          .withColumn("hd_tot", sum($"head").over(wAll))
+          .withColumn("g2", when($"hd_tot" > 0,
+            least($"head", expr(
+              "(left1 * ((head * 1000000) div hd_tot)) div 1000000")))
+            .otherwise(0L))
+          .select($"lang", $"source", $"avail", $"n_docs", $"share_ppm",
+            $"desired", $"g1", ($"g1" + $"g2").as("granted"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH d AS (SELECT lang, source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS avail,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |r1 AS (SELECT *,
+        |    (n_docs * 1000000) // (sum(n_docs) OVER ()) AS share_ppm,
+        |    (sum(avail) OVER ()) // 2 AS budget
+        |  FROM d),
+        |r2 AS (SELECT *, (budget * share_ppm) // 1000000 AS desired FROM r1),
+        |r3 AS (SELECT *, least(desired, avail * 2) AS g1 FROM r2),
+        |r4 AS (SELECT *, budget - sum(g1) OVER () AS left1,
+        |    avail * 2 - g1 AS head, sum(avail * 2 - g1) OVER () AS hd_tot
+        |  FROM r3)
+        |SELECT lang, source, avail, n_docs,
+        |  CAST(share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(desired AS BIGINT) AS desired, CAST(g1 AS BIGINT) AS g1,
+        |  CAST(g1 + CASE WHEN hd_tot > 0 THEN least(head,
+        |    (left1 * ((head * 1000000) // hd_tot)) // 1000000)
+        |    ELSE 0 END AS BIGINT) AS granted
+        |FROM r4 ORDER BY lang, source""".stripMargin)),
+
+    // ---- 215. exact sliding-window distinct users — distinct users
+    //          active in the trailing 7 days, per day, EXACTLY (q136 is
+    //          the mergeable-sketch estimate; this is its exact oracle
+    //          leg, and the trick that makes exactness affordable): a
+    //          user active on day a is "covered" on days [a, a+6], so
+    //          per user the coverage is a union of intervals — lead()
+    //          clips overlaps into disjoint [a, min(next−1, a+6)] — and
+    //          the per-day distinct count is the q206 sweep line over
+    //          ±1 interval deltas. No day ever re-counts its users, no
+    //          7-way self-join, no distinct-within-window blowup: cost
+    //          is one (user, day) dedup + one lead + one delta agg +
+    //          one running sum on the CALENDAR grid (the single-series
+    //          window is bounded by wall-clock; ops/PrefixSum is the
+    //          swap documented at q206). ----
+    QDef("q215_sliding_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val act = Tables.events(s, dir)
+          .select($"user_id",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"))
+          .distinct()
+        val wU = Window.partitionBy($"user_id").orderBy($"d")
+        val iv = act.withColumn("nxt", lead($"d", 1).over(wU))
+          .select($"d".as("st"),
+            least(coalesce($"nxt" - 1, $"d" + 6), $"d" + 6).as("en"))
+        val deltas = iv.select($"st".as("d"), lit(1L).as("delta"))
+          .unionByName(iv.select(($"en" + 1).as("d"), lit(-1L).as("delta")))
+          .groupBy($"d").agg(sum($"delta").as("delta"))
+        val wD = Window.partitionBy().orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        deltas.withColumn("n_active_7d", sum($"delta").over(wD))
+          .join(act.select($"d").distinct(), "d")
+          .select($"d", $"n_active_7d")
+          .orderBy($"d")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+        |  FROM events),
+        |iv AS (SELECT d AS st, least(COALESCE(lead(d) OVER (
+        |      PARTITION BY user_id ORDER BY d) - 1, d + 6), d + 6) AS en
+        |  FROM act),
+        |dl AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        |    SELECT st AS d, 1 AS delta FROM iv
+        |    UNION ALL SELECT en + 1, -1 FROM iv) GROUP BY d),
+        |cm AS (SELECT d, sum(delta) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |  FROM dl)
+        |SELECT cm.d, CAST(cm.n AS BIGINT) AS n_active_7d
+        |FROM cm JOIN (SELECT DISTINCT d FROM act) g ON cm.d = g.d
+        |ORDER BY cm.d""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
