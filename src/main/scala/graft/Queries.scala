@@ -9005,7 +9005,249 @@ object Queries {
         |  FROM dl)
         |SELECT cm.d, CAST(cm.n AS BIGINT) AS n_active_7d
         |FROM cm JOIN (SELECT DISTINCT d FROM act) g ON cm.d = g.d
-        |ORDER BY cm.d""".stripMargin))
+        |ORDER BY cm.d""".stripMargin)),
+
+    // ---- 216. hashed n-gram importance scoring — the DSIR shape (Xie
+    //          et al. 2023: Data Selection via Importance Resampling)
+    //          made exact-rational: score each document for "how much
+    //          more target-like than raw-like" by a linear score over
+    //          1024 hashed-bigram buckets, Σ_g c_g(doc)·(pT_ppm(g) −
+    //          pR_ppm(g)). DSIR's log-likelihood-ratio weights would
+    //          drag in libm (the q142 lesson); the difference-of-
+    //          probabilities linear score keeps the ranking monotone in
+    //          the same signal and every term an integer. Shape: bucket
+    //          stats are TWO 1024-row broadcast dims built by one
+    //          combinable count each (target = 'en' docs, raw = rest);
+    //          per-doc features are one explode + one (doc, bucket)
+    //          count; the score is one broadcast-join + combinable sum.
+    //          Nothing corpus-global touches a row twice. ----
+    QDef("q216_importance_score",
+      (s, dir) => {
+        import s.implicits._
+        val bg = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
+          .filter(size($"toks") > 1)
+          .select($"doc_id", $"lang", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+          .select($"doc_id", $"lang",
+            pmod(TF.hash60($"g"), lit(1024L)).as("b"))
+        val stats = bg.groupBy($"b").agg(
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("cr"))
+        // two bounded driver scalars; empty-corpus degen → sums are null
+        val tot = stats.agg(sum($"ct"), sum($"cr")).head()
+        val totT = if (tot.isNullAt(0)) 1L else math.max(tot.getLong(0), 1L)
+        val totR = if (tot.isNullAt(1)) 1L else math.max(tot.getLong(1), 1L)
+        val probs = stats.select($"b",
+          (expr(s"(ct * 1000000) div $totT") -
+            expr(s"(cr * 1000000) div $totR")).as("w"))
+        bg.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+          .join(broadcast(probs), "b")
+          .groupBy($"doc_id")
+          .agg(sum($"c" * $"w").as("score"), sum($"c").as("n_bg"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 15))
+        |      ::BIGINT % 1024 AS b
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) > 1),
+        |st AS (SELECT b,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM bg GROUP BY b),
+        |tt AS (SELECT greatest(sum(ct), 1) AS tot_t,
+        |              greatest(sum(cr), 1) AS tot_r FROM st),
+        |pw AS (SELECT b, (ct * 1000000) // tt.tot_t
+        |              - (cr * 1000000) // tt.tot_r AS w FROM st, tt),
+        |f AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |      FROM bg GROUP BY 1, 2)
+        |SELECT f.doc_id, CAST(sum(f.c * pw.w) AS BIGINT) AS score,
+        |  CAST(sum(f.c) AS BIGINT) AS n_bg
+        |FROM f JOIN pw ON f.b = pw.b
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
+
+    // ---- 217. smoothed bigram fluency — a rational-arithmetic fluency
+    //          score where q97's unigram perplexity needs ln: per doc,
+    //          the MEAN add-one-smoothed transition probability
+    //          P(w2|w1) = (c12+1)/(c1+V) in ppm, floored per slot then
+    //          averaged (arithmetic mean of transition probabilities —
+    //          monotone in the same fluency signal as the geometric
+    //          mean, zero transcendentals, so the oracle replays under
+    //          the exact hash gate). Corpus LM = one bigram count + one
+    //          unigram count (combinable); V is a bounded scalar; each
+    //          doc slot scores by TWO broadcastable equi-joins (bigram,
+    //          then its left unigram). 100 TB: both count dims shuffle
+    //          once; the df-cut/top-V vocabulary device (q65) bounds
+    //          them if the raw vocabulary explodes. ----
+    QDef("q217_bigram_fluency",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+        val uni = toks.select(explode($"toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+        val v = uni.count() // vocabulary size: one bounded scalar
+        val slots = toks.filter(size($"toks") > 1)
+          .select($"doc_id", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("s"))
+          .select($"doc_id", $"s.w1", $"s.w2")
+        val bi = slots.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        slots
+          .join(bi, Seq("w1", "w2"))
+          .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+          .select($"doc_id",
+            expr(s"((c12 + 1) * 1000000) div (c1 + $v)").as("p_ppm"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_slots"),
+            expr("sum(p_ppm) div count(1)").as("fluency_ppm"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM
+        |    (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |sl AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) > 1),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM sl GROUP BY 1, 2)
+        |SELECT sl.doc_id, CAST(count(*) AS BIGINT) AS n_slots,
+        |  CAST(sum(((bi.c12 + 1) * 1000000) // (uni.c1 + v.v))
+        |    // count(*) AS BIGINT) AS fluency_ppm
+        |FROM sl JOIN bi ON sl.w1 = bi.w1 AND sl.w2 = bi.w2
+        |     JOIN uni ON sl.w1 = uni.w, v
+        |GROUP BY sl.doc_id ORDER BY sl.doc_id""".stripMargin)),
+
+    // ---- 218. winsorized mean — the robust location estimate that
+    //          completes the q210 family (MAD flags the spikes;
+    //          winsorizing DE-FANGS them without discarding rows, the
+    //          convention for revenue metrics where trimming loses
+    //          real money): per event type, clamp value-cents to the
+    //          exact [P5, P95] order statistics, then mean. The
+    //          percentile picks are pinned row-number picks (lo rank =
+    //          ceil(n/20) in total (cents, event_id) order — the q209
+    //          lower-median device generalized), so both engines land
+    //          on the same row, not on interpolated doubles. One sort
+    //          per type for ranks, one 5-row bound dim joined back,
+    //          one combinable clamped sum; mean in µcents by integer
+    //          div. ----
+    QDef("q218_winsorized_mean",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type", $"event_id",
+            floor($"value" * 100).cast("long").as("cents"))
+        val wr = Window.partitionBy($"event_type")
+          .orderBy($"cents", $"event_id")
+        val ranked = e.withColumn("rn", row_number().over(wr))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy($"event_type")))
+          .withColumn("lo_rank", expr("(n + 19) div 20"))
+        val bounds = ranked
+          .filter($"rn" === $"lo_rank" || $"rn" === $"n" + 1 - $"lo_rank")
+          .groupBy($"event_type")
+          .agg(min($"cents").as("lo"), max($"cents").as("hi"))
+        e.join(bounds, "event_type")
+          .select($"event_type",
+            least(greatest($"cents", $"lo"), $"hi").as("wc"),
+            $"lo", $"hi")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min($"lo").as("lo_cents"),
+            max($"hi").as("hi_cents"), sum($"wc").as("wins_sum_cents"))
+          .withColumn("wins_mean_ucents",
+            expr("(wins_sum_cents * 1000000) div n"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cents, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |b AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+        |      FROM r WHERE rn = (n + 19) // 20
+        |         OR rn = n + 1 - (n + 19) // 20
+        |      GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(b.lo) AS lo_cents, max(b.hi) AS hi_cents,
+        |  CAST(sum(least(greatest(e.cents, b.lo), b.hi)) AS BIGINT)
+        |    AS wins_sum_cents,
+        |  CAST((sum(least(greatest(e.cents, b.lo), b.hi)) * 1000000)
+        |    // count(*) AS BIGINT) AS wins_mean_ucents
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // ---- 219. FIFO lot matching — the inventory/trade-accounting
+    //          operator (every ClickHouse-adjacent finance shop runs
+    //          this): match outflows to inflows first-in-first-out and
+    //          report how much of each receipt each issue consumed.
+    //          The declarative form — FIFO is NOT a loop: inflow i
+    //          occupies [cum_{i−1}, cum_i) on the part's cumulative-
+    //          quantity axis, outflow j occupies its own cumulative
+    //          interval, and the matched quantity is the OVERLAP
+    //          length — turns sequential lot-walking into two per-key
+    //          running sums + one equi-join on the key with an overlap
+    //          residual. Quantities in exact cents (decimal×100 →
+    //          long). Scale: the join fans out only within a part
+    //          (receipts×issues per key, bounded by per-key activity);
+    //          the windows are per-key sorts — no global anything. ----
+    QDef("q219_fifo_matching",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .filter($"l_partkey" % 50 === 0)
+          .select($"l_partkey".as("pk"), $"l_orderkey".as("ok"),
+            $"l_linenumber".as("ln"), $"l_returnflag",
+            ($"l_quantity" * 100).cast("long").as("q"),
+            $"l_shipdate".as("sd"))
+        def cum(df: DataFrame) = {
+          val w = Window.partitionBy($"pk").orderBy($"sd", $"ok", $"ln")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          df.withColumn("hi", sum($"q").over(w))
+            .withColumn("lo", $"hi" - $"q")
+        }
+        val ins = cum(li.filter($"l_returnflag" =!= "R"))
+          .select($"pk", $"ok".as("in_ok"), $"ln".as("in_ln"),
+            $"lo".as("ilo"), $"hi".as("ihi"))
+        val outs = cum(li.filter($"l_returnflag" === "R"))
+          .select($"pk", $"ok".as("out_ok"), $"ln".as("out_ln"),
+            $"lo".as("olo"), $"hi".as("ohi"))
+        ins.join(outs, "pk")
+          .filter($"ilo" < $"ohi" && $"olo" < $"ihi")
+          .select($"pk", $"in_ok", $"in_ln", $"out_ok", $"out_ln",
+            (least($"ihi", $"ohi") - greatest($"ilo", $"olo"))
+              .as("matched_c"))
+          .orderBy($"pk", $"in_ok", $"in_ln", $"out_ok", $"out_ln")
+      },
+      Some("""WITH li AS (SELECT l_partkey AS pk, l_orderkey AS ok,
+        |    l_linenumber AS ln, l_returnflag,
+        |    CAST(l_quantity * 100 AS BIGINT) AS q, l_shipdate AS sd
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |i AS (SELECT pk, ok AS in_ok, ln AS in_ln,
+        |    sum(q) OVER w - q AS ilo, sum(q) OVER w AS ihi
+        |  FROM li WHERE l_returnflag <> 'R'
+        |  WINDOW w AS (PARTITION BY pk ORDER BY sd, ok, ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |o AS (SELECT pk, ok AS out_ok, ln AS out_ln,
+        |    sum(q) OVER w - q AS olo, sum(q) OVER w AS ohi
+        |  FROM li WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY pk ORDER BY sd, ok, ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT i.pk, in_ok, in_ln, out_ok, out_ln,
+        |  CAST(least(ihi, ohi) - greatest(ilo, olo) AS BIGINT)
+        |    AS matched_c
+        |FROM i JOIN o ON i.pk = o.pk
+        |WHERE ilo < ohi AND olo < ihi
+        |ORDER BY i.pk, in_ok, in_ln, out_ok, out_ln""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
