@@ -8440,11 +8440,14 @@ object Queries {
     //          [s,e) contract, stated in the ORDER BY both sides. Duration
     //          µs = floor(value·1e6): one IEEE double multiply + floor,
     //          bit-identical in both engines (no rounding cast). Scale:
-    //          2|E| delta rows, one shuffle by type, one sort — and the
-    //          per-type running sum is the q148 ECDF shape: when one type
-    //          dominates at 100 TB, swap the window for the range-
-    //          partitioned ops/PrefixSum (same arithmetic, no single-
-    //          partition sort). ----
+    //          2|E| delta rows, one shuffle by type, one sort — the
+    //          running sum runs on the range-partitioned ops/PrefixSum
+    //          (the q148 ECDF shape), not a per-type window: one task
+    //          per type serializes the whole sweep on a handful of
+    //          cores (measured: window form 3.84 s at the 10× probe —
+    //          5 types = 5 tasks on 32 cores — PrefixSum form 3.00 s,
+    //          and the gap is the whole cliff when one type dominates
+    //          at 100 TB). ----
     QDef("q206_peak_concurrency",
       (s, dir) => {
         import s.implicits._
@@ -8455,10 +8458,14 @@ object Queries {
             lit(1L).as("d"), $"event_id")
           .unionByName(iv.select($"event_type", $"en_us".as("t"),
             lit(-1L).as("d"), $"event_id"))
-        val w = Window.partitionBy($"event_type")
-          .orderBy($"t", $"d", $"event_id")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        pts.withColumn("open", sum($"d").over(w))
+        // running sum via the range-partitioned PrefixSum, NOT a window:
+        // a per-type window is one task per event type — the 10× probe
+        // measured 6.7× wall (5 types = 5 tasks on 32 cores) before this
+        // swap, the single-dominant-partition pathology the op exists for
+        graft.ops.PrefixSum.withRunningSum(pts,
+            groupCols = Seq("event_type"),
+            orderCols = Seq("t", "d", "event_id"),
+            valueCol = "d", outCol = "open")
           .groupBy($"event_type")
           .agg(max($"open").as("peak"),
             (count(lit(1)) / 2).cast("long").as("n_intervals"))
@@ -9247,7 +9254,168 @@ object Queries {
         |    AS matched_c
         |FROM i JOIN o ON i.pk = o.pk
         |WHERE ilo < ohi AND olo < ihi
-        |ORDER BY i.pk, in_ok, in_ln, out_ok, out_ln""".stripMargin))
+        |ORDER BY i.pk, in_ok, in_ln, out_ok, out_ln""".stripMargin)),
+
+    // ---- 220. k-truss (k=4, two peel rounds) — the edge-grained
+    //          cohesion filter the vertex tiers can't express (k-core
+    //          q181 peels on DEGREE — a star hub survives; a truss
+    //          demands every edge sit in ≥ k−2 triangles, so only
+    //          mutually-confirming cluster edges remain: the strongest
+    //          "these dups are real" evidence short of clique-finding).
+    //          Per-edge support via Triangles.perEdgeSupport (degree-
+    //          ordered enumeration, O(m^1.5) wedges — same cost model
+    //          as q114, now grouped by edge); TWO unrolled peel rounds
+    //          is the pinned contract (the q134/q178 fixed-round
+    //          convention: full peeling iterates to a fixpoint, the
+    //          oracle replays each round as CTEs — id-ordered there,
+    //          degree-ordered here, same triangle set either way).
+    //          Each round: one support computation + one semi-join. ----
+    QDef("q220_ktruss",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        val e0 = edges
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+        val s1 = graft.ops.Triangles.perEdgeSupport(e0, "a", "b")
+        val e1 = e0.join(s1.filter($"support" >= 2), Seq("a", "b"),
+          "left_semi")
+        graft.ops.Triangles.perEdgeSupport(e1, "a", "b")
+          .filter($"support" >= 2)
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |e0 AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.s, b.s) <= 1),
+        |t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |s1 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+        |      SELECT x AS a, y AS b FROM t1
+        |      UNION ALL SELECT x, z FROM t1
+        |      UNION ALL SELECT y, z FROM t1) GROUP BY 1, 2),
+        |e1 AS (SELECT e0.a, e0.b FROM e0 JOIN s1
+        |      ON e0.a = s1.a AND e0.b = s1.b WHERE s1.support >= 2),
+        |t2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e1 JOIN e1 e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e1 e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |s2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+        |      SELECT x AS a, y AS b FROM t2
+        |      UNION ALL SELECT x, z FROM t2
+        |      UNION ALL SELECT y, z FROM t2) GROUP BY 1, 2)
+        |SELECT a, b, support FROM s2 WHERE support >= 2
+        |ORDER BY a, b""".stripMargin)),
+
+    // ---- 221. nearest-event join — the BIDIRECTIONAL as-of: align
+    //          each purchase with the temporally NEAREST error of the
+    //          same user (either direction; ties to the earlier one) —
+    //          the incident-attribution join ("which fault is this
+    //          conversion closest to") that backward-only as-of (q15)
+    //          answers wrong whenever the nearest neighbor is ahead.
+    //          Composition, not a new operator: ops/AsOf.joinBackward +
+    //          joinForward (each one union-sort pass per key, no pair
+    //          blowup), then a row-local CASE picks the nearer side.
+    //          The oracle uses correlated min/max subqueries (the q153
+    //          surface) — different plan, same pinned semantics:
+    //          inclusive both directions, tie → backward. ----
+    QDef("q221_nearest_event",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"event_type", $"ts_us")
+        val pur = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts_us")
+        val err = e.filter($"event_type" === "error")
+          .select($"user_id", $"ts_us".as("e_ts"))
+        val bk = graft.ops.AsOf.joinBackward(pur, err,
+          Seq("user_id"), "ts_us", "e_ts", Seq("e_ts"))
+          .withColumnRenamed("e_ts", "bk_ts")
+        val both = graft.ops.AsOf.joinForward(bk, err,
+          Seq("user_id"), "ts_us", "e_ts", Seq("e_ts"))
+          .withColumnRenamed("e_ts", "fw_ts")
+        both.select($"user_id", $"event_id", $"ts_us",
+            when($"bk_ts".isNull && $"fw_ts".isNull, lit(null))
+              .when($"fw_ts".isNull, $"bk_ts")
+              .when($"bk_ts".isNull, $"fw_ts")
+              .when($"ts_us" - $"bk_ts" <= $"fw_ts" - $"ts_us", $"bk_ts")
+              .otherwise($"fw_ts").as("near_ts"))
+          .withColumn("delta_us", $"near_ts" - $"ts_us")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT user_id, event_id, ts_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |x AS (SELECT p.user_id, p.event_id, p.ts_us,
+        |    (SELECT max(r.ts_us) FROM e r WHERE r.event_type = 'error'
+        |       AND r.user_id = p.user_id AND r.ts_us <= p.ts_us) AS bk_ts,
+        |    (SELECT min(r.ts_us) FROM e r WHERE r.event_type = 'error'
+        |       AND r.user_id = p.user_id AND r.ts_us >= p.ts_us) AS fw_ts
+        |  FROM p)
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN NULL
+        |       WHEN fw_ts IS NULL THEN bk_ts
+        |       WHEN bk_ts IS NULL THEN fw_ts
+        |       WHEN ts_us - bk_ts <= fw_ts - ts_us THEN bk_ts
+        |       ELSE fw_ts END AS near_ts,
+        |  CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN NULL
+        |       WHEN fw_ts IS NULL THEN bk_ts
+        |       WHEN bk_ts IS NULL THEN fw_ts
+        |       WHEN ts_us - bk_ts <= fw_ts - ts_us THEN bk_ts
+        |       ELSE fw_ts END - ts_us AS delta_us
+        |FROM x ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- 222. vocabulary growth curve (Heaps' law audit) — new
+    //          distinct tokens per ingest bucket and the cumulative
+    //          vocabulary, in doc_id order: the curve that tells a
+    //          crawl operator whether more data still buys vocabulary
+    //          (sub-linear growth flattening = diminishing corpus
+    //          returns; a sudden jump = a new domain/language entered
+    //          the crawl — q125 keyness says WHAT changed, this says
+    //          WHEN). First-occurrence doc per token is ONE min-agg
+    //          over the exploded corpus (never a window over tokens);
+    //          the curve is a running sum on the ≤ |docs|/50 bucket
+    //          grid. ----
+    QDef("q222_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        // bigram vocabulary: the unigram vocab of this corpus saturates
+        // inside the first bucket (a flat 1-row curve tests nothing);
+        // bigram types keep arriving for the whole ingest, which is the
+        // regime the audit exists for
+        val t = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokens($"text").as("toks"))
+          .filter(size($"toks") > 1)
+        val first = t.select($"doc_id", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("w"))
+          .groupBy($"w").agg(min($"doc_id").as("first_doc"))
+        val buckets = first
+          .groupBy(expr("first_doc div 10").as("bucket"))
+          .agg(count(lit(1)).as("n_new"))
+        val wB = Window.partitionBy().orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        buckets.withColumn("vocab_cum", sum($"n_new").over(wB))
+          .orderBy($"bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT w, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, toks[i] || ' ' || toks[i+1] AS w
+        |    FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |    WHERE len(toks) > 1) GROUP BY w),
+        |b AS (SELECT first_doc // 10 AS bucket,
+        |      CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+        |SELECT bucket, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_cum
+        |FROM b ORDER BY bucket""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -627,7 +627,20 @@ object ScaleProbe {
       "q173_max_drawdown", "q174_curation_funnel", "q175_mase_backtest",
       "q178_weighted_pagerank", "q179_abc_classification",
       "q201_clustering_coefficient", "q202_assortativity", "q203_modularity",
-      "q204_harmonic_centrality")
+      "q204_harmonic_centrality",
+      "q205_window_funnel", "q206_peak_concurrency", "q207_repetition_audit",
+      "q208_link_prediction", "q209_theil_sen", "q210_mad_outliers",
+      "q211_k_anonymity", "q212_blocking_quality", "q213_consistent_ring",
+      "q214_mixture_allocation", "q215_sliding_distinct",
+      "q216_importance_score", "q217_bigram_fluency", "q218_winsorized_mean",
+      "q220_ktruss", "q221_nearest_event", "q222_vocab_growth")
+    // q219_fifo_matching is excluded for the q176 reason transposed to
+    // partkey: the replica leaves l_partkey unshifted, so each part's lot
+    // history DEEPENS 10× and the per-part ins×outs overlap join would
+    // measure a 100× per-key-depth artifact — production growth is in
+    // keys, not per-key lot depth. Its scale witness is the per-key
+    // bounded fan-out shape (two per-key running sums + key-equi-join)
+    // and the per-round bench.
     // q176_star_join5 is excluded: this replica keeps o_orderkey unshifted
     // (q129's asymmetric fact-grows-dims-don't witness), so a 6-table join
     // here would measure a 10×10 duplicate-orderkey fan-out artifact, not

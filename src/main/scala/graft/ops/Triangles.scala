@@ -61,4 +61,49 @@ object Triangles {
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** (a, b, support) for every undirected edge in ≥ 1 triangle, edges
+    * canonical (min, max) — the EDGE-grained sibling of
+    * [[perVertexSupport]] (support(e) = triangles containing e; the
+    * k-truss peel condition). Same degree-ordered enumeration — each
+    * triangle found once, then its three edges emitted — so the cost
+    * model is identical (O(m^1.5) wedges) and Σ support = 3 × triangle
+    * count (the property the spec pins).
+    */
+  def perEdgeSupport(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withRanks = e
+      .join(deg.select(col("v").as("a"),
+        struct(col("d"), col("v").as("id")).as("ra")), "a")
+      .join(deg.select(col("v").as("b"),
+        struct(col("d"), col("v").as("id")).as("rb")), "b")
+    val oriented = withRanks.select(
+        when(col("ra") < col("rb"), struct(col("a").as("u"), col("b").as("w"),
+          col("rb").as("rw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("ra").as("rw"))).as("__e"))
+      .select(col("__e.u"), col("__e.w"), col("__e.rw"))
+    val wedges = oriented.select(col("u"), col("w").as("v"), col("rw").as("rv"))
+      .join(oriented.select(col("u"), col("w"), col("rw")), "u")
+      .filter(col("rv") < col("rw"))
+      .select(col("u"), col("v"), col("w"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("w")), Seq("v", "w"), "left_semi")
+    closed
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("__t"))
+      .select(col("__t.a"), col("__t.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
 }

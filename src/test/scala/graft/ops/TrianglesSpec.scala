@@ -45,4 +45,35 @@ class TrianglesSpec extends AnyFunSuite {
       assert(got === brute(base.toSet), s"trial $trial")
     }
   }
+
+  private def bruteEdges(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2)
+    val vs = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tri = for {
+      a <- vs; b <- vs if a < b && e((a, b))
+      c <- vs if b < c && e((b, c)) && e((a, c))
+    } yield (a, b, c)
+    tri.flatMap { case (a, b, c) => Seq((a, b), (a, c), (b, c)) }
+      .groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+  }
+
+  test("perEdgeSupport == brute force; sum of supports = 3 x triangles (10 seeded trials)") {
+    for (trial <- 0 until 10) {
+      val rng = new scala.util.Random(5000 + trial)
+      val n = 12
+      val base = for {
+        a <- 0L until n; b <- 0L until n if a < b && rng.nextDouble() < 0.35
+      } yield (a, b)
+      val dirty = base ++ base.take(4).map(_.swap) ++ Seq((3L, 3L))
+      val got = Triangles.perEdgeSupport(dirty.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = bruteEdges(base.toSet)
+      assert(got === want, s"trial $trial")
+      val triTotal = Triangles.perVertexSupport(base.toDF("x", "y"), "x", "y")
+        .as[(Long, Long)].collect().map(_._2).sum
+      assert(got.values.sum === triTotal, s"trial $trial edge-sum")
+    }
+  }
 }
