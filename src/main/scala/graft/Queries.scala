@@ -9415,7 +9415,385 @@ object Queries {
         |  CAST(sum(n_new) OVER (ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS vocab_cum
-        |FROM b ORDER BY bucket""".stripMargin))
+        |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ---- 223. sequenceCount (non-overlapping view→click) — the OTHER
+    //          ClickHouse sequence aggregate (q205 windowFunnel = does
+    //          the chain exist; sequenceCount = HOW MANY disjoint
+    //          matches): per user, the greedy count of non-overlapping
+    //          view-then-click pairs. Greedy matching looks like an
+    //          inherently sequential loop (match a click iff an
+    //          unconsumed earlier view exists) — the load-bearing
+    //          identity is the bracket-matching prefix-deficit form:
+    //              matched = total_clicks − max(0, max_j D(j)),
+    //          D(j) = clicks(≤j) − views(≤j), because every prefix
+    //          maximum of the deficit is exactly a click that arrived
+    //          with no view left to consume, and greedy matching is
+    //          optimal for 2-symbol patterns. So the "loop" is one
+    //          running-sum window + one combinable max per user —
+    //          the same q205 collapse of sequential state into
+    //          monotone aggregates. ----
+    QDef("q223_sequence_count",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .filter($"event_type".isin("view", "click"))
+          .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        e.withColumn("d",
+            sum(when($"event_type" === "click", 1L).otherwise(-1L)).over(w))
+          .groupBy($"user_id")
+          .agg(sum(when($"event_type" === "view", 1L).otherwise(0L))
+              .as("n_view"),
+            sum(when($"event_type" === "click", 1L).otherwise(0L))
+              .as("n_click"),
+            max($"d").as("max_deficit"))
+          .select($"user_id", $"n_view", $"n_click",
+            ($"n_click" - greatest($"max_deficit", lit(0L)))
+              .as("n_matched"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT user_id, event_type,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE -1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    - greatest(max(d), 0) AS BIGINT) AS n_matched
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- 224. rank-biased overlap (RBO@10) — how much do two rankings
+    //          of the same corpus agree, top-weighted (Webber/Moffat/
+    //          Zobel 2010): the ranking-drift metric for "did the new
+    //          scorer reorder what users actually see", here length-rank
+    //          vs token-count-rank per language. Two exact-parity
+    //          devices: (1) the geometric p=0.9 weights are an INTEGER
+    //          recurrence (v·9 div 10) computed once and embedded as the
+    //          same literal array in both engines — no pow(); (2) the
+    //          per-depth overlap never intersects prefix sets: doc d
+    //          enters every depth ≥ max(rankA, rankB), so overlap(d) is
+    //          one count over the tiny (lang, ≤10) join — rankings via
+    //          two windows on one sort each, everything after runs on a
+    //          |langs|×10 grid. ----
+    QDef("q224_rbo",
+      (s, dir) => {
+        import s.implicits._
+        val wts = Seq(100000000L, 90000000L, 81000000L, 72900000L,
+          65610000L, 59049000L, 53144100L, 47829690L, 43046721L, 38742049L)
+        val d0 = Tables.documents(s, dir)
+          .select($"lang", $"doc_id", $"n_chars",
+            TF.tokenCount($"text").cast("long").as("n_tok"))
+        val wA = Window.partitionBy($"lang")
+          .orderBy($"n_chars".desc, $"doc_id")
+        val wB = Window.partitionBy($"lang")
+          .orderBy($"n_tok".desc, $"doc_id")
+        val m = d0.withColumn("ra", row_number().over(wA))
+          .withColumn("rb", row_number().over(wB))
+          .select($"lang", greatest($"ra", $"rb").as("m"))
+          .filter($"m" <= 10)
+        val grid = d0.select($"lang").distinct()
+          .withColumn("d", explode(sequence(lit(1), lit(10))))
+        grid.join(m, Seq("lang"))
+          .filter($"m" <= $"d")
+          .groupBy($"lang", $"d").agg(count(lit(1)).as("ov"))
+          .withColumn("term",
+            expr(s"(element_at(array(${wts.mkString(", ")}), d) * ov) div d"))
+          .groupBy($"lang")
+          .agg(max(when($"d" === 10, $"ov")).as("overlap10"),
+            sum($"term").as("rbo_ppb"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d0 AS (SELECT lang, doc_id, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tok FROM documents),
+        |r AS (SELECT lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS ra,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_tok DESC, doc_id) AS rb
+        |  FROM d0),
+        |m AS (SELECT lang, greatest(ra, rb) AS m FROM r
+        |      WHERE greatest(ra, rb) <= 10),
+        |g AS (SELECT DISTINCT lang FROM d0),
+        |gd AS (SELECT g.lang, t.d FROM g, generate_series(1, 10) AS t(d)),
+        |ov AS (SELECT gd.lang, gd.d, CAST(count(*) AS BIGINT) AS ov
+        |       FROM gd JOIN m ON gd.lang = m.lang AND m.m <= gd.d
+        |       GROUP BY 1, 2),
+        |tm AS (SELECT lang, d, ov,
+        |    ([100000000, 90000000, 81000000, 72900000, 65610000, 59049000,
+        |      53144100, 47829690, 43046721, 38742049][d] * ov) // d AS term
+        |  FROM ov)
+        |SELECT lang, max(CASE WHEN d = 10 THEN ov END) AS overlap10,
+        |  CAST(sum(term) AS BIGINT) AS rbo_ppb
+        |FROM tm GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- 225. total-variation drift — the IEEE-exact distribution
+    //          distance PSI can't be (q141's Σ p·ln(p/q) sits one libm
+    //          ulp from a hash flake; TV = ½Σ|p−q| is pure rationals):
+    //          per language, how far that language's token-count-bucket
+    //          distribution sits from the rest of the corpus. The
+    //          exactness device: never materialize p or q — put both on
+    //          the common denominator totL·totR, so
+    //          TV_ppm = Σ_b |cntL_b·totR − cntR_b·totL| · 1e6
+    //                   div (2·totL·totR),
+    //          every term an integer, widened to DECIMAL(38,0) BEFORE
+    //          the cross products (the q164 overflow lesson). One
+    //          (lang, bucket) count + one bucket marginal; the grid the
+    //          formula runs on is |langs|×|buckets|. ----
+    QDef("q225_tv_drift",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val b = Tables.documents(s, dir)
+          .select($"lang",
+            (TF.tokenCount($"text").cast("long") / 5).cast("long")
+              .as("bucket"))
+        // no (lang × bucket) grid is ever built (a broadcast cross join
+        // is a banned BroadcastNestedLoopJoin): buckets a language never
+        // hits contribute exactly cb·tl each, so their total is
+        // (tot − Σ covered cb)·tl — one more combinable term, computed
+        // from the SAME equi-joined rows
+        val byLang = b.groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("cl"))
+        val byBucket = b.groupBy($"bucket").agg(count(lit(1)).as("cb"))
+        val tots = byLang.groupBy($"lang").agg(sum($"cl").as("tl"))
+          .withColumn("tot", sum($"tl").over(Window.partitionBy()))
+          .select($"lang", $"tl", ($"tot" - $"tl").as("tr"), $"tot")
+        byLang.join(byBucket, "bucket").join(tots, "lang")
+          .select($"lang", $"tl", $"tr", $"tot",
+            abs($"cl".cast(d38) * $"tr".cast(d38)
+              - ($"cb" - $"cl").cast(d38) * $"tl".cast(d38)).as("num"),
+            $"cb")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_buckets_hit"),
+            expr("cast(((sum(num) + cast(max(tot) - sum(cb) as " +
+              "decimal(38,0)) * cast(max(tl) as decimal(38,0))) * 1000000) " +
+              "div (2 * cast(max(tl) as decimal(38,0)) * " +
+              "cast(max(tr) as decimal(38,0))) as bigint)").as("tv_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH b AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) // 5 AS bucket FROM documents),
+        |bl AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cl
+        |       FROM b GROUP BY 1, 2),
+        |bb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cb
+        |       FROM b GROUP BY 1),
+        |tt AS (SELECT lang, CAST(sum(cl) AS BIGINT) AS tl,
+        |    CAST((SELECT count(*) FROM b) - sum(cl) AS BIGINT) AS tr,
+        |    CAST((SELECT count(*) FROM b) AS BIGINT) AS tot
+        |  FROM bl GROUP BY lang)
+        |SELECT bl.lang, CAST(count(*) AS BIGINT) AS n_buckets_hit,
+        |  CAST(((sum(abs(CAST(bl.cl AS HUGEINT) * tt.tr
+        |        - CAST(bb.cb - bl.cl AS HUGEINT) * tt.tl))
+        |      + CAST(max(tt.tot) - sum(bb.cb) AS HUGEINT)
+        |        * CAST(max(tt.tl) AS HUGEINT)) * 1000000)
+        |    // (2 * CAST(max(tt.tl) AS HUGEINT)
+        |         * CAST(max(tt.tr) AS HUGEINT)) AS BIGINT) AS tv_ppm
+        |FROM bl JOIN bb ON bl.bucket = bb.bucket
+        |     JOIN tt ON bl.lang = tt.lang
+        |GROUP BY bl.lang ORDER BY bl.lang""".stripMargin)),
+
+    // ---- 226. Fano dispersion index — overdispersion of daily event
+    //          counts per type (F = var/mean: 1 = Poisson, > 1 = bursty
+    //          clumping, < 1 = regular/throttled): the single-number
+    //          "is this traffic machine-like or bursty" audit that q120
+    //          (per-window burst flags) and q160 (inter-arrival shape)
+    //          point at but don't summarize. Exact rational form:
+    //          F_ppm = (n·Σx² − (Σx)²) · 1e6 div (n·Σx), integer counts,
+    //          moments widened to DECIMAL(38,0)/HUGEINT before the
+    //          squares (q164 lesson; Σx² over 2^31-event days dies in
+    //          long). One day-collapse + one combinable moment agg per
+    //          type; the quotient runs on |types| rows. ----
+    QDef("q226_fano_dispersion",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("x"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).cast(d38).as("n"),
+            sum($"x").cast(d38).as("sx"),
+            sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"))
+          .select($"event_type", $"n".cast("long").as("n_days"),
+            $"sx".cast("long").as("total"),
+            expr("cast(((n * sxx - sx * sx) * 1000000) div (n * sx) " +
+              "as bigint)").as("fano_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dd,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  CAST(((CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+        |      - CAST(sum(x) AS HUGEINT) * sum(x)) * 1000000)
+        |    // (CAST(count(*) AS HUGEINT) * sum(x)) AS BIGINT) AS fano_ppm
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 227. growth accounting — the product-analytics ledger q82's
+    //          cohort matrix doesn't give: per week, how many active
+    //          users are NEW (first-ever week), RETAINED (also active
+    //          the week before), RESURRECTED (active before, but not
+    //          last week), and how many CHURNED (active last week, gone
+    //          this week; attributed to the week they went missing,
+    //          never past the data's horizon). One distinct (user,
+    //          week) collapse, one per-user sort carrying lag + running
+    //          min, then a combinable class pivot — the churn rows are
+    //          the SAME act rows re-labeled at week+1, so no second
+    //          scan. ----
+    QDef("q227_growth_accounting",
+      (s, dir) => {
+        import s.implicits._
+        val act = Tables.events(s, dir)
+          .select($"user_id",
+            (unix_micros(date_trunc("week", $"tstamp")) / 604800000000L)
+              .cast("long").as("w"))
+          .distinct()
+        // one bounded driver scalar: churn past the data horizon is
+        // unknowable, not zero — the max week clips it
+        val mxRow = act.agg(max($"w")).head()
+        val mxW = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+        val wu = Window.partitionBy($"user_id").orderBy($"w")
+        val lab = act
+          .withColumn("prev", lag($"w", 1).over(wu))
+          .withColumn("cls",
+            when($"prev".isNull, "new")
+              .when($"prev" === $"w" - 1, "retained")
+              .otherwise("resurrected"))
+        val nxt = lab.withColumn("next", lead($"w", 1).over(wu))
+          .filter(($"next".isNull || $"next" =!= $"w" + 1) &&
+            $"w" < mxW)
+          .select(($"w" + 1).as("w"), lit("churned").as("cls"))
+        lab.select($"w", $"cls").unionByName(nxt)
+          .groupBy($"w")
+          .agg(sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when($"cls" === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when($"cls" === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when($"cls" === "churned", 1L).otherwise(0L))
+              .as("n_churned"))
+          .orderBy($"w")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('week', ts)) // 604800000000 AS w
+        |  FROM events),
+        |mx AS (SELECT max(w) AS mxw FROM act),
+        |l AS (SELECT user_id, w,
+        |    lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev,
+        |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next
+        |  FROM act),
+        |ev AS (SELECT w, CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev = w - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS cls FROM l
+        |  UNION ALL
+        |  SELECT w + 1, 'churned' FROM l, mx
+        |  WHERE (next IS NULL OR next <> w + 1) AND w < mx.mxw)
+        |SELECT w,
+        |  CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned
+        |FROM ev GROUP BY w ORDER BY w""".stripMargin)),
+
+    // ---- 228. candle pattern scan — the chart-pattern flags a market-
+    //          data engine is asked for daily (the reference's kline
+    //          consumers): bullish engulfing and three-white-soldiers
+    //          over daily bars, in exact CENTS (the q13 OHLCV first/
+    //          last device, then floor(value·100) so every comparison
+    //          is integer — pattern predicates on raw doubles would be
+    //          parity-fragile for no reason). One (type, day) bar
+    //          collapse, one per-type sort feeding the lag frames,
+    //          row-local flags; output = flagged bars only. Calendar-
+    //          bounded after the collapse, like every q209-family
+    //          query. ----
+    QDef("q228_candle_patterns",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            $"ts_us", $"event_id",
+            floor($"value" * 100).cast("long").as("c"))
+        val wA = Window.partitionBy($"event_type", $"d")
+          .orderBy($"ts_us", $"event_id")
+        val wD = Window.partitionBy($"event_type", $"d")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+        val bars = e
+          .withColumn("ra", row_number().over(wA))
+          .withColumn("rd", row_number().over(wD))
+          .groupBy($"event_type", $"d")
+          .agg(max(when($"ra" === 1, $"c")).as("o"),
+            max(when($"rd" === 1, $"c")).as("cl"))
+        val wT = Window.partitionBy($"event_type").orderBy($"d")
+        bars
+          .withColumn("po", lag($"o", 1).over(wT))
+          .withColumn("pc", lag($"cl", 1).over(wT))
+          .withColumn("up1", lag($"cl" > $"o", 1).over(wT))
+          .withColumn("up2", lag($"cl" > $"o", 2).over(wT))
+          .withColumn("c1", lag($"cl", 1).over(wT))
+          .withColumn("c2", lag($"cl", 2).over(wT))
+          .withColumn("engulf",
+            when($"cl" > $"o" && $"pc" < $"po" &&
+              $"o" <= $"pc" && $"cl" >= $"po", 1L).otherwise(0L))
+          .withColumn("tws",
+            when($"cl" > $"o" && coalesce($"up1", lit(false)) &&
+              coalesce($"up2", lit(false)) &&
+              $"cl" > $"c1" && $"c1" > $"c2", 1L).otherwise(0L))
+          .filter($"engulf" === 1L || $"tws" === 1L)
+          .select($"event_type", $"d", $"o", $"cl", $"engulf", $"tws")
+          .orderBy($"event_type", $"d")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, d
+        |      ORDER BY ts_us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, d
+        |      ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM e),
+        |bars AS (SELECT event_type, d,
+        |    max(CASE WHEN ra = 1 THEN c END) AS o,
+        |    max(CASE WHEN rd = 1 THEN c END) AS cl
+        |  FROM r GROUP BY 1, 2),
+        |lagd AS (SELECT *,
+        |    lag(o) OVER w AS po, lag(cl) OVER w AS pc,
+        |    lag(cl > o) OVER w AS up1, lag(cl > o, 2) OVER w AS up2,
+        |    lag(cl) OVER w AS c1, lag(cl, 2) OVER w AS c2
+        |  FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, d, o, cl,
+        |  CAST(CASE WHEN cl > o AND pc < po AND o <= pc AND cl >= po
+        |    THEN 1 ELSE 0 END AS BIGINT) AS engulf,
+        |  CAST(CASE WHEN cl > o AND COALESCE(up1, false)
+        |      AND COALESCE(up2, false) AND cl > c1 AND c1 > c2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS tws
+        |FROM lagd
+        |WHERE (cl > o AND pc < po AND o <= pc AND cl >= po)
+        |   OR (cl > o AND COALESCE(up1, false) AND COALESCE(up2, false)
+        |       AND cl > c1 AND c1 > c2)
+        |ORDER BY event_type, d""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

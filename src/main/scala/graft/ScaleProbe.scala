@@ -633,7 +633,10 @@ object ScaleProbe {
       "q211_k_anonymity", "q212_blocking_quality", "q213_consistent_ring",
       "q214_mixture_allocation", "q215_sliding_distinct",
       "q216_importance_score", "q217_bigram_fluency", "q218_winsorized_mean",
-      "q220_ktruss", "q221_nearest_event", "q222_vocab_growth")
+      "q220_ktruss", "q221_nearest_event", "q222_vocab_growth",
+      "q223_sequence_count", "q224_rbo", "q225_tv_drift",
+      "q226_fano_dispersion", "q227_growth_accounting",
+      "q228_candle_patterns")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
