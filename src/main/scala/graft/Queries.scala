@@ -9793,7 +9793,192 @@ object Queries {
         |WHERE (cl > o AND pc < po AND o <= pc AND cl >= po)
         |   OR (cl > o AND COALESCE(up1, false) AND COALESCE(up2, false)
         |       AND cl > c1 AND c1 > c2)
-        |ORDER BY event_type, d""".stripMargin))
+        |ORDER BY event_type, d""".stripMargin)),
+
+    // ---- 229. rolling quantile bands — exact P25/median/P75 envelopes
+    //          over a trailing 7-day frame of daily revenue (the
+    //          monitoring band chart; q51's exact quantiles are global,
+    //          q138's transform is full-history — a BOUNDED frame is
+    //          the one place where collect-and-sort inside a window is
+    //          the scale-correct plan: the frame is ≤ 7 elements BY
+    //          CONTRACT, so sort_array(collect_list) over it is O(1)
+    //          per row and beats any distributed machinery). Order
+    //          statistics are pinned row picks (lo = max((n+1) div 4,
+    //          1), hi = n+1−lo, med = (n+1) div 2) on the sorted frame
+    //          — no interpolation, identical in both engines. ----
+    QDef("q229_rolling_bands",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            floor($"value" * 100).cast("long").as("c"))
+          .groupBy($"event_type", $"d").agg(sum($"c").as("y"))
+        val wF = Window.partitionBy($"event_type").orderBy($"d")
+          .rowsBetween(-6, 0)
+        daily
+          .withColumn("arr", sort_array(collect_list($"y").over(wF)))
+          .withColumn("n", size($"arr"))
+          .withColumn("lo_pos", greatest(expr("(n + 1) div 4"), lit(1)))
+          .select($"event_type", $"d", $"y", $"n".cast("long").as("n_days"),
+            element_at($"arr", $"lo_pos".cast("int")).as("p25"),
+            element_at($"arr", expr("cast((n + 1) div 2 as int)"))
+              .as("med"),
+            element_at($"arr", ($"n" + 1 - $"lo_pos").cast("int"))
+              .as("p75"))
+          .orderBy($"event_type", $"d")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type, d, y,
+        |    list_sort(list(y) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT event_type, d, y, CAST(len(arr) AS BIGINT) AS n_days,
+        |  arr[greatest((len(arr) + 1) // 4, 1)] AS p25,
+        |  arr[(len(arr) + 1) // 2] AS med,
+        |  arr[len(arr) + 1 - greatest((len(arr) + 1) // 4, 1)] AS p75
+        |FROM fr ORDER BY event_type, d""".stripMargin)),
+
+    // ---- 230. dedup survivorship-bias audit — does exact dedup
+    //          systematically remove BETTER documents than it keeps?
+    //          (The curation-integrity question every dedup pipeline
+    //          owes an answer: keep-min-doc_id is arbitrary, and if dup
+    //          copies differ in metadata the arbitrary pick biases the
+    //          corpus.) Per language: token-count means of kept
+    //          (canonical = min doc_id per text, the q36 rule) vs
+    //          removed copies, in µtokens (·1e6 div n). One content
+    //          collapse + one flag join + one combinable agg — the
+    //          audit rides the dedup pass's own shuffle shape. ----
+    QDef("q230_dedup_bias",
+      (s, dir) => {
+        import s.implicits._
+        val d0 = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", md5($"text").as("ck"),
+            TF.tokenCount($"text").cast("long").as("tk"))
+        val keep = d0.groupBy($"ck").agg(min($"doc_id").as("keep_id"))
+        d0.join(keep, "ck")
+          .withColumn("kept", ($"doc_id" === $"keep_id").cast("int"))
+          .groupBy($"lang")
+          .agg(sum(when($"kept" === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"kept" === 0, 1L).otherwise(0L)).as("n_removed"),
+            sum(when($"kept" === 1, $"tk").otherwise(0L)).as("tk_kept"),
+            sum(when($"kept" === 0, $"tk").otherwise(0L)).as("tk_removed"))
+          .select($"lang", $"n_kept", $"n_removed",
+            // a lang CAN have zero kept docs (its texts' canonical copies
+            // all live in another lang) — guard both means, both engines
+            when($"n_kept" > 0, expr("(tk_kept * 1000000) div n_kept"))
+              .as("mean_tok_kept_u"),
+            when($"n_removed" > 0,
+              expr("(tk_removed * 1000000) div n_removed"))
+              .as("mean_tok_removed_u"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, lang, md5(text) AS ck,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS tk FROM documents),
+        |k AS (SELECT ck, min(doc_id) AS keep_id FROM d0 GROUP BY ck)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CASE WHEN sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) > 0
+        |    THEN (sum(CASE WHEN doc_id = keep_id THEN tk ELSE 0 END)
+        |      * 1000000)
+        |      // sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+        |    END AS mean_tok_kept_u,
+        |  CASE WHEN sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) > 0
+        |    THEN (sum(CASE WHEN doc_id <> keep_id THEN tk ELSE 0 END)
+        |      * 1000000)
+        |      // sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |    END AS mean_tok_removed_u
+        |FROM d0 JOIN k ON d0.ck = k.ck
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- 231. LSH operating-curve audit — the b×r parameter sweep
+    //          every LSH deployment does before committing (bands×rows
+    //          trade candidate volume against recall: (16,1) floods,
+    //          (4,4) starves): for each banding of the SAME k=16
+    //          signature, the candidate-pair count and bucket shape.
+    //          The load-bearing device is q212's: candidates are
+    //          counted from bucket SIZES (Σ s·(s−1)/2, combinable) —
+    //          at 100 TB the whole point of the sweep is to learn that
+    //          (16,1) emits 10¹² pairs WITHOUT materializing them. One
+    //          signature pass (compiled MinHash expression over hashed
+    //          shingles), the three configs ride an exploded literal
+    //          dim over the same rows — one scan, no recompute. Oracle
+    //          replays the signature from the same printed (A, B)
+    //          parameters (the q195 device) — pure integer arithmetic,
+    //          exact. ----
+    QDef("q231_lsh_curve",
+      (s, dir) => {
+        import s.implicits._
+        val k = 16
+        // compiled MinHash expression over pre-hashed shingles (the q33
+        // lesson re-learned: the HOF transform/array_min form evaluates
+        // interpreted — measured 16.6 s vs 1.3 s on this exact query)
+        val sg = Tables.documents(s, dir)
+          .groupBy($"text").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id",
+            graft.functions.HashExpressions.minhashSignature(
+              graft.functions.HashExpressions
+                .hash60Array(TF.shingles($"text", 3)),
+              k, graft.ops.MinHashLSH.A.take(k),
+              graft.ops.MinHashLSH.B.take(k)).as("sig"))
+        val cfgs = array(
+          struct(lit("b04r4").as("label"), lit(4).as("b"), lit(4).as("r")),
+          struct(lit("b08r2").as("label"), lit(8).as("b"), lit(2).as("r")),
+          struct(lit("b16r1").as("label"), lit(16).as("b"), lit(1).as("r")))
+        sg.select($"sig", explode(cfgs).as("cfg"))
+          .select($"cfg.label", $"cfg.b", $"cfg.r", $"sig")
+          .withColumn("j", explode(sequence(lit(0), $"b" - 1)))
+          .withColumn("key",
+            concat_ws(",", slice($"sig", $"j" * $"r" + 1, $"r")))
+          .groupBy($"label", $"j", $"key")
+          .agg(count(lit(1)).as("sz"))
+          .groupBy($"label")
+          .agg(expr("sum(sz * (sz - 1)) div 2").as("n_cand"),
+            sum(when($"sz" > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+            max($"sz").as("max_bucket"))
+          .orderBy($"label")
+      },
+      Some {
+        val a = graft.ops.MinHashLSH.A.take(16).mkString(", ")
+        val bb = graft.ops.MinHashLSH.B.take(16).mkString(", ")
+        s"""WITH canon AS (SELECT text, min(doc_id) AS doc_id
+           |  FROM documents GROUP BY text),
+           |tk AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM canon),
+           |tok AS (SELECT doc_id,
+           |    CASE WHEN len(toks) >= 3
+           |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+           |      for i in range(1, len(toks) - 1)])
+           |    ELSE [array_to_string(toks, ' ')] END AS tset FROM tk),
+           |sg AS (SELECT doc_id,
+           |    [list_min(list_transform(tset,
+           |        t -> ([$a][i] * (CAST(('0x' || substring(md5(t), 1, 15))
+           |              AS BIGINT) % 2147483647) + [$bb][i]) % 2147483647))
+           |      for i in range(1, 17)] AS sig
+           |  FROM tok),
+           |cfg AS (SELECT * FROM (VALUES ('b04r4', 4, 4), ('b08r2', 8, 2),
+           |    ('b16r1', 16, 1)) t(label, b, r)),
+           |bands AS (SELECT sg.doc_id, cfg.label, g.j,
+           |    array_to_string(sg.sig[g.j * cfg.r + 1 : g.j * cfg.r + cfg.r],
+           |      ',') AS key
+           |  FROM sg, cfg, unnest(generate_series(0, cfg.b - 1)) AS g(j)),
+           |bk AS (SELECT label, j, key, CAST(count(*) AS BIGINT) AS sz
+           |  FROM bands GROUP BY 1, 2, 3)
+           |SELECT label, CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS n_cand,
+           |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_multi_buckets,
+           |  max(sz) AS max_bucket
+           |FROM bk GROUP BY label ORDER BY label""".stripMargin
+      })
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

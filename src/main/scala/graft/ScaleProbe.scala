@@ -636,7 +636,8 @@ object ScaleProbe {
       "q220_ktruss", "q221_nearest_event", "q222_vocab_growth",
       "q223_sequence_count", "q224_rbo", "q225_tv_drift",
       "q226_fano_dispersion", "q227_growth_accounting",
-      "q228_candle_patterns")
+      "q228_candle_patterns", "q229_rolling_bands", "q230_dedup_bias",
+      "q231_lsh_curve")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
