@@ -48,6 +48,17 @@ object Queries {
   private val benfordPpm: Seq[Long] =
     (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
 
+  /** q240's DCG position discounts floor(1e12/log2(i+1)), i = 1..10, and
+    * their prefix sums (ideal DCG as a function of the relevant count) —
+    * Scala-computed once and printed into BOTH engines as integer
+    * literals (the benfordPpm device), so no logarithm executes inside
+    * the hash-compared plan.
+    */
+  private val ndcgW: Seq[Long] =
+    (1 to 10).map(i =>
+      math.floor(1e12 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val ndcgICum: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+
   /** q189's Poisson(1) inverse-CDF thresholds floor(P(X ≤ k)·2⁶⁰),
     * k = 0..5 — Scala-computed once and printed into both engines as
     * integer literals (the benfordPpm device), so the bootstrap
@@ -9978,7 +9989,822 @@ object Queries {
            |    AS n_multi_buckets,
            |  max(sz) AS max_bucket
            |FROM bk GROUP BY label ORDER BY label""".stripMargin
-      })
+      }),
+
+    // ---- 232. Hoover (Robin-Hood) index — the redistribution share:
+    //          what fraction of a nation's revenue must move to equalize
+    //          customers. Distinct from q145's Gini (mean pairwise gap)
+    //          and q179's ABC cut: hoover = max Lorenz gap
+    //          max_i (i·S_n − n·S_i)/(n·S_n). The gap is PIECEWISE
+    //          LINEAR in i within a tie block (slope S_n − n·v), so its
+    //          maximum lands on a tie-block BOUNDARY — checking the
+    //          (cum count, cum cents) block ends is exact, never a
+    //          per-row sweep. Ties collapse map-side first; the two
+    //          running sums are range-partitioned prefix sums over the
+    //          collapsed (nation, value) blocks; the max rides a
+    //          combinable integer aggregate widened to DECIMAL(38,0)/
+    //          HUGEINT BEFORE the cross products (q164 lesson); ppm by
+    //          one final division of non-negatives (truncate ≡ floor). ----
+    QDef("q232_hoover",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val blocks = Tables.orders(s, dir)
+          .groupBy($"o_custkey")
+          .agg(floor(sum($"o_totalprice".cast(dec38_6)) * 100)
+            .cast("long").as("cents"))
+          .join(Tables.customer(s, dir)
+            .select($"c_custkey".as("o_custkey"), $"c_nationkey".as("nk")),
+            "o_custkey")
+          .groupBy($"nk", $"cents")
+          .agg(count(lit(1)).as("cnt"))
+        val c1 = graft.ops.PrefixSum.withRunningSum(
+          blocks, Seq("nk"), Seq("cents"), "cnt", "cumn")
+        // cumn rides as a (redundant) trailing order key so the second
+        // pass's projection keeps it — cents is already unique per group
+        val c2 = graft.ops.PrefixSum.withRunningSum(
+          c1.withColumn("vsum", $"cnt" * $"cents"),
+          Seq("nk"), Seq("cents", "cumn"), "vsum", "cumv")
+        val tot = c2.groupBy($"nk")
+          .agg(max($"cumn").as("n"), max($"cumv").as("sn"))
+        c2.join(tot, "nk")
+          .select($"nk", $"n", $"sn",
+            ($"cumn".cast(d38) * $"sn" - $"cumv".cast(d38) * $"n")
+              .as("gap"))
+          .groupBy($"nk")
+          .agg(max($"n").as("n_cust"), max($"sn").as("cents_total"),
+            max($"gap").as("maxgap"))
+          .select($"nk", $"n_cust", $"cents_total",
+            expr("(maxgap * 1000000) div " +
+              "(CAST(n_cust AS DECIMAL(38,0)) * cents_total)")
+              .cast("long").as("hoover_ppm"))
+          .orderBy($"nk")
+      },
+      Some("""WITH cu AS (SELECT o_custkey,
+        |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100)
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS nk, cents
+        |  FROM cu JOIN customer ON o_custkey = c_custkey),
+        |b AS (SELECT nk, cents, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(*) * cents AS BIGINT) AS vsum
+        |  FROM j GROUP BY 1, 2),
+        |c AS (SELECT nk, cents,
+        |    sum(cnt) OVER w AS cumn, sum(vsum) OVER w AS cumv
+        |  FROM b WINDOW w AS (PARTITION BY nk ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT nk, max(cumn) AS n, max(cumv) AS sn FROM c
+        |  GROUP BY 1),
+        |g AS (SELECT c.nk, t.n, t.sn,
+        |    CAST(cumn AS HUGEINT) * sn - CAST(cumv AS HUGEINT) * n AS gap
+        |  FROM c JOIN t ON c.nk = t.nk)
+        |SELECT nk, CAST(max(n) AS BIGINT) AS n_cust,
+        |  CAST(max(sn) AS BIGINT) AS cents_total,
+        |  CAST((max(gap) * 1000000)
+        |    // (CAST(max(n) AS HUGEINT) * max(sn)) AS BIGINT)
+        |    AS hoover_ppm
+        |FROM g GROUP BY nk ORDER BY nk""".stripMargin)),
+
+    // ---- 233. RSI-14 momentum indicator — Cutler's form (simple moving
+    //          sums, NOT Wilder's recursive EMA) is exactly rational:
+    //          rsi = 1e6·gains/(gains+losses) over the trailing 14 daily
+    //          deltas in integer cents (the q228 close-bar device). The
+    //          ROWS 13 PRECEDING frame runs on the per-type calendar
+    //          collapse — O(1) per row, grid-bounded like every
+    //          q209-family query; bars with fewer than 14 preceding
+    //          deltas (series head) or an all-flat frame are excluded
+    //          rather than special-cased, both engines by the same
+    //          count(delta)=14 predicate. ----
+    QDef("q233_rsi",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            $"ts_us", $"event_id",
+            floor($"value" * 100).cast("long").as("c"))
+        val wD = Window.partitionBy($"event_type", $"d")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+        val bars = e.withColumn("rd", row_number().over(wD))
+          .groupBy($"event_type", $"d")
+          .agg(max(when($"rd" === 1, $"c")).as("cl"))
+        val wT = Window.partitionBy($"event_type").orderBy($"d")
+        val wF = wT.rowsBetween(-13, 0)
+        bars.withColumn("delta", $"cl" - lag($"cl", 1).over(wT))
+          .withColumn("g",
+            sum(when($"delta" > 0, $"delta").otherwise(0L)).over(wF))
+          .withColumn("l",
+            sum(when($"delta" < 0, -$"delta").otherwise(0L)).over(wF))
+          .withColumn("nd", count($"delta").over(wF))
+          .filter($"nd" === 14 && ($"g" + $"l") > 0)
+          .select($"event_type", $"d", $"cl",
+            expr("(g * 1000000) div (g + l)").cast("long").as("rsi_ppm"))
+          .orderBy($"event_type", $"d")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, d
+        |    ORDER BY ts_us DESC, event_id DESC) AS rd FROM e),
+        |bars AS (SELECT event_type, d,
+        |    max(CASE WHEN rd = 1 THEN c END) AS cl FROM r GROUP BY 1, 2),
+        |dl AS (SELECT event_type, d, cl,
+        |    cl - lag(cl) OVER (PARTITION BY event_type ORDER BY d) AS delta
+        |  FROM bars),
+        |f AS (SELECT event_type, d, cl,
+        |    sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w AS g,
+        |    sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w AS l,
+        |    count(delta) OVER w AS nd
+        |  FROM dl WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d, cl,
+        |  CAST((g * 1000000) // (g + l) AS BIGINT) AS rsi_ppm
+        |FROM f WHERE nd = 14 AND (g + l) > 0
+        |ORDER BY event_type, d""".stripMargin)),
+
+    // ---- 234. Zipf octave audit — the rank-frequency complement of the
+    //          q222 Heaps curve: does token frequency halve per rank
+    //          octave (Zipf exponent ≈ 1)? Vocabulary ranks via the
+    //          range-partitioned running count (ops/PrefixSum over a unit
+    //          group — |vocab| rows, the q179 device; NEVER a window over
+    //          token occurrences), octave = floor-log2(rank) as
+    //          length(bin(rank))−1 (the q160 integer-log device — no
+    //          float log at bucket boundaries). The octave-over-octave
+    //          frequency ratio is an integer cross-product
+    //          occ_o·n_prev·1e6 div (occ_prev·n_o), DECIMAL/HUGEINT-
+    //          widened; the lag runs on the ≤ 64-row octave grid. ----
+    QDef("q234_zipf_octaves",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select(explode(TF.tokens($"text")).as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("c"))
+        val ranked = graft.ops.PrefixSum.withRunningSum(
+          tok.withColumn("g", lit(0)).withColumn("negc", -$"c")
+            .withColumn("one", lit(1L)),
+          Seq("g"), Seq("negc", "t"), "one", "rk")
+        val oct = ranked
+          .withColumn("o", (length(bin($"rk")) - 1).cast("long"))
+          // PrefixSum projects to group/order/value cols only — the
+          // count rides back out of the negated order key
+          .withColumn("c", -$"negc")
+          .groupBy($"o")
+          .agg(count(lit(1)).as("n_types"), sum($"c").as("occ"))
+        val wG = Window.partitionBy().orderBy($"o")   // ≤ 64-row grid
+        oct
+          .withColumn("pn", lag($"n_types", 1).over(wG))
+          .withColumn("pocc", lag($"occ", 1).over(wG))
+          .select($"o", $"n_types", $"occ",
+            expr("(occ * 1000000) div n_types").cast("long").as("mean_u"),
+            when($"pocc".isNotNull,
+              expr("(CAST(occ AS DECIMAL(38,0)) * pn * 1000000) div " +
+                "(CAST(pocc AS DECIMAL(38,0)) * n_types)").cast("long"))
+              .as("ratio_ppm"))
+          .orderBy($"o")
+      },
+      Some("""WITH tok AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t FROM documents) GROUP BY t),
+        |r AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk
+        |  FROM tok),
+        |oct AS (SELECT CAST(length(bin(rk)) - 1 AS BIGINT) AS o,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS occ
+        |  FROM r GROUP BY 1),
+        |lg AS (SELECT *, lag(n_types) OVER (ORDER BY o) AS pn,
+        |    lag(occ) OVER (ORDER BY o) AS pocc FROM oct)
+        |SELECT o, n_types, occ,
+        |  CAST((occ * 1000000) // n_types AS BIGINT) AS mean_u,
+        |  CASE WHEN pocc IS NOT NULL THEN
+        |    CAST((CAST(occ AS HUGEINT) * pn * 1000000)
+        |      // (CAST(pocc AS HUGEINT) * n_types) AS BIGINT) END
+        |    AS ratio_ppm
+        |FROM lg ORDER BY o""".stripMargin)),
+
+    // ---- 235. Wald–Wolfowitz runs audit — is the daily up/down revenue
+    //          sequence random, or trending/mean-reverting? Runs R vs the
+    //          exact rational expectation E[R] = 1 + 2·n₁·n₂/(n₁+n₂) —
+    //          the z-score's sqrt stays OUT of the compared plan (the
+    //          q142 lesson); excess_ppm carries the signed signal. Zero
+    //          deltas are excluded (classic dichotomized form). Runs in
+    //          integer cents on the per-type daily collapse; the run-
+    //          break flag is one lag over the calendar grid, the rest
+    //          one combinable aggregate. ----
+    QDef("q235_runs_test",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            floor($"value" * 100).cast("long").as("c"))
+        val daily = e.groupBy($"event_type", $"d")
+          .agg(sum($"c").as("v"))
+        val wT = Window.partitionBy($"event_type").orderBy($"d")
+        val sgn = daily
+          .withColumn("delta", $"v" - lag($"v", 1).over(wT))
+          .filter($"delta".isNotNull && $"delta" =!= 0)
+          .withColumn("sgn", when($"delta" > 0, 1).otherwise(-1))
+        sgn
+          .withColumn("psgn", lag($"sgn", 1).over(wT))
+          .withColumn("brk",
+            when($"psgn".isNull || $"psgn" =!= $"sgn", 1L).otherwise(0L))
+          .groupBy($"event_type")
+          .agg(sum($"brk").as("runs"),
+            sum(when($"sgn" === 1, 1L).otherwise(0L)).as("n_up"),
+            sum(when($"sgn" === -1, 1L).otherwise(0L)).as("n_down"))
+          .select($"event_type", $"runs", $"n_up", $"n_down",
+            expr("((n_up + n_down + 2 * n_up * n_down) * 1000000) " +
+              "div (n_up + n_down)").cast("long").as("e_runs_ppm"))
+          .withColumn("excess_ppm", $"runs" * 1000000L - $"e_runs_ppm")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |daily AS (SELECT event_type, d, CAST(sum(c) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |dl AS (SELECT event_type, d,
+        |    v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS delta
+        |  FROM daily),
+        |sg AS (SELECT event_type, d,
+        |    CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM dl WHERE delta IS NOT NULL AND delta <> 0),
+        |br AS (SELECT event_type, sgn,
+        |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY d)
+        |      IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS brk
+        |  FROM sg),
+        |ag AS (SELECT event_type, CAST(sum(brk) AS BIGINT) AS runs,
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down
+        |  FROM br GROUP BY 1)
+        |SELECT event_type, runs, n_up, n_down,
+        |  CAST(((n_up + n_down + 2 * n_up * n_down) * 1000000)
+        |    // (n_up + n_down) AS BIGINT) AS e_runs_ppm,
+        |  runs * 1000000 - CAST(((n_up + n_down + 2 * n_up * n_down)
+        |    * 1000000) // (n_up + n_down) AS BIGINT) AS excess_ppm
+        |FROM ag ORDER BY event_type""".stripMargin)),
+
+    // ---- 236. corpus-similarity matrix — cosine² between per-language
+    //          unigram PROFILES (counts floored to ppm of the lang's
+    //          token total BEFORE the dot product): Σp ≤ 1e6 by
+    //          construction, so dot ≤ 1e12 and dot² ≤ 1e24 fit
+    //          DECIMAL(38,0) at ANY corpus size — the normalization IS
+    //          the overflow guard (vs raw counts, whose dot² passes 1e38
+    //          near 1e12 tokens/lang). One (lang, token) collapse; the
+    //          pair dot is a vocab-keyed self-join emitting |langs|²
+    //          rows per token; norms ride a broadcast |langs|-row dim.
+    //          cos² in ppm (no sqrt — rank-identical, the q185 device). ----
+    QDef("q236_lang_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val tok = Tables.documents(s, dir)
+          .select($"lang", explode(TF.tokens($"text")).as("t"))
+          .groupBy($"lang", $"t").agg(count(lit(1)).as("c"))
+        val tot = tok.groupBy($"lang").agg(sum($"c").as("tot"))
+        val prof = tok.join(broadcast(tot), "lang")
+          .select($"lang", $"t",
+            expr("(c * 1000000) div tot").cast("long").as("p"))
+          .filter($"p" > 0)
+        val nrm = prof.groupBy($"lang")
+          .agg(sum($"p".cast(d38) * $"p").as("n2"))
+        val dot = prof.as("a")
+          .join(prof.as("b"), Seq("t"))
+          .filter($"a.lang" < $"b.lang")
+          .groupBy($"a.lang".as("la"), $"b.lang".as("lb"))
+          .agg(sum($"a.p".cast(d38) * $"b.p").as("dot"))
+        dot
+          .join(broadcast(nrm.select($"lang".as("la"), $"n2".as("na"))), "la")
+          .join(broadcast(nrm.select($"lang".as("lb"), $"n2".as("nb"))), "lb")
+          .select($"la", $"lb",
+            expr("(dot * dot * 1000000) div (na * nb)")
+              .cast("long").as("cos2_ppm"))
+          .orderBy($"la", $"lb")
+      },
+      Some("""WITH tok AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t FROM documents) GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM tok
+        |  GROUP BY 1),
+        |prof AS (SELECT tok.lang, t,
+        |    CAST((c * 1000000) // tot AS BIGINT) AS p
+        |  FROM tok JOIN tt ON tok.lang = tt.lang
+        |  WHERE (c * 1000000) // tot > 0),
+        |nrm AS (SELECT lang,
+        |    sum(CAST(p AS HUGEINT) * p) AS n2 FROM prof GROUP BY 1),
+        |dot AS (SELECT a.lang AS la, b.lang AS lb,
+        |    sum(CAST(a.p AS HUGEINT) * b.p) AS dot
+        |  FROM prof a JOIN prof b ON a.t = b.t AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT la, lb,
+        |  CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+        |    AS cos2_ppm
+        |FROM dot JOIN nrm na ON dot.la = na.lang
+        |  JOIN nrm nb ON dot.lb = nb.lang
+        |ORDER BY la, lb""".stripMargin)),
+
+    // ---- 237. column-profile audit — the one-pass dataset profiler a
+    //          catalog runs at ingest (null rate, exact distinct, min/
+    //          max per column): five columns' partial aggregates in ONE
+    //          scan-side pass (count-distinct expands the input ×5 but
+    //          every path stays combinable — no per-column re-scan),
+    //          then unpivoted to a (column, stats) row per column.
+    //          Numeric min/max computed BEFORE the string cast (byte-
+    //          wise "10" < "9" would lie); binary collation on both
+    //          engines makes the text min/max hash-stable. ----
+    QDef("q237_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val a = d.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"doc_id".isNull, 1L).otherwise(0L)).as("nn_doc_id"),
+          countDistinct($"doc_id").as("nd_doc_id"),
+          min($"doc_id").cast("string").as("mn_doc_id"),
+          max($"doc_id").cast("string").as("mx_doc_id"),
+          sum(when($"text".isNull, 1L).otherwise(0L)).as("nn_text"),
+          countDistinct($"text").as("nd_text"),
+          min($"text").as("mn_text"), max($"text").as("mx_text"),
+          sum(when($"lang".isNull, 1L).otherwise(0L)).as("nn_lang"),
+          countDistinct($"lang").as("nd_lang"),
+          min($"lang").as("mn_lang"), max($"lang").as("mx_lang"),
+          sum(when($"source".isNull, 1L).otherwise(0L)).as("nn_source"),
+          countDistinct($"source").as("nd_source"),
+          min($"source").as("mn_source"), max($"source").as("mx_source"),
+          sum(when($"n_chars".isNull, 1L).otherwise(0L)).as("nn_n_chars"),
+          countDistinct($"n_chars").as("nd_n_chars"),
+          min($"n_chars").cast("string").as("mn_n_chars"),
+          max($"n_chars").cast("string").as("mx_n_chars"))
+        a.select($"n_rows", expr(
+          """stack(5,
+            |'doc_id', nn_doc_id, nd_doc_id, mn_doc_id, mx_doc_id,
+            |'lang', nn_lang, nd_lang, mn_lang, mx_lang,
+            |'n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars,
+            |'source', nn_source, nd_source, mn_source, mx_source,
+            |'text', nn_text, nd_text, mn_text, mx_text)
+            |AS (col, n_null, n_distinct, min_s, max_s)""".stripMargin))
+          .select($"col", $"n_rows", $"n_null", $"n_distinct",
+            $"min_s", $"max_s")
+          .orderBy($"col")
+      },
+      Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nn_doc_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+        |  CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+        |  CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nn_text,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS nd_text,
+        |  min(text) AS mn_text, max(text) AS mx_text,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nn_lang,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang,
+        |  min(lang) AS mn_lang, max(lang) AS mx_lang,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nn_source,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS nd_source,
+        |  min(source) AS mn_source, max(source) AS mx_source,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nn_n_chars,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS nd_n_chars,
+        |  CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+        |  CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+        |  FROM documents)
+        |SELECT col, n_rows, n_null, n_distinct, min_s, max_s FROM (
+        |  SELECT 'doc_id' AS col, n_rows, nn_doc_id AS n_null,
+        |    nd_doc_id AS n_distinct, mn_doc_id AS min_s, mx_doc_id AS max_s
+        |    FROM a
+        |  UNION ALL SELECT 'lang', n_rows, nn_lang, nd_lang, mn_lang,
+        |    mx_lang FROM a
+        |  UNION ALL SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars,
+        |    mn_n_chars, mx_n_chars FROM a
+        |  UNION ALL SELECT 'source', n_rows, nn_source, nd_source,
+        |    mn_source, mx_source FROM a
+        |  UNION ALL SELECT 'text', n_rows, nn_text, nd_text, mn_text,
+        |    mx_text FROM a)
+        |ORDER BY col""".stripMargin)),
+
+    // ---- 238. interval-union coverage — per event type, the union
+    //          length of [ts, ts + floor(value·1e6) µs) activity
+    //          intervals (the uptime/coverage metric; q206's sweep
+    //          measures the PEAK of the same delta stream, this measures
+    //          its support): ±1 deltas, one per-type running sum, gap
+    //          lengths summed where the running count is positive. Tie
+    //          order (t, open-before-close, event_id) is pinned but
+    //          immaterial — zero-length segments contribute nothing, so
+    //          the union length is tie-invariant; half-open intervals
+    //          make touching intervals merge exactly. All integer µs;
+    //          per-type window ⇒ same single-dominant-type PrefixSum
+    //          swap note as q206. ----
+    QDef("q238_interval_union",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type", $"ts_us", $"event_id",
+            ($"ts_us" + floor($"value" * 1e6).cast("long")).as("end_us"))
+          .filter($"end_us" > $"ts_us")
+        val pts = e.select($"event_type", $"ts_us".as("t"),
+            lit(0).as("tag"), $"event_id", lit(1L).as("delta"))
+          .unionAll(e.select($"event_type", $"end_us".as("t"),
+            lit(1).as("tag"), $"event_id", lit(-1L).as("delta")))
+        val wS = Window.partitionBy($"event_type")
+          .orderBy($"t", $"tag", $"event_id")
+        pts
+          .withColumn("run", sum($"delta").over(wS))
+          .withColumn("nt", lead($"t", 1).over(wS))
+          .groupBy($"event_type")
+          .agg(sum(when($"run" > 0 && $"nt".isNotNull, $"nt" - $"t")
+              .otherwise(0L)).as("covered_us"),
+            (count(lit(1)) / 2).cast("long").as("n_intervals"),
+            min($"t").as("t0"), max($"t").as("t1"))
+          .select($"event_type", $"n_intervals", $"covered_us",
+            ($"t1" - $"t0").as("span_us"),
+            expr("(covered_us * 1000000) div (t1 - t0)")
+              .cast("long").as("coverage_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS end_us
+        |  FROM events
+        |  WHERE epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT)
+        |    > epoch_us(ts)),
+        |pts AS (SELECT event_type, ts_us AS t, 0 AS tag, event_id,
+        |    CAST(1 AS BIGINT) AS delta FROM e
+        |  UNION ALL SELECT event_type, end_us, 1, event_id,
+        |    CAST(-1 AS BIGINT) FROM e),
+        |sw AS (SELECT event_type, t,
+        |    sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, tag, event_id ROWS UNBOUNDED PRECEDING) AS run,
+        |    lead(t) OVER (PARTITION BY event_type
+        |      ORDER BY t, tag, event_id) AS nt
+        |  FROM pts)
+        |SELECT event_type,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+        |  CAST(sum(CASE WHEN run > 0 AND nt IS NOT NULL THEN nt - t
+        |    ELSE 0 END) AS BIGINT) AS covered_us,
+        |  max(t) - min(t) AS span_us,
+        |  CAST((sum(CASE WHEN run > 0 AND nt IS NOT NULL THEN nt - t
+        |    ELSE 0 END) * 1000000) // (max(t) - min(t)) AS BIGINT)
+        |    AS coverage_ppm
+        |FROM sw GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 239. Bloom false-positive audit — the measured-FPR calibration
+    //          for the q80 Bloom-pruned semi-join family (q26/q195's
+    //          estimation-error-audit pattern applied to the third
+    //          sketch): members (BUILDING customers) set k=3 md5-derived
+    //          bit positions in an m=16384 space; every NON-member probes
+    //          the same positions, positive iff all three hit. The bit
+    //          set is a ≤ m-row broadcast dim, the probe check one
+    //          explode + broadcast join + all-k count — the candidate
+    //          probe×member cross is never formed. Pure integer (hash60
+    //          mod m), replayed exactly from the same md5 preimages. ----
+    QDef("q239_bloom_fpr",
+      (s, dir) => {
+        import s.implicits._
+        val m = 16384
+        val cust = Tables.customer(s, dir)
+          .select($"c_custkey", $"c_mktsegment")
+        def pos(i: Int, key: Column): Column =
+          pmod(TF.hash60(concat(lit(s"bf$i:"), key.cast("string"))),
+            lit(m.toLong))
+        val members = cust.filter($"c_mktsegment" === "BUILDING")
+        val bits = members
+          .select(explode(array((1 to 3).map(i =>
+            pos(i, $"c_custkey")): _*)).as("b"))
+          .distinct()
+        val probes = cust.filter($"c_mktsegment" =!= "BUILDING")
+          .select($"c_custkey",
+            explode(array((1 to 3).map(i =>
+              pos(i, $"c_custkey")): _*)).as("b"))
+        // tall (metric, value) output — four independent branches stitch
+        // via UNION, never a 1-row crossJoin (the whole-surface sweep
+        // bans the BNLJ it would plan). n_probes and n_fp share ONE
+        // per-key aggregate so the fpr ratio never crosses branches.
+        val perKey = probes
+          .join(broadcast(bits.withColumn("hitf", lit(1L))), Seq("b"), "left")
+          .groupBy($"c_custkey")
+          .agg(sum(coalesce($"hitf", lit(0L))).as("nh"))
+        val probeStats = perKey
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when($"nh" === 3, 1L).otherwise(0L)).as("n_fp"))
+          .select(expr(
+            """stack(3, 'n_fp', n_fp, 'n_probes', n_probes,
+              |'fpr_ppm', (n_fp * 1000000) div n_probes)
+              |AS (metric, value)""".stripMargin))
+        val nMem = members.agg(count(lit(1)).as("value"))
+          .select(lit("n_members").as("metric"), $"value")
+        val nBit = bits.agg(count(lit(1)).as("value"))
+          .select(lit("n_bits_set").as("metric"), $"value")
+        probeStats.unionAll(nMem).unionAll(nBit).orderBy($"metric")
+      },
+      Some("""WITH mem AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |prb AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING'),
+        |bits AS (SELECT DISTINCT
+        |    CAST(('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || ':' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS b
+        |  FROM mem, unnest([1, 2, 3]) AS u(i)),
+        |ph AS (SELECT c_custkey,
+        |    CAST(('0x' || substring(md5('bf' || CAST(i AS VARCHAR) || ':' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS b
+        |  FROM prb, unnest([1, 2, 3]) AS u(i)),
+        |pk AS (SELECT ph.c_custkey,
+        |    CAST(sum(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nh
+        |  FROM ph LEFT JOIN bits ON ph.b = bits.b GROUP BY 1),
+        |pa AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(CASE WHEN nh = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fp FROM pk)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_fp' AS metric, n_fp AS value FROM pa
+        |  UNION ALL SELECT 'n_probes', n_probes FROM pa
+        |  UNION ALL SELECT 'fpr_ppm', CAST((n_fp * 1000000) // n_probes
+        |    AS BIGINT) FROM pa
+        |  UNION ALL SELECT 'n_members', CAST(count(*) AS BIGINT) FROM mem
+        |  UNION ALL SELECT 'n_bits_set', CAST(count(*) AS BIGINT)
+        |    FROM bits)
+        |ORDER BY metric""".stripMargin)),
+
+    // ---- 240. nDCG@10 retrieval eval — the ranking-quality score the
+    //          recall audits (q104/q177/q186) don't give: position-
+    //          discounted gain of label-relevant neighbors in the exact
+    //          top-10 (q191's kNN device, self excluded). The 1/log2(i+1)
+    //          discounts are Scala-computed ONCE and printed into both
+    //          engines as ten integer literals (the benfordPpm device —
+    //          no libm in the compared plan); ideal DCG is the printed
+    //          PREFIX-SUM array indexed by the relevant count, so
+    //          ndcg = dcg·1e6 div icum[R] stays pure integer. Queries
+    //          with zero relevant neighbors are counted, not scored. ----
+    QDef("q240_ndcg",
+      (s, dir) => {
+        import s.implicits._
+        val wArr = ndcgW.map(lit)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" < 200)
+        val nn = graft.ops.Knn.topKJoin(q, emb,
+            "vec_id", "embedding", "vec_id", "embedding", k = 11)
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"query_id")
+              .orderBy($"cos".desc, $"vec_id")))
+          .filter($"rn" <= 10)
+        val lbl = emb.select($"vec_id", $"label".cast("long").as("label"))
+        val perQ = nn
+          .join(lbl.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "qlabel"), "query_id")
+          .join(lbl, "vec_id")
+          .withColumn("rel", when($"label" === $"qlabel", 1L).otherwise(0L))
+          .groupBy($"query_id", $"qlabel")
+          .agg(sum($"rel" * element_at(array(wArr: _*), $"rn"))
+              .as("dcg"),
+            sum($"rel").as("r"))
+        perQ
+          .withColumn("ndcg_ppm", when($"r" > 0,
+            expr("(dcg * 1000000) div " +
+              s"element_at(array(${ndcgICum.mkString("L,")}L), " +
+              "cast(r as int))")))
+          .groupBy($"qlabel")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when($"r" === 0, 1L).otherwise(0L)).as("n_zero_rel"),
+            sum($"ndcg_ppm").as("sum_ndcg"))
+          .select($"qlabel", $"n_queries", $"n_zero_rel",
+            when($"n_queries" > $"n_zero_rel",
+              expr("sum_ndcg div (n_queries - n_zero_rel)"))
+              .cast("long").as("mean_ndcg_ppm"))
+          .orderBy($"qlabel")
+      },
+      Some {
+        val w = ndcgW.mkString(", ")
+        val ic = ndcgICum.mkString(", ")
+        s"""WITH q AS (SELECT vec_id AS query_id,
+           |    CAST(label AS BIGINT) AS qlabel,
+           |    CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 200),
+           |c AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |nn AS (SELECT query_id, qlabel, c.vec_id, c.label,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC,
+           |        c.vec_id) AS rn
+           |  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id),
+           |pq AS (SELECT query_id, qlabel,
+           |    CAST(sum(CASE WHEN label = qlabel
+           |      THEN [$w][rn] ELSE 0 END) AS BIGINT) AS dcg,
+           |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS r
+           |  FROM nn WHERE rn <= 10 GROUP BY 1, 2),
+           |sc AS (SELECT query_id, qlabel, r,
+           |    CASE WHEN r > 0 THEN
+           |      CAST((dcg * 1000000) // ([$ic][CAST(r AS INT)])
+           |        AS BIGINT) END AS ndcg_ppm
+           |  FROM pq)
+           |SELECT qlabel, CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_zero_rel,
+           |  CASE WHEN count(*) > sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)
+           |    THEN CAST(sum(ndcg_ppm) // (count(*)
+           |      - sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)) AS BIGINT) END
+           |    AS mean_ndcg_ppm
+           |FROM sc GROUP BY qlabel ORDER BY qlabel""".stripMargin
+      }),
+
+    // ---- 241. day-over-day audience overlap — Jaccard of consecutive
+    //          days' active-user sets (the stability complement of the
+    //          q227 new/retained/churned ledger: ONE number per day
+    //          pair): one distinct (user, day) collapse, the overlap an
+    //          equi-join on (user, day+1) — set sizes never leave their
+    //          combinable counts, the union via |A|+|B|−|A∩B|. Integer
+    //          ppm. ----
+    QDef("q241_dod_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val act = Tables.events(s, dir)
+          .select($"user_id",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"))
+          .distinct()
+        val sz = act.groupBy($"d").agg(count(lit(1)).as("n"))
+        val inter = act.as("a")
+          .join(act.as("b"),
+            $"a.user_id" === $"b.user_id" && $"b.d" === $"a.d" + 1)
+          .groupBy($"a.d".as("d"))
+          .agg(count(lit(1)).as("inter"))
+        sz.as("sa")
+          .join(sz.as("sb"), $"sb.d" === $"sa.d" + 1)
+          .join(inter.as("iv"), $"iv.d" === $"sa.d", "left")
+          .select($"sa.d".as("d"), $"sa.n".as("n_a"), $"sb.n".as("n_b"),
+            coalesce($"iv.inter", lit(0L)).as("n_inter"))
+          .withColumn("jaccard_ppm",
+            expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+              .cast("long"))
+          .orderBy($"d")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+        |  FROM events),
+        |sz AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM act
+        |  GROUP BY 1),
+        |iv AS (SELECT a.d, CAST(count(*) AS BIGINT) AS inter
+        |  FROM act a JOIN act b ON a.user_id = b.user_id
+        |    AND b.d = a.d + 1
+        |  GROUP BY 1)
+        |SELECT sa.d AS d, sa.n AS n_a, sb.n AS n_b,
+        |  COALESCE(iv.inter, 0) AS n_inter,
+        |  CAST((COALESCE(iv.inter, 0) * 1000000)
+        |    // (sa.n + sb.n - COALESCE(iv.inter, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM sz sa JOIN sz sb ON sb.d = sa.d + 1
+        |  LEFT JOIN iv ON iv.d = sa.d
+        |ORDER BY d""".stripMargin)),
+
+    // ---- 242. referential-integrity audit — the DQ pre-flight a
+    //          warehouse runs before trusting a snapshot: orphaned facts
+    //          (lineitem→orders, orders→customer) via anti-joins,
+    //          childless orders via one anti-join the other way, and
+    //          header-vs-detail money drift (o_totalprice vs the
+    //          lineitem gross in exact cents, counted past a 1-cent
+    //          tolerance). Every check is a key-equi join feeding ONE
+    //          combinable count — no row-level output to explode at
+    //          100 TB; the detail-sum side collapses lineitem per order
+    //          BEFORE joining headers. ----
+    QDef("q242_ref_integrity",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        // tall (check, n_bad) output — branches stitch via UNION, never
+        // a 1-row crossJoin (BNLJ ban, the q239 convention)
+        def tall(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_bad"))
+            .select(lit(name).as("chk"), $"n_bad")
+        val orphanLi = li.join(ord.select($"o_orderkey".as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        val orphanOrd = ord.join(
+          cust.select($"c_custkey".as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        val childless = ord.join(
+          li.select($"l_orderkey".as("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        val detail = li.groupBy($"l_orderkey")
+          .agg(floor(sum($"l_extendedprice".cast(dec38_6)) * 100)
+            .cast("long").as("det_cents"))
+        val drift = ord
+          .select($"o_orderkey".as("l_orderkey"),
+            floor($"o_totalprice".cast(dec38_6) * 100)
+              .cast("long").as("hdr_cents"))
+          .join(detail, "l_orderkey")
+          .filter(abs($"hdr_cents" - $"det_cents") > 1)
+        tall("orphan_lineitem", orphanLi)
+          .unionAll(tall("orphan_order", orphanOrd))
+          .unionAll(tall("childless_order", childless))
+          .unionAll(tall("price_drift", drift))
+          .orderBy($"chk")
+      },
+      Some("""SELECT chk, n_bad FROM (
+        |  SELECT 'orphan_lineitem' AS chk,
+        |    CAST(count(*) AS BIGINT) AS n_bad FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'orphan_order', CAST(count(*) AS BIGINT)
+        |    FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'childless_order', CAST(count(*) AS BIGINT)
+        |    FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |      WHERE l.l_orderkey = o.o_orderkey)
+        |  UNION ALL SELECT 'price_drift', CAST(count(*) AS BIGINT) FROM
+        |    (SELECT o_orderkey,
+        |        CAST(floor(CAST(o_totalprice AS DECIMAL(38,6)) * 100)
+        |          AS BIGINT) AS hdr_cents
+        |      FROM orders) h
+        |    JOIN (SELECT l_orderkey,
+        |        CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |          * 100) AS BIGINT) AS det_cents
+        |      FROM lineitem GROUP BY 1) d
+        |    ON h.o_orderkey = d.l_orderkey
+        |    WHERE abs(hdr_cents - det_cents) > 1)
+        |ORDER BY chk""".stripMargin)),
+
+    // ---- 243. SAX motif scan — symbolic aggregate approximation over
+    //          the per-type daily revenue series: days symbolize into
+    //          exact quartile classes (pinned ORDER-STATISTIC picks, the
+    //          q209/q218 row-pick device — no interpolated breakpoints,
+    //          no z-normalization sqrt), three consecutive symbols form
+    //          a word, repeated words are the motifs. The quartile
+    //          window runs on the |types|×|days| calendar collapse;
+    //          symbols and words are row-local lags on the same per-type
+    //          sort. Repeats (count ≥ 2) only, pure integer cents in,
+    //          strings out. ----
+    QDef("q243_sax_motifs",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            floor($"value" * 100).cast("long").as("c"))
+        val daily = e.groupBy($"event_type", $"d").agg(sum($"c").as("v"))
+        val wR = Window.partitionBy($"event_type").orderBy($"v", $"d")
+        val wN = Window.partitionBy($"event_type")
+        val qs = daily
+          .withColumn("rn", row_number().over(wR))
+          .withColumn("n", count(lit(1)).over(wN))
+          .withColumn("q25", max(when($"rn" === expr("(n + 3) div 4"),
+            $"v")).over(wN))
+          .withColumn("q50", max(when($"rn" === expr("(n + 1) div 2"),
+            $"v")).over(wN))
+          .withColumn("q75", max(when($"rn" === expr("(n * 3 + 1) div 4"),
+            $"v")).over(wN))
+          .withColumn("sym",
+            when($"v" <= $"q25", "a").when($"v" <= $"q50", "b")
+              .when($"v" <= $"q75", "c").otherwise("d"))
+        val wT = Window.partitionBy($"event_type").orderBy($"d")
+        qs
+          .withColumn("word", concat($"sym", lead($"sym", 1).over(wT),
+            lead($"sym", 2).over(wT)))
+          .filter($"word".isNotNull)
+          .groupBy($"event_type", $"word")
+          .agg(count(lit(1)).as("n_occ"))
+          .filter($"n_occ" >= 2)
+          .orderBy($"event_type", $"n_occ".desc, $"word")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |daily AS (SELECT event_type, d, CAST(sum(c) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |qs AS (SELECT *,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END)
+        |      OVER (PARTITION BY event_type) AS q25,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+        |      OVER (PARTITION BY event_type) AS q50,
+        |    max(CASE WHEN rn = (n * 3 + 1) // 4 THEN v END)
+        |      OVER (PARTITION BY event_type) AS q75
+        |  FROM r),
+        |sym AS (SELECT event_type, d,
+        |    CASE WHEN v <= q25 THEN 'a' WHEN v <= q50 THEN 'b'
+        |      WHEN v <= q75 THEN 'c' ELSE 'd' END AS s1
+        |  FROM qs),
+        |w AS (SELECT event_type,
+        |    s1 || lead(s1, 1) OVER tw || lead(s1, 2) OVER tw AS word
+        |  FROM sym WINDOW tw AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM w WHERE word IS NOT NULL
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY event_type, n_occ DESC, word""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

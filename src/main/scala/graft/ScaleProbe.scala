@@ -637,7 +637,17 @@ object ScaleProbe {
       "q223_sequence_count", "q224_rbo", "q225_tv_drift",
       "q226_fano_dispersion", "q227_growth_accounting",
       "q228_candle_patterns", "q229_rolling_bands", "q230_dedup_bias",
-      "q231_lsh_curve")
+      "q231_lsh_curve",
+      // round-7 continuation batch. Replica-shape notes: q242's drift
+      // check meets fam7's unshifted-orderkey fan (10 header replicas per
+      // detail row — the q129 asymmetric-growth precedent, a 10-to-1
+      // equi-join, still linear); q239's 16384-bit space saturates at
+      // 10× members (fpr→1) — the probe measures the probe-join growth,
+      // not the (deliberately capped) filter quality.
+      "q232_hoover", "q233_rsi", "q234_zipf_octaves", "q235_runs_test",
+      "q236_lang_cosine", "q237_column_profile", "q238_interval_union",
+      "q239_bloom_fpr", "q240_ndcg", "q241_dod_jaccard",
+      "q242_ref_integrity", "q243_sax_motifs")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
