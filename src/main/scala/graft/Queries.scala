@@ -10804,7 +10804,206 @@ object Queries {
         |SELECT event_type, word, CAST(count(*) AS BIGINT) AS n_occ
         |FROM w WHERE word IS NOT NULL
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY event_type, n_occ DESC, word""".stripMargin))
+        |ORDER BY event_type, n_occ DESC, word""".stripMargin)),
+
+    // ---- 244. Flesch readability rollup — the classic reading-ease
+    //          score made exactly rational: syllables ≈ maximal vowel
+    //          runs (size(split(lower, '[aeiouy]+')) − 1, identical
+    //          split-keeps-empties semantics both engines), sentences =
+    //          terminal-punctuation count floored at 1, and the formula's
+    //          constants ride as MILLI-integers (206835 − 1015·W div S −
+    //          84600·Y div W) so no float touches the hash. Everything
+    //          is a narrow per-row map + one combinable per-lang
+    //          aggregate — the cheapest possible quality-gate shape. ----
+    QDef("q244_readability",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .filter($"text".isNotNull)
+          .select($"lang",
+            TF.tokenCount($"text").cast("long").as("w"),
+            greatest(lit(1L),
+              (length($"text") -
+                length(translate($"text", ".!?", ""))).cast("long"))
+              .as("sct"),
+            (size(split(lower($"text"), "[aeiouy]+")) - 1)
+              .cast("long").as("y"))
+          .filter($"w" > 0)
+          .select($"lang",
+            (lit(206835L) - expr("(1015 * w) div sct")
+              - expr("(84600 * y) div w")).as("f_m"))
+        d.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(f_m) div count(1)").cast("long").as("mean_flesch_m"),
+            min($"f_m").as("min_flesch_m"),
+            max($"f_m").as("max_flesch_m"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS w,
+        |    greatest(1, CAST(length(text) -
+        |      length(replace(replace(replace(text, '.', ''), '!', ''),
+        |        '?', '')) AS BIGINT)) AS sct,
+        |    CAST(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1
+        |      AS BIGINT) AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT lang,
+        |    206835 - (1015 * w) // sct - (84600 * y) // w AS f_m
+        |  FROM d WHERE w > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(f_m) // count(*) AS BIGINT) AS mean_flesch_m,
+        |  CAST(min(f_m) AS BIGINT) AS min_flesch_m,
+        |  CAST(max(f_m) AS BIGINT) AS max_flesch_m
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- 245. Good–Turing missing mass — "how much probability lives
+    //          in tokens we have NOT seen yet": the Turing estimate
+    //          N₁/N plus the head of the frequency-of-frequencies
+    //          spectrum, per language. The LM-data companion to q222's
+    //          Heaps curve (types added) — this is the mass still
+    //          unclaimed. Two combinable aggregates: token counts, then
+    //          counts-of-counts; everything after runs on the ≤ |langs|×
+    //          spectrum grid. Pure integer ppm. ----
+    QDef("q245_missing_mass",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"lang", explode(TF.tokens($"text")).as("t"))
+          .groupBy($"lang", $"t").agg(count(lit(1)).as("c"))
+        tok.groupBy($"lang")
+          .agg(count(lit(1)).as("v"),
+            sum($"c").as("n"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when($"c" === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when($"c" === 3, 1L).otherwise(0L)).as("n3"))
+          .select($"lang", $"v", $"n", $"n1", $"n2", $"n3",
+            expr("(n1 * 1000000) div n").cast("long").as("missing_ppm"),
+            expr("(n1 * 1000000) div v").cast("long").as("hapax_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t FROM documents) GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS v,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // sum(c) AS BIGINT) AS missing_ppm,
+        |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS hapax_ppm
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- 246. OOV transfer audit — rate of out-of-vocabulary tokens
+    //          when a model trained on sources src0–src9 meets each
+    //          held-out source: both the occurrence rate (how much text
+    //          breaks) and the type rate (how much vocabulary is new).
+    //          The train vocab is a distinct-token dim; OOV marking is
+    //          ONE left join from the per-(source, token) collapse —
+    //          occurrence counts ride the collapse, so the join side is
+    //          |vocab|-bounded, never token-occurrence-sized. ----
+    QDef("q246_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"source", explode(TF.tokens($"text")).as("t"))
+        // pure regex membership (src0..src9 are exactly the one-digit
+        // sources) — an int cast would throw on the degen corpus's
+        // non-srcN source strings under ANSI
+        val isTrain = $"source".rlike("^src[0-9]$")
+        val trainVocab = tok.filter(isTrain).select($"t").distinct()
+          .withColumn("known", lit(1L))
+        tok.filter(!isTrain)
+          .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+          .join(trainVocab, Seq("t"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_types"),
+            sum($"c").as("n_occ"),
+            sum(when($"known".isNull, 1L).otherwise(0L)).as("oov_types"),
+            sum(when($"known".isNull, $"c").otherwise(0L)).as("oov_occ"))
+          .select($"source", $"n_types", $"n_occ", $"oov_types", $"oov_occ",
+            expr("(oov_occ * 1000000) div n_occ").cast("long")
+              .as("oov_occ_ppm"),
+            expr("(oov_types * 1000000) div n_types").cast("long")
+              .as("oov_type_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS t FROM documents),
+        |tv AS (SELECT DISTINCT t FROM tok
+        |  WHERE regexp_matches(source, '^src[0-9]$')),
+        |ev AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  WHERE NOT regexp_matches(source, '^src[0-9]$')
+        |  GROUP BY 1, 2),
+        |j AS (SELECT ev.source, ev.c,
+        |    CASE WHEN tv.t IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM ev LEFT JOIN tv ON ev.t = tv.t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_occ,
+        |  CAST(sum(oov) AS BIGINT) AS oov_types,
+        |  CAST(sum(oov * c) AS BIGINT) AS oov_occ,
+        |  CAST((sum(oov * c) * 1000000) // sum(c) AS BIGINT)
+        |    AS oov_occ_ppm,
+        |  CAST((sum(oov) * 1000000) // count(*) AS BIGINT)
+        |    AS oov_type_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- 247. vector DQ pre-flight — the embedding-column audit an
+    //          ANN build runs before trusting its input (the q237
+    //          profiler's vector sibling): null vectors, off-contract
+    //          dimensions, exact zero-norm rows (unembeddable inputs —
+    //          Σx² = 0 iff every float is ±0, compared EXACTLY: squares
+    //          of float32 values cannot underflow a double), NaN
+    //          carriers, and the dim histogram folded into min/max. One
+    //          narrow map + one combinable per-label aggregate; the
+    //          array never shuffles. ----
+    QDef("q247_vector_dq",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"label".cast("long").as("label"),
+            $"embedding".isNull.cast("long").as("is_null"),
+            when($"embedding".isNull, lit(null))
+              .otherwise(size($"embedding")).cast("long").as("dim"),
+            when($"embedding".isNull, lit(null)).otherwise(
+              aggregate($"embedding", lit(0.0d),
+                (acc, x) => acc + x.cast("double") * x.cast("double")))
+              .as("n2"),
+            when($"embedding".isNull, lit(null)).otherwise(
+              exists($"embedding", x => isnan(x.cast("double")))
+                .cast("long")).as("has_nan"))
+        e.groupBy($"label")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"is_null").as("n_null"),
+            sum(when($"dim" =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+            sum(when($"n2" === 0.0d, 1L).otherwise(0L)).as("n_zero_norm"),
+            sum(coalesce($"has_nan", lit(0L))).as("n_nan"),
+            min($"dim").as("min_dim"), max($"dim").as("max_dim"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |      ELSE CAST(len(embedding) AS BIGINT) END AS dim,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |      ELSE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x * x)) END AS n2,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |      ELSE CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+        |        x -> isnan(x))) > 0 AS BIGINT) END AS has_nan
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(is_null) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_dim,
+        |  CAST(sum(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(sum(COALESCE(has_nan, 0)) AS BIGINT) AS n_nan,
+        |  min(dim) AS min_dim, max(dim) AS max_dim
+        |FROM e GROUP BY label ORDER BY label""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

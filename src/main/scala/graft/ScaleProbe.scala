@@ -647,7 +647,9 @@ object ScaleProbe {
       "q232_hoover", "q233_rsi", "q234_zipf_octaves", "q235_runs_test",
       "q236_lang_cosine", "q237_column_profile", "q238_interval_union",
       "q239_bloom_fpr", "q240_ndcg", "q241_dod_jaccard",
-      "q242_ref_integrity", "q243_sax_motifs")
+      "q242_ref_integrity", "q243_sax_motifs",
+      "q244_readability", "q245_missing_mass", "q246_oov_rate",
+      "q247_vector_dq")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
