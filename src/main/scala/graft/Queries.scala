@@ -11003,7 +11003,186 @@ object Queries {
         |    AS n_zero_norm,
         |  CAST(sum(COALESCE(has_nan, 0)) AS BIGINT) AS n_nan,
         |  min(dim) AS min_dim, max(dim) AS max_dim
-        |FROM e GROUP BY label ORDER BY label""".stripMargin))
+        |FROM e GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- 248. shuffle-balance pre-flight — q197 measures per-KEY skew;
+    //          this audits what the EXCHANGE will actually see: the
+    //          32-bucket load distribution after hashing the join key
+    //          (does hashing smooth the key skew at this partition
+    //          count, or does one bucket still carry the job?). Per-key
+    //          collapse FIRST (row counts ride the collapse), bucket =
+    //          md5-hash60 mod 32 — deterministic and replayed from the
+    //          same preimages; share/deviation as integer ppm on the
+    //          32-row grid. ----
+    QDef("q248_shuffle_balance",
+      (s, dir) => {
+        import s.implicits._
+        val keys = Tables.lineitem(s, dir)
+          .groupBy($"l_orderkey").agg(count(lit(1)).as("rws"))
+          .select(pmod(TF.hash60(concat(lit("shb:"),
+              $"l_orderkey".cast("string"))), lit(32L)).as("bucket"),
+            $"rws")
+        val b = keys.groupBy($"bucket")
+          .agg(count(lit(1)).as("n_keys"), sum($"rws").as("n_rows"))
+        val wG = Window.partitionBy()   // 32-row grid
+        b.withColumn("tot", sum($"n_rows").over(wG))
+          .select($"bucket", $"n_keys", $"n_rows",
+            expr("(n_rows * 1000000) div tot").cast("long")
+              .as("share_ppm"),
+            expr("(n_rows * 32000000) div tot").cast("long")
+              .as("load_x_ppm"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
+        |      AS rws FROM lineitem GROUP BY 1),
+        |b AS (SELECT CAST(('0x' || substring(md5('shb:' ||
+        |      CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(rws) AS BIGINT) AS n_rows
+        |  FROM k GROUP BY 1)
+        |SELECT bucket, n_keys, n_rows,
+        |  CAST((n_rows * 1000000) // sum(n_rows) OVER () AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((n_rows * 32000000) // sum(n_rows) OVER () AS BIGINT)
+        |    AS load_x_ppm
+        |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ---- 249. Markov stationary distribution — where the event process
+    //          spends time asymptotically: four power-iteration rounds
+    //          of q127's transition matrix as a pure-INTEGER recurrence
+    //          (π at 1e12 scale × ppm probabilities, floor-divided after
+    //          each |types|-bounded sum — the PageRank/q116 convention),
+    //          so the iterative result replays EXACTLY as unrolled CTEs.
+    //          Everything after the one bigram count runs on the
+    //          |types|²-row matrix; the uniform init takes one bounded
+    //          driver scalar (|types|, the PageRank-n precedent).
+    //          Dangling types (never a source) drop their mass each
+    //          round — identically in both engines, and reported: the
+    //          final left join restores them at π = 0. ----
+    QDef("q249_markov_stationary",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+        val wU = Window.partitionBy($"user_id")
+          .orderBy($"ts_us", $"event_id")
+        val big = e.withColumn("nxt", lead($"event_type", 1).over(wU))
+          .filter($"nxt".isNotNull)
+          .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val rowTot = big.groupBy($"src").agg(sum($"c").as("tot"))
+        val p = big.join(broadcast(rowTot), "src")
+          .select($"src", $"dst",
+            expr("(c * 1000000) div tot").cast("long").as("p_ppm"))
+        val types = e.select($"event_type".as("t")).distinct()
+        val nTypes = types.count()   // bounded driver scalar (|types|)
+        // empty events → 0 types → `types` is already empty; dodge the
+        // division so the query returns an empty frame instead of throwing
+        val piInit = if (nTypes == 0) 0L else 1000000000000L / nTypes
+        var pi = types.withColumn("pi", lit(piInit))
+        for (_ <- 1 to 4) {
+          pi = pi.join(p, pi("t") === p("src"))
+            .groupBy($"dst")
+            .agg(expr(
+              "sum(CAST(pi AS DECIMAL(38,0)) * p_ppm) div 1000000")
+              .cast("long").as("pi"))
+            .select($"dst".as("t"), $"pi")
+        }
+        types.join(pi.withColumnRenamed("pi", "pi4"), Seq("t"), "left")
+          .select($"t".as("event_type"),
+            coalesce($"pi4", lit(0L)).as("pi_e12"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |bg AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS dst
+        |  FROM e),
+        |m AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM bg
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM m
+        |  GROUP BY 1),
+        |p AS (SELECT m.src, m.dst,
+        |    CAST((c * 1000000) // tot AS BIGINT) AS p_ppm
+        |  FROM m JOIN rt ON m.src = rt.src),
+        |t AS (SELECT DISTINCT event_type AS t FROM events),
+        |pi0 AS (SELECT t, 1000000000000 // (SELECT count(*) FROM t)
+        |    AS pi FROM t),
+        |pi1 AS (SELECT dst AS t, CAST(sum(CAST(pi AS HUGEINT) * p_ppm)
+        |    // 1000000 AS BIGINT) AS pi
+        |  FROM pi0 JOIN p ON pi0.t = p.src GROUP BY dst),
+        |pi2 AS (SELECT dst AS t, CAST(sum(CAST(pi AS HUGEINT) * p_ppm)
+        |    // 1000000 AS BIGINT) AS pi
+        |  FROM pi1 JOIN p ON pi1.t = p.src GROUP BY dst),
+        |pi3 AS (SELECT dst AS t, CAST(sum(CAST(pi AS HUGEINT) * p_ppm)
+        |    // 1000000 AS BIGINT) AS pi
+        |  FROM pi2 JOIN p ON pi2.t = p.src GROUP BY dst),
+        |pi4 AS (SELECT dst AS t, CAST(sum(CAST(pi AS HUGEINT) * p_ppm)
+        |    // 1000000 AS BIGINT) AS pi
+        |  FROM pi3 JOIN p ON pi3.t = p.src GROUP BY dst)
+        |SELECT t.t AS event_type, COALESCE(pi4.pi, 0) AS pi_e12
+        |FROM t LEFT JOIN pi4 ON t.t = pi4.t
+        |ORDER BY event_type""".stripMargin)),
+
+    // ---- 250. inter-arrival tail percentiles — the SLO read on the gap
+    //          distribution q160 histograms: p50/p90/p99 (and max) of
+    //          per-type inter-event gaps as PINNED lower order-statistic
+    //          picks, rn = ⌊q·(n−1)⌋+1 (the q209/q218 row-pick device —
+    //          interpolated quantile_cont doubles at 1e10 µs magnitude
+    //          are NOT round-stable across engines; integer picks are).
+    //          One lead + one rank share a single per-type sort; the
+    //          q206 single-dominant-type PrefixSum note applies. ----
+    QDef("q250_gap_tails",
+      (s, dir) => {
+        import s.implicits._
+        val wT = Window.partitionBy($"event_type")
+          .orderBy($"ts_us", $"event_id")
+        val gaps = Tables.events(s, dir)
+          .select($"event_type", $"ts_us", $"event_id")
+          .withColumn("nx", lead($"ts_us", 1).over(wT))
+          .filter($"nx".isNotNull)
+          .select($"event_type", $"ts_us", $"event_id",
+            ($"nx" - $"ts_us").as("gap"))
+        val wr = Window.partitionBy($"event_type")
+          .orderBy($"gap", $"ts_us", $"event_id")
+        gaps
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type")
+          .agg(max($"n").as("n"),
+            max(when($"rn" === expr("((n - 1) * 50) div 100 + 1"),
+              $"gap")).as("p50_us"),
+            max(when($"rn" === expr("((n - 1) * 90) div 100 + 1"),
+              $"gap")).as("p90_us"),
+            max(when($"rn" === expr("((n - 1) * 99) div 100 + 1"),
+              $"gap")).as("p99_us"),
+            max($"gap").as("max_gap_us"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |g AS (SELECT event_type, ts_us, event_id,
+        |    lead(ts_us) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id) - ts_us AS gap
+        |  FROM e),
+        |r AS (SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap, ts_us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN gap END)
+        |    AS p50_us,
+        |  max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN gap END)
+        |    AS p90_us,
+        |  max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN gap END)
+        |    AS p99_us,
+        |  max(gap) AS max_gap_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
