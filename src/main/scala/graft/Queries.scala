@@ -11182,7 +11182,178 @@ object Queries {
         |  max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN gap END)
         |    AS p99_us,
         |  max(gap) AS max_gap_us
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 251. silence-trim audit (multimodal) — the audio-ingest
+    //          pre-pass on the binary surface: per doc, fixed 64-byte
+    //          frames (Multimodal.sampleFrames, everyK = 1 — the blob
+    //          never shuffles), per-frame byte ENERGY in a typed narrow
+    //          map, a frame is "silence" when its mean byte < 64
+    //          (energy < 64·len, integer cross-product — partial tail
+    //          frames judged by their own length, not the nominal 64).
+    //          The q192 ASCII pin (octet_length = length) lets DuckDB
+    //          replay byte energy as ord() sums over character frames.
+    //          Output = per-doc frame counts + trim ratio ppm. ----
+    QDef("q251_silence_trim",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select($"doc_id".as("id"), encode($"text", "UTF-8").as("payload"),
+            $"lang".as("format"))
+          .as[Multimodal.Media]
+        Multimodal.sampleFrames(media, frameBytes = 64, everyK = 1)
+          .map(f => (f.id, f.payload.length.toLong,
+            f.payload.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+          .toDF("doc_id", "flen", "energy")
+          .withColumn("silent",
+            when($"energy" < $"flen" * 64L, 1L).otherwise(0L))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum($"silent").as("n_silent"),
+            sum($"energy").as("total_energy"))
+          .withColumn("trim_ppm",
+            expr("(n_silent * 1000000) div n_frames").cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+        |    CAST(ceil(len(text) / 64.0) AS BIGINT) AS nf FROM documents
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |f AS (SELECT doc_id, substring(text, i * 64 + 1, 64) AS fr
+        |  FROM d, unnest(generate_series(0, nf - 1)) AS g(i)),
+        |e AS (SELECT doc_id, CAST(length(fr) AS BIGINT) AS flen,
+        |    CAST(list_sum(list_transform(range(1, length(fr) + 1),
+        |      j -> ord(substring(fr, j, 1)))) AS BIGINT) AS energy
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN energy < flen * 64 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_silent,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy,
+        |  CAST((sum(CASE WHEN energy < flen * 64 THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS trim_ppm
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- 252. historical VaR / CVaR — the tail-risk read on the daily
+    //          P&L series (q173 gives depth of the worst drawdown; this
+    //          gives the 95% quantile of DAILY moves and the expected
+    //          shortfall beyond it): VaR95 = pinned lower order-statistic
+    //          pick at rn = ⌊(n−1)·5/100⌋+1 over ascending deltas (the
+    //          q250 device), CVaR95 = mean of the deltas at or below the
+    //          pick in exact µcents — sum over rn ≤ k, one division at
+    //          the end. Deltas are integer cents off the per-type daily
+    //          collapse; one sort carries rank and picks. ----
+    QDef("q252_var_cvar",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            floor($"value" * 100).cast("long").as("c"))
+        val daily = e.groupBy($"event_type", $"d").agg(sum($"c").as("v"))
+        val wT = Window.partitionBy($"event_type").orderBy($"d")
+        val deltas = daily
+          .withColumn("delta", $"v" - lag($"v", 1).over(wT))
+          .filter($"delta".isNotNull)
+        val wr = Window.partitionBy($"event_type")
+          .orderBy($"delta", $"d")
+        deltas
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type")
+          .agg(max($"n").as("n_days"),
+            max(when($"rn" === expr("((n - 1) * 5) div 100 + 1"),
+              $"delta")).as("var95_cents"),
+            sum(when($"rn" <= expr("((n - 1) * 5) div 100 + 1"),
+              $"delta")).as("tail_sum"),
+            max(expr("((n - 1) * 5) div 100 + 1")).as("k"))
+          .select($"event_type", $"n_days", $"var95_cents",
+            expr("(tail_sum * 1000000) div k").cast("long")
+              .as("cvar95_ucents"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |daily AS (SELECT event_type, d, CAST(sum(c) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |dl AS (SELECT event_type, d,
+        |    v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS delta
+        |  FROM daily),
+        |r AS (SELECT event_type, delta,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY delta, d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dl WHERE delta IS NOT NULL)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |  max(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN delta END)
+        |    AS var95_cents,
+        |  CAST((sum(CASE WHEN rn <= ((n - 1) * 5) // 100 + 1
+        |      THEN delta END) * 1000000)
+        |    // max(((n - 1) * 5) // 100 + 1) AS BIGINT) AS cvar95_ucents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 253. underwater-duration audit — q173 reports the max
+    //          drawdown's DEPTH; this reports its DURATION: the longest
+    //          run of days the equity curve (running revenue sum) sits
+    //          below its running peak, plus when that run ended. The
+    //          last-peak day is a running max over the peak-hit flag, so
+    //          underwater-days is row-local (d − last_peak_day); the
+    //          argmax rides ONE integer encoding uw·100000 + d (d <
+    //          100000 until year 2243 — documented bound), so no second
+    //          pass and identical tie-breaking (later day wins) in both
+    //          engines. Calendar-grid windows after the daily collapse,
+    //          like every q209-family query. ----
+    QDef("q253_underwater",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"),
+            floor($"value" * 100).cast("long").as("c"))
+        val daily = e.groupBy($"event_type", $"d").agg(sum($"c").as("v"))
+        val wT = Window.partitionBy($"event_type").orderBy($"d")
+        daily
+          .withColumn("cum", sum($"v").over(wT))
+          .withColumn("peak", max($"cum").over(wT))
+          .withColumn("lpd",
+            max(when($"cum" === $"peak", $"d")).over(wT))
+          .withColumn("uw", $"d" - $"lpd")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(when($"cum" === $"peak", 1L).otherwise(0L))
+              .as("n_peak_days"),
+            max($"uw" * 100000L + $"d").as("code"))
+          .select($"event_type", $"n_days", $"n_peak_days",
+            expr("code div 100000").cast("long").as("max_uw_days"),
+            expr("code % 100000").cast("long").as("uw_end_d"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |daily AS (SELECT event_type, d, CAST(sum(c) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |cs AS (SELECT event_type, d,
+        |    sum(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily),
+        |w AS (SELECT event_type, d, cum,
+        |    max(cum) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM cs),
+        |u AS (SELECT event_type, d, cum, peak,
+        |    d - max(CASE WHEN cum = peak THEN d END)
+        |      OVER (PARTITION BY event_type ORDER BY d
+        |        ROWS UNBOUNDED PRECEDING) AS uw
+        |  FROM w)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN cum = peak THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_peak_days,
+        |  CAST(max(uw * 100000 + d) // 100000 AS BIGINT) AS max_uw_days,
+        |  CAST(max(uw * 100000 + d) % 100000 AS BIGINT) AS uw_end_d
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

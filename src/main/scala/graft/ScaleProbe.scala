@@ -650,7 +650,8 @@ object ScaleProbe {
       "q242_ref_integrity", "q243_sax_motifs",
       "q244_readability", "q245_missing_mass", "q246_oov_rate",
       "q247_vector_dq",
-      "q248_shuffle_balance", "q249_markov_stationary", "q250_gap_tails")
+      "q248_shuffle_balance", "q249_markov_stationary", "q250_gap_tails",
+      "q251_silence_trim", "q252_var_cvar", "q253_underwater")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
