@@ -11353,7 +11353,84 @@ object Queries {
         |    AS n_peak_days,
         |  CAST(max(uw * 100000 + d) // 100000 AS BIGINT) AS max_uw_days,
         |  CAST(max(uw * 100000 + d) % 100000 AS BIGINT) AS uw_end_d
-        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 254. Chao1 richness estimate — how many token TYPES exist,
+    //          including the unseen ones (the ecology estimator LM-data
+    //          work borrows for "is this corpus's vocabulary exhausted"):
+    //          the bias-corrected form chao1 = V + n₁(n₁−1)/(2(n₂+1)) is
+    //          exactly rational (q245 reports the unseen MASS; this
+    //          extrapolates the unseen TYPE count — Σf²-free, no
+    //          variance sqrt in the compared plan). Same two combinable
+    //          aggregates as q245; the estimator runs on the |langs|
+    //          grid. ----
+    QDef("q254_chao1",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"lang", explode(TF.tokens($"text")).as("t"))
+          .groupBy($"lang", $"t").agg(count(lit(1)).as("c"))
+        tok.groupBy($"lang")
+          .agg(count(lit(1)).as("v"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when($"c" === 2, 1L).otherwise(0L)).as("n2"))
+          .select($"lang", $"v", $"n1", $"n2",
+            ($"v" + expr("(n1 * (n1 - 1)) div (2 * (n2 + 1))"))
+              .cast("long").as("chao1"),
+            expr("(n1 * (n1 - 1)) div (2 * (n2 + 1))").cast("long")
+              .as("est_unseen_types"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t FROM documents) GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM tok GROUP BY lang)
+        |SELECT lang, v, n1, n2,
+        |  CAST(v + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS BIGINT) AS chao1,
+        |  CAST((n1 * (n1 - 1)) // (2 * (n2 + 1)) AS BIGINT)
+        |    AS est_unseen_types
+        |FROM a ORDER BY lang""".stripMargin)),
+
+    // ---- 255. compaction planning — the small-files fix as a query:
+    //          (lang, source) partitions pack into ~8 KiB bins via
+    //          ops/BinPack (distributed next-fit-decreasing: bin =
+    //          cum_exclusive div target off ONE range-partitioned
+    //          running sum — deterministic, replayed exactly by a
+    //          window sum). Joins the q169/q213/q248 infra-planning
+    //          family; the per-bin roll-up shows the NFD guarantee in
+    //          the fill_ppm column (mid bins straddle their slice,
+    //          overflow bounded by one item). ----
+    QDef("q255_compaction_bins",
+      (s, dir) => {
+        import s.implicits._
+        val parts = Tables.documents(s, dir)
+          .groupBy($"lang", $"source")
+          .agg(sum($"n_chars").as("bytes"))
+          .select(concat($"lang", lit("/"), $"source").as("pid"), $"bytes")
+        graft.ops.BinPack.assignBins(parts, Seq.empty, "pid", "bytes",
+            target = 8192L)
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_parts"), sum($"bytes").as("bytes"),
+            min($"pid").as("first_pid"))
+          .withColumn("fill_ppm",
+            expr("(bytes * 1000000) div 8192").cast("long"))
+          .orderBy($"bin")
+      },
+      Some("""WITH p AS (SELECT lang || '/' || source AS pid,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY lang, source),
+        |c AS (SELECT pid, bytes,
+        |    sum(bytes) OVER (ORDER BY bytes DESC, pid
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM p),
+        |b AS (SELECT pid, bytes, (cum - bytes) // 8192 AS bin FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(pid) AS first_pid,
+        |  CAST((sum(bytes) * 1000000) // 8192 AS BIGINT) AS fill_ppm
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -651,7 +651,8 @@ object ScaleProbe {
       "q244_readability", "q245_missing_mass", "q246_oov_rate",
       "q247_vector_dq",
       "q248_shuffle_balance", "q249_markov_stationary", "q250_gap_tails",
-      "q251_silence_trim", "q252_var_cvar", "q253_underwater")
+      "q251_silence_trim", "q252_var_cvar", "q253_underwater",
+      "q254_chao1", "q255_compaction_bins")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
