@@ -11430,7 +11430,502 @@ object Queries {
         |  CAST(sum(bytes) AS BIGINT) AS bytes,
         |  min(pid) AS first_pid,
         |  CAST((sum(bytes) * 1000000) // 8192 AS BIGINT) AS fill_ppm
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ---- 256. embedding centroid drift — did the vector distribution
+    //          move between ingest halves (the embedding-space monitor
+    //          beside the value-space drifts q141/q165/q225)? Per-label
+    //          centroids of the even- vs odd-vec_id halves, distance²
+    //          between them. The exactness device: each element is
+    //          QUANTIZED to µunits (floor(x·1e6), one IEEE multiply —
+    //          bit-identical both engines) BEFORE any sum, so the
+    //          per-dimension sums are integers and order-free — a raw
+    //          double Σ over shuffled rows would be last-ulp order-
+    //          dependent and can never hash-compare. One posexplode +
+    //          combinable (label, half, dim) agg; the drift² fold runs
+    //          on the |labels|×64 grid in DECIMAL(38,0). ----
+    QDef("q256_centroid_drift",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val q = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select($"label".cast("long").as("label"),
+            (pmod($"vec_id", lit(2L)) === 0).cast("int").as("half"),
+            posexplode(transform($"embedding",
+              x => floor(x.cast("double") * 1e6).cast("long"))))
+          .withColumnRenamed("pos", "j").withColumnRenamed("col", "qx")
+        val cent = q.groupBy($"label", $"half", $"j")
+          .agg(sum($"qx").as("sx"), count(lit(1)).as("n"))
+          .select($"label", $"half", $"j",
+            expr("CASE WHEN sx >= 0 THEN sx div n " +
+              "ELSE -((-sx) div n) END").as("cmu"))
+        val a = cent.filter($"half" === 1)
+          .select($"label", $"j", $"cmu".as("ca"))
+        val b = cent.filter($"half" === 0)
+          .select($"label", $"j", $"cmu".as("cb"))
+        a.join(b, Seq("label", "j"))
+          .select($"label", (($"ca" - $"cb").cast(d38)
+            * ($"ca" - $"cb")).as("d2"),
+            abs($"ca" - $"cb").as("ad"))
+          .groupBy($"label")
+          .agg(sum($"d2").cast("string").as("drift2_u2"),
+            max($"ad").as("max_dim_drift_u"))
+          .orderBy($"label")
+      },
+      Some("""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(vec_id % 2 = 0 AS INT) AS half, g.j,
+        |    CAST(floor(CAST(emb[g.j + 1] AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS qx
+        |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |      FROM embeddings WHERE embedding IS NOT NULL) e,
+        |    unnest(generate_series(0, len(emb) - 1)) AS g(j)),
+        |cent AS (SELECT label, half, j,
+        |    CASE WHEN sum(qx) >= 0
+        |      THEN CAST(sum(qx) AS BIGINT) // count(*)
+        |      ELSE -((-CAST(sum(qx) AS BIGINT)) // count(*)) END AS cmu
+        |  FROM q GROUP BY 1, 2, 3)
+        |SELECT a.label,
+        |  CAST(sum(CAST(a.cmu - b.cmu AS HUGEINT) * (a.cmu - b.cmu))
+        |    AS VARCHAR) AS drift2_u2,
+        |  CAST(max(abs(a.cmu - b.cmu)) AS BIGINT) AS max_dim_drift_u
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.j = b.j
+        |  AND a.half = 1 AND b.half = 0
+        |GROUP BY a.label ORDER BY a.label""".stripMargin)),
+
+    // ---- 257. hash-uniformity certification — q248 audits bucket LOAD
+    //          for one key set; this certifies the hash FUNCTION: the
+    //          KS-style max deviation of the 60-bit hash's 256-bucket
+    //          ECDF from uniform, as pure integer cross-products
+    //          (|cum·256 − (b+1)·n| over the bucket spine — the classic
+    //          n₁n₂ rescale, q165's device). The spine is generated
+    //          (s.range ⊳ all 256 buckets present even when empty —
+    //          a gap would silently under-measure D); worst bucket
+    //          rides the q253 single-encoding argmax. ----
+    QDef("q257_hash_uniformity",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val keys = Tables.customer(s, dir)
+          .select(TF.hash60(concat(lit("uni:"),
+            $"c_custkey".cast("string"))).as("h"))
+        val bk = keys
+          .select(expr("h div 4503599627370496").as("b"))  // 2^60/256=2^52
+          .groupBy($"b").agg(count(lit(1)).as("cnt"))
+        val spine = s.range(0, 256).toDF("b")
+          .join(bk, Seq("b"), "left")
+          .select($"b", coalesce($"cnt", lit(0L)).as("cnt"))
+        val wG = Window.partitionBy().orderBy($"b")   // 256-row grid
+        spine
+          .withColumn("cum", sum($"cnt").over(wG))
+          .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+          .withColumn("dev", abs($"cum" * 256 - ($"b" + 1) * $"n"))
+          .groupBy()
+          .agg(max($"n").as("n_keys"),
+            max($"dev" * 1000L + $"b").as("code"))
+          .select($"n_keys",
+            // empty key set → no distribution to certify (null, not /0)
+            when($"n_keys" > 0,
+              expr("((code div 1000) * 1000000) div " +
+                "(CAST(n_keys AS DECIMAL(38,0)) * 256)").cast("long"))
+              .as("d_ppm"),
+            expr("code % 1000").cast("long").as("worst_bucket"))
+      },
+      Some("""WITH k AS (SELECT CAST(('0x' || substring(md5('uni:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      // 4503599627370496 AS b
+        |  FROM customer),
+        |bk AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM k
+        |  GROUP BY 1),
+        |sp AS (SELECT g.b, COALESCE(bk.cnt, 0) AS cnt
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS b) g
+        |  LEFT JOIN bk ON g.b = bk.b),
+        |c AS (SELECT b, cnt,
+        |    sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS n FROM sp),
+        |d AS (SELECT b, abs(cum * 256 - (b + 1) * n) AS dev, n FROM c)
+        |SELECT CAST(max(n) AS BIGINT) AS n_keys,
+        |  CAST(((max(dev * 1000 + b) // 1000) * 1000000)
+        |    // (CAST(max(n) AS HUGEINT) * 256) AS BIGINT) AS d_ppm,
+        |  CAST(max(dev * 1000 + b) % 1000 AS BIGINT) AS worst_bucket
+        |FROM d""".stripMargin)),
+
+    // ---- 258. co-burst detection — systemic-event days: q210's robust
+    //          spike rule evaluated per type at a 2·MAD one-sided bar
+    //          (the co-occurrence of ≥ 2 MODERATE spikes is a stronger
+    //          systemic signal than one extreme spike, so the per-type
+    //          bar sits below q210's 3·MAD outlier cut), then grouped
+    //          by DAY — a day where several types spike together is
+    //          infrastructure, not traffic (the cross-family composition
+    //          q120/q210 can't see alone). All integer; the flag join
+    //          runs on the calendar grid, the day roll-up is one
+    //          combinable agg + sorted array_join for a deterministic
+    //          type list. ----
+    QDef("q258_coburst",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            (unix_micros(date_trunc("day", $"tstamp")) / 86400000000L)
+              .cast("long").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("n"))
+        def lowerMedian(df: DataFrame, valCol: String, outCol: String) = {
+          val w = Window.partitionBy($"event_type")
+            .orderBy(col(valCol), $"d")
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("cnt",
+              count(lit(1)).over(Window.partitionBy($"event_type")))
+            .filter($"rn" === expr("(cnt + 1) div 2"))
+            .select($"event_type", col(valCol).as(outCol))
+        }
+        val med = lowerMedian(daily, "n", "med")
+        val dev = daily.join(med, "event_type")
+          .withColumn("dev", $"n" - $"med")
+        val mad = lowerMedian(dev.withColumn("dev", abs($"dev")), "dev",
+          "mad")
+        dev.join(mad, "event_type")
+          .filter($"dev" > lit(2) * $"mad")   // one-sided: spikes only
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_types"),
+            array_join(sort_array(collect_list($"event_type")), ",")
+              .as("types"))
+          .filter($"n_types" >= 2)
+          .orderBy($"d")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |medr AS (SELECT event_type, n AS med FROM (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n, d)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM daily)
+        |  WHERE rn = (cnt + 1) // 2),
+        |dv AS (SELECT daily.event_type, d, n, med, n - med AS dev
+        |  FROM daily JOIN medr ON daily.event_type = medr.event_type),
+        |madr AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, abs(dev) AS adev,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(dev), d) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt FROM dv)
+        |  WHERE rn = (cnt + 1) // 2),
+        |fl AS (SELECT d, dv.event_type FROM dv
+        |  JOIN madr ON dv.event_type = madr.event_type
+        |  WHERE dev > 2 * mad)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_types,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types
+        |FROM fl GROUP BY d HAVING count(*) >= 2 ORDER BY d""".stripMargin)),
+
+    // ---- 259. Cohen's kappa — inter-rater agreement between two
+    //          deterministic labeling heuristics (the curation question
+    //          q73/q216 never answers: do the gates AGREE beyond chance,
+    //          or is their overlap just base-rate?). Rater A = length
+    //          gate (n_chars ≥ 600); rater B = structure gate (≥ 5
+    //          sentence periods). κ = (pₒ−pₑ)/(1−pₑ) as one integer
+    //          rational: num = n·(n11+n00) − (a1·b1 + a0·b0),
+    //          den = n² − (a1·b1 + a0·b0); both from ONE combinable agg
+    //          over a narrow per-row map — no shuffle beyond the lang
+    //          grid. Sign factored out before the div (num can be
+    //          negative; den ≥ 0) so truncation direction never differs
+    //          between engines. d38 products: n² overflows long past
+    //          3·10⁹ docs/lang — real at 100 TB. ----
+    QDef("q259_cohen_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val rated = Tables.documents(s, dir).select($"lang",
+          ($"n_chars" >= 600).cast("long").as("ra"),
+          ((length($"text") -
+            length(translate($"text", ".", ""))) >= 5)
+            .cast("long").as("rb"))
+        rated.groupBy($"lang").agg(
+            count(lit(1)).as("n"),
+            sum($"ra" * $"rb").as("n11"),
+            sum((lit(1L) - $"ra") * (lit(1L) - $"rb")).as("n00"),
+            sum($"ra").as("a1"), sum($"rb").as("b1"))
+          .select($"lang", $"n", $"n11", $"n00",
+            ($"a1" - $"n11").as("n10"), ($"b1" - $"n11").as("n01"),
+            (d($"n") * (d($"n11") + d($"n00")) -
+              (d($"a1") * d($"b1") +
+               (d($"n") - d($"a1")) * (d($"n") - d($"b1")))).as("num"),
+            (d($"n") * d($"n") -
+              (d($"a1") * d($"b1") +
+               (d($"n") - d($"a1")) * (d($"n") - d($"b1")))).as("den"))
+          .select($"lang", $"n", $"n11", $"n00", $"n10", $"n01",
+            when($"den" === 0, lit(null))
+              .otherwise(signum($"num").cast("long") *
+                expr("(abs(num) * 1000000) div den").cast("long"))
+              .as("kappa_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH r AS (SELECT lang,
+        |    CAST(n_chars >= 600 AS BIGINT) AS ra,
+        |    CAST(length(text) - length(replace(text, '.', '')) >= 5
+        |      AS BIGINT) AS rb
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(ra * rb) AS HUGEINT) AS n11,
+        |    CAST(sum((1 - ra) * (1 - rb)) AS HUGEINT) AS n00,
+        |    CAST(sum(ra) AS HUGEINT) AS a1,
+        |    CAST(sum(rb) AS HUGEINT) AS b1
+        |  FROM r GROUP BY 1),
+        |u AS (SELECT lang, n, n11, n00, a1 - n11 AS n10, b1 - n11 AS n01,
+        |    n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS num,
+        |    n * n - (a1 * b1 + (n - a1) * (n - b1)) AS den FROM g)
+        |SELECT lang, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(n00 AS BIGINT) AS n00, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01,
+        |  CAST(CASE WHEN den = 0 THEN NULL ELSE
+        |    (CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END) *
+        |      ((abs(num) * 1000000) // den) END AS BIGINT) AS kappa_ppm
+        |FROM u ORDER BY lang""".stripMargin)),
+
+    // ---- 260. lagged cross-correlation — which event type LEADS which
+    //          (q162 is each type against itself; this is the pairwise
+    //          lead/lag matrix bursts and funnels can't see): for every
+    //          unordered type pair at lags −3..+3 days, Pearson r² in
+    //          ppm with its sign, via q162's exact integer device
+    //          (n·Σxy − ΣxΣy cross-products in DECIMAL(38,0) — no
+    //          centering, no doubles). Daily collapse first, so the
+    //          join is grid×grid: the 7-row lag spine broadcasts onto
+    //          the day-keyed equi-join and the |types|²·7 output is
+    //          bounded by the type vocabulary, not the event count. ----
+    QDef("q260_cross_corr",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val daily = Tables.events(s, dir)
+          .select($"event_type", expr("ts_us div 86400000000").as("day"))
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+        val lags = s.range(-3L, 4L).toDF("k")
+        val a = daily.select($"event_type".as("ta"), $"day", $"x".as("xa"))
+          .crossJoin(broadcast(lags))
+          .withColumn("dayb", $"day" + $"k")
+        val b = daily.select($"event_type".as("tb"),
+          $"day".as("dayb"), $"x".as("xb"))
+        a.join(b, Seq("dayb")).filter($"ta" < $"tb")
+          .groupBy($"ta", $"tb", $"k").agg(
+            count(lit(1)).as("n"),
+            sum($"xa").as("sx"), sum($"xb").as("sy"),
+            sum(d($"xa") * d($"xb")).as("sxy"),
+            sum(d($"xa") * d($"xa")).as("sxx"),
+            sum(d($"xb") * d($"xb")).as("syy"))
+          .select($"ta", $"tb", $"k", $"n",
+            (d($"n") * $"sxy" - d($"sx") * d($"sy")).as("num"),
+            (d($"n") * $"sxx" - d($"sx") * d($"sx")).as("denx"),
+            (d($"n") * $"syy" - d($"sy") * d($"sy")).as("deny"))
+          .select($"ta", $"tb", $"k", $"n",
+            signum($"num").cast("long").as("sign"),
+            expr("CASE WHEN denx = 0 OR deny = 0 THEN NULL" +
+              " ELSE (((abs(num) * 1000000) div denx) * abs(num)) div deny" +
+              " END").cast("long").as("r2_ppm"))
+          .orderBy($"ta", $"tb", $"k")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT event_type, day, CAST(count(*) AS HUGEINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |l AS (SELECT unnest(generate_series(-3, 3)) AS k),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, l.k,
+        |    a.x AS xa, b.x AS xb
+        |  FROM g a CROSS JOIN l
+        |  JOIN g b ON b.day = a.day + l.k
+        |  WHERE a.event_type < b.event_type),
+        |m AS (SELECT ta, tb, k, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+        |    sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+        |  FROM p GROUP BY 1, 2, 3),
+        |u AS (SELECT ta, tb, k, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny FROM m)
+        |SELECT ta, tb, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS sign,
+        |  CAST(CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |    ELSE (((abs(num) * 1000000) // denx) * abs(num)) // deny END
+        |    AS BIGINT) AS r2_ppm
+        |FROM u ORDER BY ta, tb, k""".stripMargin)),
+
+    // ---- 261. RLE/encoding audit — q255 plans WHICH files to compact;
+    //          this measures WHAT a layout buys: for two candidate
+    //          physical layouts of lineitem (time-partitioned ship-month
+    //          files sorted by (shipdate, orderkey, linenumber) vs
+    //          32 supplier-hash buckets sorted by (partkey, shipdate,
+    //          ...)), the per-column run count and mean run length —
+    //          the direct proxy for parquet RLE/dict efficiency. Runs
+    //          are counted with ONE per-partition window pass per layout
+    //          (lag ≠ current ⇒ new run; partition boundary ⇒ new run,
+    //          exactly how per-file encoders see the data). The window
+    //          key here (month / bucket) stands in for the FILE: at
+    //          100 TB each partition is further split into ~1 GB files
+    //          and the same count distributes per-file with no global
+    //          order needed. Both sort keys end in (orderkey,
+    //          linenumber), so order is total and runs deterministic. ----
+    QDef("q261_rle_audit",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(
+          $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_returnflag", $"l_linestatus", $"l_shipdate",
+          (year($"l_shipdate") * 100 + month($"l_shipdate")).as("shipmon"))
+        def runs(part: Column, ord: Seq[Column], layout: String) = {
+          val w = Window.partitionBy(part).orderBy(ord: _*)
+          def flag(c: Column) =
+            when(lag(c, 1).over(w).isNull || lag(c, 1).over(w) =!= c, 1L)
+              .otherwise(0L)
+          li.select(flag($"l_returnflag").as("f_flag"),
+              flag($"l_linestatus").as("f_status"),
+              flag($"shipmon").as("f_month"),
+              flag($"l_suppkey").as("f_supp"))
+            .groupBy().agg(count(lit(1)).as("n_rows"),
+              sum($"f_flag").as("r_flag"), sum($"f_status").as("r_status"),
+              sum($"f_month").as("r_month"), sum($"f_supp").as("r_supp"))
+            .select(lit(layout).as("layout"), $"n_rows", explode(array(
+              struct(lit("l_returnflag").as("col"), $"r_flag".as("runs")),
+              struct(lit("l_linestatus").as("col"), $"r_status".as("runs")),
+              struct(lit("shipmon").as("col"), $"r_month".as("runs")),
+              struct(lit("l_suppkey").as("col"), $"r_supp".as("runs"))))
+              .as("e"))
+            .select($"layout", $"e.col", $"n_rows", $"e.runs",
+              // empty input → 0 runs: no layout to audit (null, not /0)
+              when($"e.runs" > 0,
+                expr("(n_rows * 1000000) div e.runs")).as("avg_run_ppm"))
+        }
+        runs($"shipmon",
+            Seq($"l_shipdate", $"l_orderkey", $"l_linenumber"), "time")
+          .unionAll(runs(pmod($"l_suppkey", lit(32)),
+            Seq($"l_partkey", $"l_shipdate", $"l_orderkey",
+              $"l_linenumber"), "supp_bucket"))
+          .orderBy($"layout", $"col")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |    l_suppkey, l_returnflag, l_linestatus, l_shipdate,
+        |    year(l_shipdate) * 100 + month(l_shipdate) AS shipmon
+        |  FROM lineitem),
+        |t AS (SELECT
+        |    CASE WHEN lag(l_returnflag) OVER wt IS DISTINCT FROM
+        |      l_returnflag THEN 1 ELSE 0 END AS f_flag,
+        |    CASE WHEN lag(l_linestatus) OVER wt IS DISTINCT FROM
+        |      l_linestatus THEN 1 ELSE 0 END AS f_status,
+        |    CASE WHEN lag(shipmon) OVER wt IS DISTINCT FROM shipmon
+        |      THEN 1 ELSE 0 END AS f_month,
+        |    CASE WHEN lag(l_suppkey) OVER wt IS DISTINCT FROM l_suppkey
+        |      THEN 1 ELSE 0 END AS f_supp
+        |  FROM li WINDOW wt AS (PARTITION BY shipmon
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |ta AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(f_flag) AS BIGINT) AS r_flag,
+        |    CAST(sum(f_status) AS BIGINT) AS r_status,
+        |    CAST(sum(f_month) AS BIGINT) AS r_month,
+        |    CAST(sum(f_supp) AS BIGINT) AS r_supp FROM t),
+        |s AS (SELECT
+        |    CASE WHEN lag(l_returnflag) OVER ws IS DISTINCT FROM
+        |      l_returnflag THEN 1 ELSE 0 END AS f_flag,
+        |    CASE WHEN lag(l_linestatus) OVER ws IS DISTINCT FROM
+        |      l_linestatus THEN 1 ELSE 0 END AS f_status,
+        |    CASE WHEN lag(shipmon) OVER ws IS DISTINCT FROM shipmon
+        |      THEN 1 ELSE 0 END AS f_month,
+        |    CASE WHEN lag(l_suppkey) OVER ws IS DISTINCT FROM l_suppkey
+        |      THEN 1 ELSE 0 END AS f_supp
+        |  FROM li WINDOW ws AS (PARTITION BY l_suppkey % 32
+        |    ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber)),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(f_flag) AS BIGINT) AS r_flag,
+        |    CAST(sum(f_status) AS BIGINT) AS r_status,
+        |    CAST(sum(f_month) AS BIGINT) AS r_month,
+        |    CAST(sum(f_supp) AS BIGINT) AS r_supp FROM s),
+        |x AS (
+        |  SELECT 'time' AS layout, 'l_returnflag' AS col, n_rows,
+        |    r_flag AS runs FROM ta
+        |  UNION ALL SELECT 'time', 'l_linestatus', n_rows, r_status FROM ta
+        |  UNION ALL SELECT 'time', 'shipmon', n_rows, r_month FROM ta
+        |  UNION ALL SELECT 'time', 'l_suppkey', n_rows, r_supp FROM ta
+        |  UNION ALL SELECT 'supp_bucket', 'l_returnflag', n_rows, r_flag
+        |    FROM sa
+        |  UNION ALL SELECT 'supp_bucket', 'l_linestatus', n_rows, r_status
+        |    FROM sa
+        |  UNION ALL SELECT 'supp_bucket', 'shipmon', n_rows, r_month
+        |    FROM sa
+        |  UNION ALL SELECT 'supp_bucket', 'l_suppkey', n_rows, r_supp
+        |    FROM sa)
+        |SELECT layout, col, n_rows, runs,
+        |  CAST(CASE WHEN runs > 0 THEN (n_rows * 1000000) // runs
+        |    ELSE NULL END AS BIGINT) AS avg_run_ppm
+        |FROM x ORDER BY layout, col""".stripMargin)),
+
+    // ---- 262. binary-segmentation changepoint — the STRUCTURAL-break
+    //          locator beside q147's sequential CUSUM and q210's spike
+    //          days: for each event type's daily-count series, the split
+    //          day k that maximizes the between-segment SSE reduction
+    //          n_l·n_r·(μ_l − μ_r)²/n — in RELATIVE form so every
+    //          intermediate is bounded at any corpus size: with
+    //          Δ = |S_l·n_r − S_r·n_l| (exact, DECIMAL(38,0)), quantize
+    //          a = Δ·10³ div S (a ≤ 10³·days, long-safe forever), then
+    //          score = a² div (n_l·n_r) — identical truncation on both
+    //          engines, so the argmax is cross-engine exact even though
+    //          the quantization itself discards sub-1/1000 relative
+    //          precision. Two running sums on the per-type calendar grid
+    //          (the raw scan collapses first; nothing after is
+    //          event-sized); the argmax is q253's single-encoding max
+    //          score·10⁵ + day — deterministic tie-break toward the
+    //          later day, decoded in the same agg. ----
+    QDef("q262_binseg_changepoint",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val daily = Tables.events(s, dir)
+          .select($"event_type", expr("ts_us div 86400000000").as("day"))
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        val wAll = Window.partitionBy($"event_type")
+        val grid = daily
+          .withColumn("cum", sum($"x").over(w))
+          .withColumn("idx", row_number().over(w).cast("long"))
+          .withColumn("tot", sum($"x").over(wAll))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+        val scored = grid.filter($"idx" < $"cnt")
+          .select($"event_type", $"day", $"idx", $"cnt", $"tot",
+            abs(d($"cum") * (d($"cnt") - d($"idx")) -
+              (d($"tot") - d($"cum")) * d($"idx")).as("dlt"))
+          .withColumn("a", expr("(dlt * 1000) div tot"))
+          .withColumn("score", expr("(a * a) div (idx * (cnt - idx))"))
+        scored
+          .groupBy($"event_type")
+          .agg(max($"score" * 100000L + $"day").as("code"),
+            max($"cnt").as("n_days"), max($"tot").as("total"))
+          .select($"event_type", $"n_days", $"total",
+            ($"code" % 100000L).cast("long").as("split_day"),
+            expr("code div 100000").cast("long").as("score"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT event_type, day, CAST(count(*) AS HUGEINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, x,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS HUGEINT) AS idx,
+        |    sum(x) OVER (PARTITION BY event_type) AS tot,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+        |      AS cnt
+        |  FROM g),
+        |sc AS (SELECT event_type, day, idx, cnt, tot,
+        |    ((abs(cum * (cnt - idx) - (tot - cum) * idx) * 1000) // tot)
+        |      AS a
+        |  FROM c WHERE idx < cnt),
+        |s2 AS (SELECT event_type, day, cnt, tot,
+        |    (a * a) // (idx * (cnt - idx)) AS score
+        |  FROM sc)
+        |SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_days,
+        |  CAST(max(tot) AS BIGINT) AS total,
+        |  CAST(max(score * 100000 + day) % 100000 AS BIGINT) AS split_day,
+        |  CAST(max(score * 100000 + day) // 100000 AS BIGINT) AS score
+        |FROM s2 GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

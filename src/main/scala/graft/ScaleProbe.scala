@@ -652,7 +652,22 @@ object ScaleProbe {
       "q247_vector_dq",
       "q248_shuffle_balance", "q249_markov_stationary", "q250_gap_tails",
       "q251_silence_trim", "q252_var_cvar", "q253_underwater",
-      "q254_chao1", "q255_compaction_bins")
+      "q254_chao1", "q255_compaction_bins",
+      // q256's replica shape: embeddings replicate with shifted vec_id and
+      // IDENTICAL vectors, so each (label, half, dim) cell gains 10× rows
+      // with the same quantized values — centroids are invariant, growth
+      // measures the posexplode + grid agg. q257 rides customer keys (10×
+      // distinct hashes, same 256-bucket spine); q258 deepens each type's
+      // daily series 10× in COUNT (same days), so the median/MAD grid is
+      // constant and growth measures the daily collapse.
+      "q256_centroid_drift", "q257_hash_uniformity", "q258_coburst",
+      // q259 rides documents (10× docs, shared text → same rates, bigger
+      // counts); q260/q262 deepen each type's daily counts 10× on the
+      // same calendar (grid-sized after the daily collapse); q261's two
+      // window passes see 10× rows per partition — the honest growth of
+      // a per-file encoder audit when files get denser.
+      "q259_cohen_kappa", "q260_cross_corr", "q261_rle_audit",
+      "q262_binseg_changepoint")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
