@@ -11688,9 +11688,10 @@ object Queries {
     //          ppm with its sign, via q162's exact integer device
     //          (n·Σxy − ΣxΣy cross-products in DECIMAL(38,0) — no
     //          centering, no doubles). Daily collapse first, so the
-    //          join is grid×grid: the 7-row lag spine broadcasts onto
-    //          the day-keyed equi-join and the |types|²·7 output is
-    //          bounded by the type vocabulary, not the event count. ----
+    //          join is grid×grid: the 7-lag spine is a generator
+    //          column on the day-keyed equi-join and the |types|²·7
+    //          output is bounded by the type vocabulary, not the
+    //          event count. ----
     QDef("q260_cross_corr",
       (s, dir) => {
         import s.implicits._
@@ -11699,9 +11700,10 @@ object Queries {
         val daily = Tables.events(s, dir)
           .select($"event_type", expr("ts_us div 86400000000").as("day"))
           .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
-        val lags = s.range(-3L, 4L).toDF("k")
+        // the 7-lag spine is a generator column, not a join — the
+        // crossJoin(broadcast(range)) form plans the banned BNLJ
         val a = daily.select($"event_type".as("ta"), $"day", $"x".as("xa"))
-          .crossJoin(broadcast(lags))
+          .withColumn("k", explode(sequence(lit(-3L), lit(3L))))
           .withColumn("dayb", $"day" + $"k")
         val b = daily.select($"event_type".as("tb"),
           $"day".as("dayb"), $"x".as("xb"))
@@ -11761,8 +11763,12 @@ object Queries {
     //          key here (month / bucket) stands in for the FILE: at
     //          100 TB each partition is further split into ~1 GB files
     //          and the same count distributes per-file with no global
-    //          order needed. Both sort keys end in (orderkey,
-    //          linenumber), so order is total and runs deterministic. ----
+    //          order needed. (orderkey, linenumber) is NOT unique in
+    //          this corpus — the unique key is (orderkey, linenumber,
+    //          partkey, shipdate) — so both sort keys carry all four
+    //          columns; anything less leaves ties and the run counts
+    //          flip run-to-run (caught live: the 4-key-short `time`
+    //          order flaked the sf0.1 parity leg). ----
     QDef("q261_rle_audit",
       (s, dir) => {
         import s.implicits._
@@ -11794,7 +11800,8 @@ object Queries {
                 expr("(n_rows * 1000000) div e.runs")).as("avg_run_ppm"))
         }
         runs($"shipmon",
-            Seq($"l_shipdate", $"l_orderkey", $"l_linenumber"), "time")
+            Seq($"l_shipdate", $"l_orderkey", $"l_linenumber",
+              $"l_partkey"), "time")
           .unionAll(runs(pmod($"l_suppkey", lit(32)),
             Seq($"l_partkey", $"l_shipdate", $"l_orderkey",
               $"l_linenumber"), "supp_bucket"))
@@ -11814,7 +11821,7 @@ object Queries {
         |    CASE WHEN lag(l_suppkey) OVER wt IS DISTINCT FROM l_suppkey
         |      THEN 1 ELSE 0 END AS f_supp
         |  FROM li WINDOW wt AS (PARTITION BY shipmon
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)),
         |ta AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(f_flag) AS BIGINT) AS r_flag,
         |    CAST(sum(f_status) AS BIGINT) AS r_status,
@@ -11925,7 +11932,807 @@ object Queries {
         |  CAST(max(tot) AS BIGINT) AS total,
         |  CAST(max(score * 100000 + day) % 100000 AS BIGINT) AS split_day,
         |  CAST(max(score * 100000 + day) // 100000 AS BIGINT) AS score
-        |FROM s2 GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM s2 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- 263. KMV distinct sketch — the k-minimum-values estimator
+    //          beside the HLL tier (q26/q94/q136): keep the k = 64
+    //          smallest 60-bit hashes per group; distinct ≈ (k−1)·2⁶⁰ /
+    //          h₍ₖ₎. Unlike HLL it is EXACTLY reproducible cross-engine
+    //          (md5-hash60 + integer div — the q257 device), so the
+    //          audit reports the estimator's true signed error against
+    //          the exact count with no tolerance gate. The sketch is
+    //          mergeable by construction (min-k of a union = min-k of
+    //          merged min-ks), which is what makes it a shuffle-light
+    //          distinct at 100 TB: partial top-k per partition, tiny
+    //          merge. Here the per-group top-k runs on the COLLAPSED
+    //          distinct (type, hash) grid, never the raw events. ----
+    QDef("q263_kmv_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val k = 64L
+        val pairs = Tables.events(s, dir)
+          .select($"event_type", $"user_id").distinct()
+        val hashed = pairs.select($"event_type",
+            TF.hash60(concat(lit("kmv:"), $"user_id".cast("string")))
+              .as("h"))
+          .distinct()
+        val w = Window.partitionBy($"event_type").orderBy($"h")
+        val sk = hashed.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= k)
+          .groupBy($"event_type")
+          .agg(max($"h").as("hk"), count(lit(1)).as("n_seen"))
+        val exact = pairs.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_exact"))
+        exact.join(sk, Seq("event_type"))
+          .select($"event_type", $"n_exact",
+            when($"n_seen" < k, $"n_seen")
+              .otherwise(expr(s"(CAST(${k - 1} AS DECIMAL(38,0)) *" +
+                " 1152921504606846976) div hk"))
+              .cast("long").as("est"))
+          .select($"event_type", $"n_exact", $"est",
+            signum($"est" - $"n_exact").cast("long").as("sign"),
+            expr("(abs(est - n_exact) * 1000000) div n_exact")
+              .cast("long").as("err_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5('kmv:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM p),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT event_type, max(h) AS hk,
+        |    CAST(count(*) AS BIGINT) AS n_seen
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM p GROUP BY 1),
+        |u AS (SELECT ex.event_type, n_exact,
+        |    CAST(CASE WHEN n_seen < 64 THEN n_seen
+        |      ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // hk END
+        |      AS BIGINT) AS est
+        |  FROM ex JOIN sk ON ex.event_type = sk.event_type)
+        |SELECT event_type, n_exact, est,
+        |  CAST(CASE WHEN est > n_exact THEN 1 WHEN est < n_exact THEN -1
+        |    ELSE 0 END AS BIGINT) AS sign,
+        |  CAST((abs(est - n_exact) * 1000000) // n_exact AS BIGINT)
+        |    AS err_ppm
+        |FROM u ORDER BY event_type""".stripMargin)),
+
+    // ---- 264. Simpson concentration + Berger–Parker dominance — the
+    //          two diversity indices the corpus tier still lacked
+    //          (entropy q148 is order-sensitive to ln; these are PURE
+    //          integer rationals): per source, λ = Σnᵢ(nᵢ−1)/(N(N−1))
+    //          (the probability two random tokens coincide — repeat-
+    //          corpus concentration) and dominance = max nᵢ/N. One
+    //          token explode → (source, token) count → one combinable
+    //          roll-up; both indices live on the per-source grid.
+    //          d38 products: N² passes 10¹⁹ at corpus scale. ----
+    QDef("q264_simpson_dominance",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val tok = Tables.documents(s, dir)
+          .select($"source", explode(TF.tokens($"text")).as("t"))
+          .groupBy($"source", $"t").agg(count(lit(1)).as("ni"))
+        tok.groupBy($"source").agg(
+            sum($"ni").as("n"),
+            count(lit(1)).as("vocab"),
+            sum(d($"ni") * (d($"ni") - 1)).as("s2"),
+            max($"ni").as("nmax"))
+          .select($"source", $"n", $"vocab",
+            when($"n" >= 2,
+              expr("(s2 * 1000000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))"))
+              .cast("long").as("simpson_ppm"),
+            expr("(CAST(nmax AS DECIMAL(38,0)) * 1000000) div n")
+              .cast("long").as("dominance_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH tk AS (SELECT source, u.token AS t FROM (SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents) d, unnest(d.toks) AS u(token)),
+        |c AS (SELECT source, t, CAST(count(*) AS HUGEINT) AS ni
+        |  FROM tk GROUP BY 1, 2),
+        |g AS (SELECT source, sum(ni) AS n,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    sum(ni * (ni - 1)) AS s2, max(ni) AS nmax
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n, vocab,
+        |  CAST(CASE WHEN n >= 2 THEN (s2 * 1000000) // (n * (n - 1))
+        |    ELSE NULL END AS BIGINT) AS simpson_ppm,
+        |  CAST((nmax * 1000000) // n AS BIGINT) AS dominance_ppm
+        |FROM g ORDER BY source""".stripMargin)),
+
+    // ---- 265. zone-map skipping audit — the partition-pruning
+    //          counterpart to q261's encoding audit: per candidate
+    //          layout (ship-month files vs 32 supplier-hash buckets),
+    //          build each partition's min/max zone maps ONCE (one
+    //          combinable agg — the scan a writer gets for free), then
+    //          evaluate four representative predicates against the
+    //          zone grid: a partition is SKIPPED when its [min,max]
+    //          misses the predicate range. The quantified claim behind
+    //          SURVEY's layout story: time-partitioning lets a 3-month
+    //          scan skip ~96% of files while the same predicate skips
+    //          NOTHING under hash bucketing (every bucket spans all
+    //          dates) — and vice versa for key ranges. All decisions on
+    //          the |partitions|-row grid; cents for exact doubles. ----
+    QDef("q265_zonemap_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(
+          (year($"l_shipdate") * 100 + month($"l_shipdate")).as("shipmon"),
+          pmod($"l_suppkey", lit(32)).as("bucket"),
+          datediff($"l_shipdate", lit("1992-01-01").cast("date"))
+            .cast("long").as("sd"),
+          $"l_partkey", $"l_quantity".cast("long").as("qty"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+        def audit(part: Column, layout: String) = {
+          val zm = li.groupBy(part.as("p")).agg(
+            count(lit(1)).as("rows"),
+            min($"sd").as("sd_lo"), max($"sd").as("sd_hi"),
+            min($"l_partkey").as("pk_lo"), max($"l_partkey").as("pk_hi"),
+            min($"qty").as("q_lo"), max($"qty").as("q_hi"),
+            min($"cents").as("c_lo"), max($"cents").as("c_hi"))
+          // predicate ranges; a zone is skipped when [lo,hi] misses them
+          val preds = Seq(
+            ("p1_ship_q1_1994", $"sd_hi" < lit(730L) || $"sd_lo" > lit(819L)),
+            ("p2_qty_gt_45", $"q_hi" <= lit(45L)),
+            ("p3_partkey_band", $"pk_hi" < lit(1000L) ||
+              $"pk_lo" > lit(2000L)),
+            ("p4_price_top", $"c_hi" <= lit(9000000L)))
+          zm.select($"p", $"rows", array(preds.map { case (nm, skip) =>
+              struct(lit(nm).as("pred"),
+                skip.cast("long").as("skip")) }: _*).as("ps"))
+            .select($"p", $"rows", explode($"ps").as("e"))
+            .groupBy($"e.pred")
+            .agg(count(lit(1)).as("n_parts"),
+              sum($"e.skip").as("parts_skipped"),
+              sum($"rows" * $"e.skip").as("rows_skipped"),
+              sum($"rows").as("rows_total"))
+            .select(lit(layout).as("layout"), $"pred", $"n_parts",
+              $"parts_skipped", $"rows_skipped", $"rows_total")
+        }
+        audit($"shipmon", "time")
+          .unionAll(audit($"bucket", "supp_bucket"))
+          .orderBy($"layout", $"pred")
+      },
+      Some("""WITH li AS (SELECT
+        |    year(l_shipdate) * 100 + month(l_shipdate) AS shipmon,
+        |    l_suppkey % 32 AS bucket,
+        |    datediff('day', DATE '1992-01-01', l_shipdate) AS sd,
+        |    l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |zt AS (SELECT shipmon AS p, CAST(count(*) AS BIGINT) AS rows_,
+        |    min(sd) AS sd_lo, max(sd) AS sd_hi, min(l_partkey) AS pk_lo,
+        |    max(l_partkey) AS pk_hi, min(qty) AS q_lo, max(qty) AS q_hi,
+        |    min(cents) AS c_lo, max(cents) AS c_hi
+        |  FROM li GROUP BY 1),
+        |zb AS (SELECT bucket AS p, CAST(count(*) AS BIGINT) AS rows_,
+        |    min(sd) AS sd_lo, max(sd) AS sd_hi, min(l_partkey) AS pk_lo,
+        |    max(l_partkey) AS pk_hi, min(qty) AS q_lo, max(qty) AS q_hi,
+        |    min(cents) AS c_lo, max(cents) AS c_hi
+        |  FROM li GROUP BY 1),
+        |f AS (
+        |  SELECT 'time' AS layout, 'p1_ship_q1_1994' AS pred, p, rows_,
+        |    CAST(sd_hi < 730 OR sd_lo > 819 AS BIGINT) AS skip FROM zt
+        |  UNION ALL SELECT 'time', 'p2_qty_gt_45', p, rows_,
+        |    CAST(q_hi <= 45 AS BIGINT) FROM zt
+        |  UNION ALL SELECT 'time', 'p3_partkey_band', p, rows_,
+        |    CAST(pk_hi < 1000 OR pk_lo > 2000 AS BIGINT) FROM zt
+        |  UNION ALL SELECT 'time', 'p4_price_top', p, rows_,
+        |    CAST(c_hi <= 9000000 AS BIGINT) FROM zt
+        |  UNION ALL SELECT 'supp_bucket', 'p1_ship_q1_1994', p, rows_,
+        |    CAST(sd_hi < 730 OR sd_lo > 819 AS BIGINT) FROM zb
+        |  UNION ALL SELECT 'supp_bucket', 'p2_qty_gt_45', p, rows_,
+        |    CAST(q_hi <= 45 AS BIGINT) FROM zb
+        |  UNION ALL SELECT 'supp_bucket', 'p3_partkey_band', p, rows_,
+        |    CAST(pk_hi < 1000 OR pk_lo > 2000 AS BIGINT) FROM zb
+        |  UNION ALL SELECT 'supp_bucket', 'p4_price_top', p, rows_,
+        |    CAST(c_hi <= 9000000 AS BIGINT) FROM zb)
+        |SELECT layout, pred, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(skip) AS BIGINT) AS parts_skipped,
+        |  CAST(sum(rows_ * skip) AS BIGINT) AS rows_skipped,
+        |  CAST(sum(rows_) AS BIGINT) AS rows_total
+        |FROM f GROUP BY 1, 2 ORDER BY layout, pred""".stripMargin)),
+
+    // ---- 266. successor-prediction accuracy — the sequence-model
+    //          eval the Markov tier stops short of (q127 estimates the
+    //          transition matrix, q249 its stationary point; neither
+    //          asks "does it PREDICT?"): train the MLE next-event-type
+    //          table on the first 80% of the date range, score it on
+    //          the last 20%. Temporal split, not random — the only
+    //          honest split for sequence data (q108's random split
+    //          would leak future into train). Bigrams are one lag
+    //          window per user; the date cutoff is integer arithmetic
+    //          on an eagerly-resolved min/max bound; the argmax is a row_number
+    //          pick over the ≤|types|² train grid with a deterministic
+    //          (count desc, successor asc) tie-break; accuracy is a
+    //          combinable agg join on that grid. ----
+    QDef("q266_successor_accuracy",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts_us",
+            expr("ts_us div 86400000000").as("day"))
+        val wU = Window.partitionBy($"user_id").orderBy($"ts_us")
+        val big = ev
+          .withColumn("nxt", lead($"event_type", 1).over(wU))
+          .filter($"nxt".isNotNull)
+        // cut resolved eagerly and inlined (the Bm25/q121 scalar
+        // pattern — a 1-row crossJoin would plan the banned BNLJ);
+        // null-guarded for the empty-table degen sweep
+        val bRow = ev.agg(min($"day"), max($"day")).head()
+        val cut: Long = if (bRow.isNullAt(0)) 0L
+          else bRow.getLong(0) + ((bRow.getLong(1) - bRow.getLong(0)) * 8) / 10
+        val bg = big.withColumn("cut", lit(cut))
+        val train = bg.filter($"day" < $"cut")
+          .groupBy($"event_type", $"nxt").agg(count(lit(1)).as("cnt"))
+        val wP = Window.partitionBy($"event_type")
+          .orderBy($"cnt".desc, $"nxt".asc)
+        val model = train.withColumn("rn", row_number().over(wP))
+          .filter($"rn" === 1)
+          .select($"event_type", $"nxt".as("predicted"))
+        bg.filter($"day" >= $"cut")
+          .join(model, Seq("event_type"), "left")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_test"),
+            // null predicted (type unseen in train) scores 0, matching
+            // the oracle's CASE…ELSE 0 — not a null-sum
+            sum(coalesce(($"nxt" === $"predicted").cast("long"), lit(0L)))
+              .as("hits"),
+            max($"predicted").as("predicted"))
+          .select($"event_type", $"predicted", $"n_test", $"hits",
+            expr("(hits * 1000000) div n_test").as("acc_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |bg AS (SELECT user_id, event_type, day,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tu)
+        |      AS nxt
+        |  FROM ev),
+        |b2 AS (SELECT * FROM bg WHERE nxt IS NOT NULL),
+        |bd AS (SELECT min(day) + (((max(day) - min(day)) * 8) // 10)
+        |    AS cut FROM ev),
+        |tr AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b2, bd WHERE day < cut GROUP BY 1, 2),
+        |md AS (SELECT event_type, nxt AS predicted FROM (
+        |    SELECT event_type, nxt, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY cnt DESC, nxt ASC) AS rn
+        |    FROM tr) WHERE rn = 1),
+        |te AS (SELECT b2.event_type, nxt FROM b2, bd WHERE day >= cut)
+        |SELECT te.event_type, max(predicted) AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  CAST((sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS acc_ppm
+        |FROM te LEFT JOIN md ON te.event_type = md.event_type
+        |GROUP BY te.event_type ORDER BY te.event_type""".stripMargin)),
+
+    // ---- 267. graph reciprocity — the directed-graph symmetry audit
+    //          the undirected metrics (q201 clustering, q202
+    //          assortativity, q203 modularity) can't express: on the
+    //          token-adjacency DIGRAPH (consecutive distinct tokens,
+    //          the q116/q178 edge set), what fraction of arcs have
+    //          their reverse present? One distinct-edge collapse, one
+    //          self-equi-join on the reversed key, one combinable agg —
+    //          all |E|-bounded, nothing scales with corpus size under
+    //          shared vocabulary. Reports per-lang arcs, mutual arcs,
+    //          and reciprocity ppm. ----
+    QDef("q267_reciprocity",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"lang", TF.tokens($"text").as("toks"))
+        // size ≤ 1 docs yield no bigrams (the q76/q116 guard)
+        val edges = tok.filter(size($"toks") > 1)
+          .select($"lang", explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
+          .filter($"e.a" =!= $"e.b")
+          .select($"lang", $"e.a", $"e.b").distinct()
+        val rev = edges.select($"lang", $"a".as("b"), $"b".as("a"))
+        edges.join(rev, Seq("lang", "a", "b"), "left_semi")
+          .groupBy($"lang").agg(count(lit(1)).as("mutual"))
+          .join(edges.groupBy($"lang").agg(count(lit(1)).as("arcs")),
+            Seq("lang"), "right")
+          .select($"lang", $"arcs",
+            coalesce($"mutual", lit(0L)).as("mutual"),
+            expr("(COALESCE(mutual, 0) * 1000000) div arcs")
+              .as("reciprocity_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |e AS (SELECT DISTINCT lang, toks[i] AS a, toks[i+1] AS b
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE toks[i] <> toks[i+1]),
+        |m AS (SELECT e.lang, CAST(count(*) AS BIGINT) AS mutual
+        |  FROM e JOIN e r ON e.lang = r.lang AND e.a = r.b AND e.b = r.a
+        |  GROUP BY 1),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS arcs FROM e
+        |  GROUP BY 1)
+        |SELECT c.lang, arcs, COALESCE(mutual, 0) AS mutual,
+        |  CAST((COALESCE(mutual, 0) * 1000000) // arcs AS BIGINT)
+        |    AS reciprocity_ppm
+        |FROM c LEFT JOIN m ON c.lang = m.lang ORDER BY c.lang""".stripMargin)),
+
+    // ---- 268. decile lift / cumulative gains — the model-eval table
+    //          q140 (AUC) and q183 (calibration) summarize but never
+    //          materialize: rank customers by total spend (cents,
+    //          exact), cut into POPULATION deciles via the distributed
+    //          prefix-sum global rank (never a one-task ntile window),
+    //          and report each decile's capture of the positive class
+    //          (customers with ≥ 1 urgent-priority order) plus
+    //          cumulative lift — (cum_pos·N)·10⁶ div (cum_n·P), an
+    //          integer cross-ratio, lift 1.0 = 1 000 000. ----
+    QDef("q268_decile_lift",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val ords = Tables.orders(s, dir)
+          .groupBy($"o_custkey").agg(
+            sum(round($"o_totalprice" * 100).cast("long")).as("spend"),
+            max(($"o_orderpriority" === "1-URGENT").cast("long"))
+              .as("pos"))
+        // negspend: rank descending-by-spend through an ascending sum;
+        // PrefixSum projects (group, order, value, out) only, so pos/spend
+        // rejoin by custkey (key-equi, rides the same hash)
+        val prepped = ords.withColumn("negspend", -$"spend")
+          .withColumn("__g", lit(0)).withColumn("one", lit(1L))
+        val rk = graft.ops.PrefixSum.withRunningSum(
+            prepped, Seq("__g"), Seq("negspend", "o_custkey"), "one", "rnk")
+          .select($"o_custkey", $"rnk")
+          .join(ords, Seq("o_custkey"))
+        // population totals resolved eagerly (the Bm25/q121 scalar
+        // pattern — a 1-row crossJoin would plan the banned BNLJ)
+        val nRow = ords.agg(count(lit(1)), sum($"pos")).head()
+        val cnt: Long = nRow.getLong(0)
+        val pTot: Long = if (nRow.isNullAt(1)) 0L else nRow.getLong(1)
+        rk.withColumn("cnt", lit(math.max(cnt, 1L)))
+          .withColumn("p_tot", lit(pTot))
+          .select(expr("((rnk - 1) * 10) div cnt").as("decile"),
+            $"pos", $"spend", $"cnt", $"p_tot")
+          .groupBy($"decile", $"cnt", $"p_tot")
+          .agg(count(lit(1)).as("n_cust"), sum($"pos").as("n_pos"),
+            sum($"spend").as("spend"))
+          .withColumn("cum_n",
+            sum($"n_cust").over(Window.partitionBy()
+              .orderBy($"decile")))
+          .withColumn("cum_pos",
+            sum($"n_pos").over(Window.partitionBy()
+              .orderBy($"decile")))
+          .select($"decile", $"n_cust", $"n_pos", $"spend",
+            when($"p_tot" > 0,
+              expr("(CAST(cum_pos AS DECIMAL(38,0)) * cnt * 1000000)" +
+                " div (CAST(cum_n AS DECIMAL(38,0)) * p_tot)"))
+              .cast("long").as("cum_lift_ppm"))
+          .orderBy($"decile")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS pos
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o.*, row_number() OVER (
+        |    ORDER BY spend DESC, o_custkey) AS rnk,
+        |    count(*) OVER () AS cnt, sum(pos) OVER () AS p_tot FROM o),
+        |d AS (SELECT ((rnk - 1) * 10) // cnt AS decile, cnt, p_tot,
+        |    pos, spend FROM r),
+        |g AS (SELECT decile, cnt, p_tot,
+        |    CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(spend) AS BIGINT) AS spend
+        |  FROM d GROUP BY 1, 2, 3),
+        |c AS (SELECT g.*, sum(n_cust) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS cum_pos FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_cust, n_pos, spend,
+        |  CAST(CASE WHEN p_tot > 0 THEN
+        |    (CAST(cum_pos AS HUGEINT) * cnt * 1000000)
+        |      // (CAST(cum_n AS HUGEINT) * p_tot) ELSE NULL END
+        |    AS BIGINT) AS cum_lift_ppm
+        |FROM c ORDER BY decile""".stripMargin)),
+
+    // ---- 269. join-size estimation audit — the AQE/optimizer question
+    //          asked as a query: how well does a bounded per-key
+    //          statistic predict |orders ⋈ lineitem|? The estimator
+    //          keeps EXACT counts only for heavy keys (per-side count
+    //          > 8 — the frequent-item summary an optimizer would
+    //          sketch) and models the light remainder as uniform:
+    //          est = Σ_heavy nₐ·n_b + restₐ·rest_b / max(dₐ, d_b).
+    //          Everything runs on the two per-key count grids (the
+    //          collapse rides the counting shuffle); actual join size
+    //          is Σ nₐ·n_b over matching keys — computed from the same
+    //          grids, never by materializing the join. Reports actual,
+    //          estimate, and signed error. ----
+    QDef("q269_join_size_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val ca = Tables.orders(s, dir)
+          .groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("na"))
+        val cb = Tables.lineitem(s, dir)
+          .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("nb"))
+        // ONE full-outer join of the two count grids carries every
+        // scalar the estimator needs as conditional sums of the same
+        // row set — no 1-row crossJoins (the BNLJ ban), no re-scan
+        val fj = ca.join(cb, Seq("k"), "full")
+        val matched = $"na".isNotNull && $"nb".isNotNull
+        val lightA = $"na".isNotNull && $"na" <= 8 &&
+          ($"nb".isNull || $"nb" <= 8)
+        val lightB = $"nb".isNotNull && $"nb" <= 8 &&
+          ($"na".isNull || $"na" <= 8)
+        fj.agg(
+            coalesce(sum(when(matched, d($"na") * d($"nb"))),
+              lit(0).cast(d38)).as("actual_d"),
+            coalesce(sum(when(matched && ($"na" > 8 || $"nb" > 8),
+              d($"na") * d($"nb"))), lit(0).cast(d38)).as("est_heavy"),
+            coalesce(sum(when(lightA, $"na")), lit(0L)).as("rest_na"),
+            sum(lightA.cast("long")).as("d_na"),
+            coalesce(sum(when(lightB, $"nb")), lit(0L)).as("rest_nb"),
+            sum(lightB.cast("long")).as("d_nb"))
+          .select($"actual_d".cast("long").as("actual"),
+            ($"est_heavy" + when(greatest($"d_na", $"d_nb") > 0,
+              expr("(CAST(rest_na AS DECIMAL(38,0)) * rest_nb)" +
+                " div greatest(d_na, d_nb)")).otherwise(lit(0L)))
+              .cast("long").as("est"))
+          .select($"actual", $"est",
+            signum($"est" - $"actual").cast("long").as("sign"),
+            when($"actual" > 0,
+              expr("(abs(est - actual) * 1000000) div actual"))
+              .cast("long").as("err_ppm"))
+      },
+      Some("""WITH ca AS (SELECT o_orderkey AS k,
+        |    CAST(count(*) AS HUGEINT) AS na FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, CAST(count(*) AS HUGEINT) AS nb
+        |  FROM lineitem GROUP BY 1),
+        |fj AS (SELECT na, nb FROM ca FULL JOIN cb ON ca.k = cb.k),
+        |ag AS (SELECT
+        |    COALESCE(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+        |      THEN na * nb END), 0) AS actual,
+        |    COALESCE(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+        |      AND (na > 8 OR nb > 8) THEN na * nb END), 0) AS est_heavy,
+        |    COALESCE(sum(CASE WHEN na IS NOT NULL AND na <= 8
+        |      AND (nb IS NULL OR nb <= 8) THEN na END), 0) AS rest_na,
+        |    COALESCE(sum(CASE WHEN na IS NOT NULL AND na <= 8
+        |      AND (nb IS NULL OR nb <= 8) THEN 1 ELSE 0 END), 0) AS d_na,
+        |    COALESCE(sum(CASE WHEN nb IS NOT NULL AND nb <= 8
+        |      AND (na IS NULL OR na <= 8) THEN nb END), 0) AS rest_nb,
+        |    COALESCE(sum(CASE WHEN nb IS NOT NULL AND nb <= 8
+        |      AND (na IS NULL OR na <= 8) THEN 1 ELSE 0 END), 0) AS d_nb
+        |  FROM fj),
+        |u AS (SELECT CAST(actual AS BIGINT) AS actual,
+        |    CAST(est_heavy + CASE WHEN greatest(d_na, d_nb) > 0
+        |      THEN (rest_na * rest_nb) // greatest(d_na, d_nb)
+        |      ELSE 0 END AS BIGINT) AS est
+        |  FROM ag)
+        |SELECT actual, est,
+        |  CAST(CASE WHEN est > actual THEN 1 WHEN est < actual THEN -1
+        |    ELSE 0 END AS BIGINT) AS sign,
+        |  CAST(CASE WHEN actual > 0 THEN
+        |    (abs(est - actual) * 1000000) // actual ELSE NULL END
+        |    AS BIGINT) AS err_ppm
+        |FROM u""".stripMargin)),
+
+    // ---- 270. out-of-order lateness audit — the measurement that
+    //          SIZES a streaming watermark (T1–T5 implement the
+    //          machinery; nothing yet measured how late this corpus
+    //          actually runs): per event type, replay each user's
+    //          stream in ARRIVAL order (event_id — the per-user ingest
+    //          sequence) and compare against event time: lateness =
+    //          running max(ts) − ts. One per-user running-max frame
+    //          (O(1) per row), then a combinable per-type roll-up:
+    //          inversion count, inversion ppm, max and total lateness
+    //          µs — max lateness IS the watermark delay that would have
+    //          lost zero events. ----
+    QDef("q270_lateness_audit",
+      (s, dir) => {
+        import s.implicits._
+        val wU = Window.partitionBy($"user_id").orderBy($"event_id")
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"event_type", $"ts_us")
+          .withColumn("runmax", max($"ts_us").over(
+            wU.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("late_us",
+            when($"runmax" > $"ts_us", $"runmax" - $"ts_us")
+              .otherwise(lit(0L)))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(($"late_us" > 0).cast("long")).as("inversions"),
+            max($"late_us").as("max_late_us"),
+            sum($"late_us").as("late_sum_us"))
+          .select($"event_type", $"n", $"inversions",
+            expr("(inversions * 1000000) div n").as("inv_ppm"),
+            $"max_late_us", $"late_sum_us")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tu FROM events),
+        |r AS (SELECT event_type, tu,
+        |    max(tu) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS runmax
+        |  FROM e),
+        |l AS (SELECT event_type,
+        |    CASE WHEN runmax > tu THEN runmax - tu ELSE 0 END AS late_us
+        |  FROM r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS inversions,
+        |  CAST((sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS inv_ppm,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(sum(late_us) AS BIGINT) AS late_sum_us
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 271. Kendall τ rank agreement — the third rank-comparison
+    //          beside RBO (q224, top-weighted) and NDCG (q240,
+    //          graded): do spend-rank and frequency-rank agree on the
+    //          top-100 customers? Exact pair counting on the BOUNDED
+    //          grid: the top-100 pick is a TakeOrdered (never a global
+    //          sort), both rankings are tie-broken by custkey so τ-a
+    //          is well-defined, and discordance is counted as the
+    //          INVERSIONS of the r2 sequence in r1 order — a running
+    //          collect_list + HOF count, O(n²) work on the bounded
+    //          grid but never a pair join (the CartesianProduct ban).
+    //          τ in signed ppm = (C − D)·10⁶ / (n(n−1)/2). ----
+    QDef("q271_kendall_tau",
+      (s, dir) => {
+        import s.implicits._
+        val by = Tables.orders(s, dir)
+          .groupBy($"o_custkey").agg(
+            sum(round($"o_totalprice" * 100).cast("long")).as("spend"),
+            count(lit(1)).as("cnt"))
+          .orderBy($"spend".desc, $"o_custkey").limit(100)
+        val wS = Window.partitionBy().orderBy($"spend".desc, $"o_custkey")
+        val wC = Window.partitionBy().orderBy($"cnt".desc, $"o_custkey")
+        // discordant pairs = inversions of the r2 sequence in r1 order:
+        // a running collect_list window + one HOF count per row — O(n²)
+        // work on the 100-row grid, but NO pair join (the whole-surface
+        // CartesianProduct ban), and n is capped by the top-k
+        val rk = by.withColumn("r1", row_number().over(wS))
+          .withColumn("r2", row_number().over(wC))
+          .select($"r1", $"r2")
+        val wR = Window.partitionBy().orderBy($"r1")
+        rk.withColumn("prev", collect_list($"r2").over(
+            wR.rowsBetween(Window.unboundedPreceding, -1)))
+          .select($"r2",
+            size(filter($"prev", x => x > $"r2")).cast("long").as("inv"))
+          .agg(count(lit(1)).as("n"), sum($"inv").as("discordant"))
+          .select(expr("(n * (n - 1)) div 2").as("pairs"), $"discordant")
+          .select($"pairs", ($"pairs" - $"discordant").as("concordant"),
+            $"discordant",
+            signum($"pairs" - $"discordant" * 2).cast("long").as("sign"),
+            when($"pairs" > 0,
+              expr("(abs(pairs - discordant * 2) * 1000000) div pairs"))
+              .as("tau_ppm"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1
+        |  ORDER BY spend DESC, o_custkey LIMIT 100),
+        |r AS (SELECT
+        |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS r1,
+        |    row_number() OVER (ORDER BY cnt DESC, o_custkey) AS r2
+        |  FROM o),
+        |iv AS (SELECT r2, COALESCE(len(list_filter(
+        |      list(r2) OVER (ORDER BY r1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      x -> x > r2)), 0) AS inv
+        |  FROM r),
+        |p AS (SELECT (CAST(count(*) AS BIGINT) *
+        |      (count(*) - 1)) // 2 AS pairs,
+        |    CAST(sum(inv) AS BIGINT) AS discordant FROM iv)
+        |SELECT pairs, pairs - discordant AS concordant, discordant,
+        |  CAST(CASE WHEN pairs > discordant * 2 THEN 1
+        |    WHEN pairs < discordant * 2 THEN -1 ELSE 0 END AS BIGINT)
+        |    AS sign,
+        |  CAST(CASE WHEN pairs > 0 THEN
+        |    (abs(pairs - discordant * 2) * 1000000) // pairs
+        |    ELSE NULL END AS BIGINT) AS tau_ppm
+        |FROM p""".stripMargin)),
+
+    // ---- 272. skew salting plan — q248 DETECTS imbalance; this emits
+    //          the PLAN that fixes it: per user (the natural join/agg
+    //          key of the events stream), salts = ceil(rows/target)
+    //          capped at 32 — the exact fan-out a salted repartition
+    //          would apply. Reported per event-type tier so the plan is
+    //          inspectable: keys, salted keys, total salt fan-out, the
+    //          worst key before (max_key_rows) and after
+    //          (max_chunk_rows = its per-salt share) — the number that
+    //          becomes the straggler task at 100 TB. All on the per-key
+    //          count grid riding the counting shuffle. ----
+    QDef("q272_salt_plan",
+      (s, dir) => {
+        import s.implicits._
+        val target = 100L
+        val perKey = Tables.events(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("rws"))
+          .withColumn("salts",
+            least(expr(s"(rws + ${target - 1}) div $target"), lit(32L)))
+        perKey.groupBy($"event_type").agg(
+            count(lit(1)).as("n_keys"),
+            sum(($"salts" > 1).cast("long")).as("salted_keys"),
+            sum($"salts").as("fanout"),
+            max($"rws").as("max_key_rows"),
+            max(expr("(rws + salts - 1) div salts")).as("max_chunk_rows"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH k AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS rws FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, rws,
+        |    least((rws + 99) // 100, 32) AS salts FROM k)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN salts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS salted_keys,
+        |  CAST(sum(salts) AS BIGINT) AS fanout,
+        |  CAST(max(rws) AS BIGINT) AS max_key_rows,
+        |  CAST(max((rws + salts - 1) // salts) AS BIGINT)
+        |    AS max_chunk_rows
+        |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 273. drift decomposition — q225 measures the corpus-level
+    //          TV drift; this asks WHO moved it: for each source, the
+    //          leave-one-out total-variation distance between the
+    //          corpus length distribution WITH and WITHOUT that source,
+    //          as the exact integer cross-ratio
+    //          Σ_b |c_b·(N−N_s) − (c_b−c_sb)·N| · 10⁶ / (2·N·(N−N_s)),
+    //          plus the single-encoding argmax bucket. The doc scan
+    //          collapses once into (source, bucket) cells; everything
+    //          else is the |sources|×16 grid joined against the
+    //          16-row corpus margin. ----
+    QDef("q273_drift_decomposition",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        def d(c: Column) = c.cast(d38)
+        val cells = Tables.documents(s, dir)
+          .select($"source",
+            least(expr("n_chars div 256"), lit(15L)).as("b"))
+          .groupBy($"source", $"b").agg(count(lit(1)).as("csb"))
+        // full (source, bucket) grid: sources × generated 16-row spine,
+        // margins equi-joined; N and cb ride as window totals on the
+        // grid itself
+        val nSrc = cells.groupBy($"source").agg(sum($"csb").as("ns"))
+        // 16-row bucket spine per source via explode(sequence) — a narrow
+        // generator on the |sources|-row frame (the q260 device); a
+        // crossJoin(broadcast(range)) here would plan the banned BNLJ
+        val grid = nSrc
+          .withColumn("b", explode(expr("sequence(0L, 15L)")))
+          .join(cells, Seq("source", "b"), "left")
+          .withColumn("csb", coalesce($"csb", lit(0L)))
+          .withColumn("cb",
+            sum($"csb").over(Window.partitionBy($"b")))
+          .withColumn("n", sum($"csb").over(Window.partitionBy()))
+          .withColumn("dev",
+            abs(d($"cb") * (d($"n") - d($"ns")) -
+              (d($"cb") - d($"csb")) * d($"n")))
+        grid.groupBy($"source", $"ns", $"n").agg(
+            sum($"dev").as("sdev"),
+            max($"dev" * 100 + $"b").as("code"))
+          .select($"source", $"ns".as("n_docs"),
+            when($"n" > $"ns",
+              expr("(sdev * 1000000) div" +
+                " (2 * CAST(n AS DECIMAL(38,0)) * (n - ns))"))
+              .cast("long").as("tv_loo_ppm"),
+            expr("code % 100").cast("long").as("top_bucket"))
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (SELECT source,
+        |    least(n_chars // 256, 15) AS b,
+        |    CAST(count(*) AS HUGEINT) AS csb
+        |  FROM documents GROUP BY 1, 2),
+        |sp AS (SELECT unnest(generate_series(0, 15)) AS b),
+        |ns AS (SELECT source, sum(csb) AS ns FROM c GROUP BY 1),
+        |g0 AS (SELECT ns.source, sp.b, ns.ns, COALESCE(c.csb, 0) AS csb
+        |  FROM ns CROSS JOIN sp
+        |  LEFT JOIN c ON c.source = ns.source AND c.b = sp.b),
+        |g AS (SELECT source, b, ns, csb,
+        |    sum(csb) OVER (PARTITION BY b) AS cb,
+        |    sum(csb) OVER () AS n FROM g0),
+        |dv AS (SELECT source, ns, n, b,
+        |    abs(cb * (n - ns) - (cb - csb) * n) AS dev FROM g),
+        |ag AS (SELECT source, ns, n, sum(dev) AS sdev,
+        |    max(dev * 100 + b) AS code FROM dv GROUP BY 1, 2, 3)
+        |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN n > ns THEN (sdev * 1000000) // (2 * n * (n - ns))
+        |    ELSE NULL END AS BIGINT) AS tv_loo_ppm,
+        |  CAST(code % 100 AS BIGINT) AS top_bucket
+        |FROM ag ORDER BY source""".stripMargin)),
+
+    // ---- 274. partition checksum reconciliation — diff two 100 TB
+    //          table replicas WITHOUT moving rows: per ship-month
+    //          partition, an order-independent content checksum
+    //          (Σ hash60(key fields) mod 2⁶⁰ — commutative, so it
+    //          combines map-side and never needs a sort) plus a row
+    //          count; only partitions whose (count, checksum) disagree
+    //          surface. Replica B is derived in-query with a
+    //          deterministic fault model — drop ~1/10007 of rows,
+    //          perturb the quantity of another ~1/10007 — so the
+    //          expected output is exactly the partitions a real
+    //          reconciler would flag for re-sync. ----
+    QDef("q274_partition_reconcile",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val m = lit(1152921504606846976L)  // 2^60
+        val li = Tables.lineitem(s, dir).select(
+          (year($"l_shipdate") * 100 + month($"l_shipdate")).as("mon"),
+          TF.hash60(concat_ws("|", $"l_orderkey", $"l_linenumber",
+            $"l_partkey", $"l_shipdate".cast("string"),
+            $"l_quantity".cast("long"))).as("rh"),
+          TF.hash60(concat_ws("|", $"l_orderkey", $"l_linenumber",
+            $"l_partkey", $"l_shipdate".cast("string"),
+            ($"l_quantity".cast("long") + 1))).as("rh_bad"),
+          pmod(TF.hash60(concat(lit("flt:"), $"l_orderkey", lit("|"),
+            $"l_linenumber", lit("|"), $"l_partkey")), lit(10007L))
+            .as("flt"))
+        def sums(rows: DataFrame, hcol: String, tag: String) = rows
+          .groupBy($"mon").agg(count(lit(1)).as(s"rows_$tag"),
+            (sum(col(hcol).cast(d38)) % m).cast("long").as(s"ck_$tag"))
+        val a = sums(li, "rh", "a")
+        val bRows = li.filter($"flt" =!= 0)
+          .withColumn("h", when($"flt" === 1, $"rh_bad").otherwise($"rh"))
+        val b = sums(bRows, "h", "b")
+        a.join(b, Seq("mon"), "full")
+          .filter(coalesce($"rows_a", lit(-1L)) =!=
+              coalesce($"rows_b", lit(-1L)) ||
+            coalesce($"ck_a", lit(-1L)) =!= coalesce($"ck_b", lit(-1L)))
+          .select($"mon", $"rows_a", $"rows_b",
+            ($"rows_a" - $"rows_b").as("missing_rows"),
+            ($"ck_a" =!= $"ck_b").cast("long").as("checksum_diff"))
+          .orderBy($"mon")
+      },
+      Some("""WITH li AS (SELECT
+        |    year(l_shipdate) * 100 + month(l_shipdate) AS mon,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_partkey AS VARCHAR) || '|' ||
+        |      CAST(l_shipdate AS VARCHAR) || '|' ||
+        |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS rh,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_partkey AS VARCHAR) || '|' ||
+        |      CAST(l_shipdate AS VARCHAR) || '|' ||
+        |      CAST(CAST(l_quantity AS BIGINT) + 1 AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS rh_bad,
+        |    CAST(('0x' || substring(md5('flt:' ||
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10007
+        |      AS flt
+        |  FROM lineitem),
+        |a AS (SELECT mon, CAST(count(*) AS BIGINT) AS rows_a,
+        |    CAST(sum(CAST(rh AS HUGEINT)) % 1152921504606846976
+        |      AS BIGINT) AS ck_a
+        |  FROM li GROUP BY 1),
+        |b AS (SELECT mon, CAST(count(*) AS BIGINT) AS rows_b,
+        |    CAST(sum(CAST(CASE WHEN flt = 1 THEN rh_bad ELSE rh END
+        |      AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS ck_b
+        |  FROM li WHERE flt <> 0 GROUP BY 1)
+        |SELECT COALESCE(a.mon, b.mon) AS mon, rows_a, rows_b,
+        |  rows_a - rows_b AS missing_rows,
+        |  CAST(ck_a <> ck_b AS BIGINT) AS checksum_diff
+        |FROM a FULL JOIN b ON a.mon = b.mon
+        |WHERE COALESCE(rows_a, -1) <> COALESCE(rows_b, -1)
+        |  OR COALESCE(ck_a, -1) <> COALESCE(ck_b, -1)
+        |ORDER BY mon""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

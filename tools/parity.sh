@@ -26,7 +26,10 @@ for sf in "${SFS[@]}"; do
   echo "== $sf ==" >&2
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" tools/run.sh graft.Verify \
     "/root/testdata/$sf" "$dir" 2>"/tmp/parity_$sf.err"
-  line=$(python3 tools/oracle_check.py "/root/testdata/$sf" "$dir" | tail -1)
+  python3 tools/oracle_check.py "/root/testdata/$sf" "$dir" \
+    > "/tmp/parity_$sf.check"
+  line=$(tail -1 "/tmp/parity_$sf.check")
+  grep -v '^PASS' "/tmp/parity_$sf.check" | head -20 >&2
   echo "- **$sf**: $line" >> "$OUT"
   echo "$sf: $line" >&2
   case "$line" in *" 0 fail"*) ;; *) FAIL=1 ;; esac
