@@ -667,7 +667,18 @@ object ScaleProbe {
       // window passes see 10× rows per partition — the honest growth of
       // a per-file encoder audit when files get denser.
       "q259_cohen_kappa", "q260_cross_corr", "q261_rle_audit",
-      "q262_binseg_changepoint")
+      "q262_binseg_changepoint",
+      // q263 sees 10× distinct user hashes per type (shifted user_id);
+      // q269 meets the unshifted-orderkey fan (10× per-key counts BOTH
+      // sides, every key crosses the heavy threshold — grids stay
+      // |keys|-sized, the q129/q242 precedent); q268/q271/q272 ride
+      // disjoint customer/user keys; the rest collapse to constant
+      // grids (shared vocab / same calendar / same partitions).
+      "q263_kmv_distinct", "q264_simpson_dominance", "q265_zonemap_skipping",
+      "q266_successor_accuracy", "q267_reciprocity", "q268_decile_lift",
+      "q269_join_size_estimate", "q270_lateness_audit", "q271_kendall_tau",
+      "q272_salt_plan", "q273_drift_decomposition",
+      "q274_partition_reconcile")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
