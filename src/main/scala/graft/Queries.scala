@@ -12732,7 +12732,274 @@ object Queries {
         |FROM a FULL JOIN b ON a.mon = b.mon
         |WHERE COALESCE(rows_a, -1) <> COALESCE(rows_b, -1)
         |  OR COALESCE(ck_a, -1) <> COALESCE(ck_b, -1)
-        |ORDER BY mon""".stripMargin))
+        |ORDER BY mon""".stripMargin)),
+
+    // ---- 275. Spearman rank correlation — the FULL-population
+    //          companion to q271 (Kendall τ counts inversions on the
+    //          bounded top-100 grid; Spearman needs every rank): do
+    //          spend-rank and order-count-rank agree across ALL
+    //          customers? ρ = 1 − 6Σd²/(n(n²−1)), reported in signed
+    //          ppm. Both global ranks come from the distributed
+    //          range-partitioned prefix sum (never a one-task
+    //          row_number window); ties break by custkey on both sides
+    //          so each ranking is a permutation and ρ is exactly
+    //          defined. Σd² and n³ run in DECIMAL(38,0) — n³ passes
+    //          int64 beyond ~2M customers; the reported sum_d2 BIGINT
+    //          has headroom to n ≈ 2.6M·10³ (n³/3 < 2⁶³ ⇔ n < 3.0e6)
+    //          at which point only that audit column, not ρ, would
+    //          need rescaling. ----
+    QDef("q275_spearman",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val per = Tables.orders(s, dir)
+          .groupBy($"o_custkey").agg(
+            sum(round($"o_totalprice" * 100).cast("long")).as("spend"),
+            count(lit(1)).as("n_ord"))
+        // descending rank through an ascending running count (the q268
+        // device); PrefixSum projects (group, order, value, out) only
+        def rankBy(c: String, out: String) = {
+          val prepped = per.withColumn("__neg", -col(c))
+            .withColumn("__g", lit(0)).withColumn("one", lit(1L))
+          graft.ops.PrefixSum.withRunningSum(
+              prepped, Seq("__g"), Seq("__neg", "o_custkey"), "one", out)
+            .select($"o_custkey", col(out))
+        }
+        rankBy("spend", "r1")
+          .join(rankBy("n_ord", "r2"), Seq("o_custkey"))
+          .select((($"r1" - $"r2") * ($"r1" - $"r2")).cast(d38).as("d2"))
+          .agg(count(lit(1)).as("n"), sum($"d2").as("sd2"))
+          .select($"n", $"sd2".cast("long").as("sum_d2"),
+            when($"n" > 1, lit(1000000L) - expr(
+              "(sd2 * 6000000) div (CAST(n AS DECIMAL(38,0)) *" +
+                " (CAST(n AS DECIMAL(38,0)) * n - 1))"))
+              .cast("long").as("rho_ppm"))
+          .orderBy($"n")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend,
+        |    CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS r1,
+        |    row_number() OVER (ORDER BY n_ord DESC, o_custkey) AS r2
+        |  FROM per),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST((r1 - r2) * (r1 - r2) AS HUGEINT)) AS sd2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sum_d2,
+        |  CAST(CASE WHEN n > 1 THEN
+        |    1000000 - (sd2 * 6000000) // (n * (n * n - 1))
+        |    ELSE NULL END AS BIGINT) AS rho_ppm
+        |FROM a ORDER BY n""".stripMargin)),
+
+    // ---- 276. Nelson–Aalen cumulative hazard — the transcendental-
+    //          free survival statistic beside q142's Kaplan–Meier:
+    //          H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the SAME risk table, but
+    //          each step is one integer ratio (dᵢ·10⁶ div nᵢ) and the
+    //          accumulator is an integer sum — hash-stable by
+    //          construction, with none of the libm ln/exp boundary
+    //          exposure that made q142 the round-6 red row
+    //          (−ln S(t) ≈ H(t), so the two queries cross-check).
+    //          Same shapes: per-user min collapse, |durations|-row
+    //          suffix-sum risk frame, O(1) running frames. ----
+    QDef("q276_nelson_aalen",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            $"event_type")
+        val t0 = e.groupBy($"user_id").agg(min($"day").as("t0"))
+        val tp = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"day").as("tp"))
+        // censoring horizon: a bounded driver scalar (q142 precedent)
+        val dmaxRow = e.agg(max($"day")).head
+        val dmax = if (dmaxRow.isNullAt(0)) 0L else dmaxRow.getLong(0)
+        val users = t0.join(tp, Seq("user_id"), "left")
+          .select(coalesce($"tp" - $"t0", lit(dmax) - $"t0").as("dur"),
+            $"tp".isNotNull.cast("long").as("ev"))
+        val risk = users.groupBy($"dur")
+          .agg(sum($"ev").as("n_event"), sum(lit(1L) - $"ev").as("n_censor"))
+        val wSuffix = Window.orderBy($"dur")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wCum = Window.orderBy($"dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        risk
+          .withColumn("n_risk", sum($"n_event" + $"n_censor").over(wSuffix))
+          .withColumn("haz_ppm",
+            expr("(CAST(n_event AS DECIMAL(38,0)) * 1000000) div n_risk"))
+          .withColumn("cum_hazard_ppm",
+            sum($"haz_ppm").over(wCum).cast("long"))
+          .select($"dur", $"n_risk", $"n_event", $"n_censor",
+            $"cum_hazard_ppm")
+          .orderBy($"dur")
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |t0 AS (SELECT user_id, min(day) AS t0 FROM e GROUP BY 1),
+        |tp AS (SELECT user_id, min(day) AS tp FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |dm AS (SELECT max(day) AS dmax FROM e),
+        |u AS (SELECT COALESCE(tp.tp - t0.t0, dm.dmax - t0.t0) AS dur,
+        |    CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id, dm),
+        |r AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS n_event,
+        |    CAST(sum(1 - ev) AS BIGINT) AS n_censor FROM u GROUP BY 1),
+        |k AS (SELECT dur, n_event, n_censor,
+        |    CAST(sum(n_event + n_censor) OVER (
+        |      ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM r)
+        |SELECT dur, n_risk, n_event, n_censor,
+        |  CAST(sum((CAST(n_event AS HUGEINT) * 1000000) // n_risk)
+        |    OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_hazard_ppm
+        |FROM k ORDER BY dur""".stripMargin)),
+
+    // ---- 277. Cramér's V² effect size — q164 emits the per-cell χ²
+    //          decomposition; this rolls it into the single
+    //          table-level effect size an auditor actually thresholds:
+    //          V² = χ²/(N·(min(r,c)−1)), in ppm. The per-cell terms
+    //          are q164's exact integer cross-ratios (each one floor
+    //          div — both engines floor identically, so the sum is
+    //          deterministic); the roll-up runs on the r×c grid. The
+    //          BIGINT chi2_ppm output carries χ²·10⁶ ≤ N·(k−1)·10⁶ —
+    //          headroom to N·k ≈ 9·10¹². ----
+    QDef("q277_cramers_v",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val cells = Tables.events(s, dir)
+          .select($"event_type",
+            pmod(expr("ts_us div 86400000000"), lit(7L)).as("dow"))
+          .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+        val wRow = Window.partitionBy($"event_type")
+        val wCol = Window.partitionBy($"dow")
+        val wTot = Window.partitionBy()
+        cells
+          .withColumn("row_n", sum($"n").over(wRow))
+          .withColumn("col_n", sum($"n").over(wCol))
+          .withColumn("tot", sum($"n").over(wTot))
+          .select($"event_type", $"dow", $"tot",
+            ($"tot".cast(d38) * $"n" - $"row_n".cast(d38) * $"col_n")
+              .as("dev"),
+            ($"tot".cast(d38) * $"row_n" * $"col_n").as("den"))
+          .select($"event_type", $"dow", $"tot",
+            expr("(dev * dev * 1000000) div den").as("chi2_cell"))
+          .agg(countDistinct($"event_type").as("n_rows"),
+            countDistinct($"dow").as("n_cols"),
+            max($"tot").as("tot"),
+            sum($"chi2_cell".cast(d38)).as("chi2"))
+          .select($"n_rows", $"n_cols", $"tot",
+            $"chi2".cast("long").as("chi2_ppm"),
+            when(least($"n_rows", $"n_cols") > 1,
+              expr("chi2 div (CAST(tot AS DECIMAL(38,0)) *" +
+                " (least(n_rows, n_cols) - 1))"))
+              .cast("long").as("v2_ppm"))
+          .orderBy($"tot")
+      },
+      Some("""WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, dow, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+        |    CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot FROM c),
+        |d AS (SELECT event_type, dow, tot,
+        |    CAST(tot AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n
+        |      AS dev,
+        |    CAST(tot AS HUGEINT) * row_n * col_n AS den FROM m),
+        |a AS (SELECT
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS n_cols,
+        |    max(tot) AS tot,
+        |    sum((dev * dev * 1000000) // den) AS chi2 FROM d)
+        |SELECT n_rows, n_cols, tot, CAST(chi2 AS BIGINT) AS chi2_ppm,
+        |  CAST(CASE WHEN least(n_rows, n_cols) > 1 THEN
+        |    chi2 // (CAST(tot AS HUGEINT) * (least(n_rows, n_cols) - 1))
+        |    ELSE NULL END AS BIGINT) AS v2_ppm
+        |FROM a ORDER BY tot""".stripMargin)),
+
+    // ---- 278. bitemporal as-of audit — q110 (SCD2) tracks valid
+    //          time, q113 (PIT) joins on it, q270 measures arrival
+    //          lateness; this asks the bitemporal question that needs
+    //          BOTH axes: "as the system KNEW it at transaction cutoff
+    //          C (arrival sequence), what was each user's state as of
+    //          valid time T — and how often did post-cutoff arrivals
+    //          revise it?" T = the midpoint day, C = 80% of the max
+    //          arrival id, both bounded eager scalars (q142 device).
+    //          Each belief pick is one row_number frame per user
+    //          (hash-partitioned; the known pick filters to ≤C rows
+    //          FIRST); the revision flag is a null-safe compare; the
+    //          roll-up is a combinable per-type agg. The measured
+    //          revised_ppm is exactly the error a PIT feature store
+    //          without transaction-time tracking would silently
+    //          serve. ----
+    QDef("q278_bitemporal_asof",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir).select($"user_id", $"event_id",
+          $"event_type", round($"value" * 100).cast("long").as("cents"),
+          $"ts_us", expr("ts_us div 86400000000").cast("long").as("day"))
+        val b = e.agg(min($"day"), max($"day"), max($"event_id")).head
+        val (tMid, cCut) =
+          if (b.isNullAt(0)) (Long.MinValue, Long.MinValue)
+          else ((b.getLong(0) + b.getLong(1)) / 2, b.getLong(2) * 4 / 5)
+        val base = e.filter($"day" <= tMid)
+        val wU = Window.partitionBy($"user_id")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+        val full = base.withColumn("rn", row_number().over(wU))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type".as("t_full"),
+            $"cents".as("v_full"))
+        val known = base.filter($"event_id" <= cCut)
+          .withColumn("rn", row_number().over(wU))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type".as("t_known"),
+            $"cents".as("v_known"))
+        full.join(known, Seq("user_id"), "left")
+          .groupBy($"t_full".as("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum($"t_known".isNull.cast("long")).as("n_no_belief"),
+            sum(($"t_known".isNotNull &&
+              (!($"t_known" <=> $"t_full") || !($"v_known" <=> $"v_full")))
+              .cast("long")).as("n_revised"))
+          .select($"event_type", $"n_users", $"n_no_belief", $"n_revised",
+            expr("(n_revised * 1000000) div n_users").as("revised_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT (min(day) + max(day)) // 2 AS tmid,
+        |    max(event_id) * 4 // 5 AS ccut FROM e),
+        |base AS (SELECT e.* FROM e, b WHERE e.day <= b.tmid),
+        |f AS (SELECT user_id, event_type AS t_full, cents AS v_full
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM base)
+        |  WHERE rn = 1),
+        |k AS (SELECT user_id, event_type AS t_known, cents AS v_known
+        |  FROM (SELECT base.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM base, b WHERE base.event_id <= b.ccut)
+        |  WHERE rn = 1)
+        |SELECT f.t_full AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN k.t_known IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_no_belief,
+        |  CAST(sum(CASE WHEN k.t_known IS NOT NULL AND
+        |      (k.t_known IS DISTINCT FROM f.t_full OR
+        |       k.v_known IS DISTINCT FROM f.v_full) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_revised,
+        |  CAST((CAST(sum(CASE WHEN k.t_known IS NOT NULL AND
+        |      (k.t_known IS DISTINCT FROM f.t_full OR
+        |       k.v_known IS DISTINCT FROM f.v_full) THEN 1 ELSE 0 END)
+        |    AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS revised_ppm
+        |FROM f LEFT JOIN k ON f.user_id = k.user_id
+        |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

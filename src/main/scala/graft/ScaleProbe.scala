@@ -678,7 +678,13 @@ object ScaleProbe {
       "q266_successor_accuracy", "q267_reciprocity", "q268_decile_lift",
       "q269_join_size_estimate", "q270_lateness_audit", "q271_kendall_tau",
       "q272_salt_plan", "q273_drift_decomposition",
-      "q274_partition_reconcile")
+      "q274_partition_reconcile",
+      // q275 ranks 10× customer keys through the distributed prefix
+      // sum; q276/q278 ride disjoint user keys (risk grid / per-user
+      // frame depth constant); q277 collapses to the same
+      // |types|×7 contingency grid.
+      "q275_spearman", "q276_nelson_aalen", "q277_cramers_v",
+      "q278_bitemporal_asof")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
