@@ -12999,7 +12999,184 @@ object Queries {
         |       k.v_known IS DISTINCT FROM f.v_full) THEN 1 ELSE 0 END)
         |    AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS revised_ppm
         |FROM f LEFT JOIN k ON f.user_id = k.user_id
-        |GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 279. activity-streak histogram — the canonical
+    //          gaps-and-islands operator, so far only used in disguise
+    //          (q253's underwater runs, q235's sign runs): maximal
+    //          consecutive-active-day streaks per user via the
+    //          day − row_number island key. One distinct collapse
+    //          (rides the shuffle), one per-user window (hash-
+    //          partitioned, O(1) per row), then everything lives on
+    //          the bounded streak-length grid: n_streaks = all maximal
+    //          islands of that length, n_users_best = users whose
+    //          LONGEST streak is that length. ----
+    QDef("q279_activity_streaks",
+      (s, dir) => {
+        import s.implicits._
+        val active = Tables.events(s, dir)
+          .select($"user_id",
+            expr("ts_us div 86400000000").cast("long").as("day"))
+          .distinct()
+        val wU = Window.partitionBy($"user_id").orderBy($"day")
+        val isl = active
+          .withColumn("grp", $"day" - row_number().over(wU))
+          .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+        val streaks = isl.groupBy($"len").agg(count(lit(1)).as("n_streaks"))
+        val best = isl.groupBy($"user_id").agg(max($"len").as("len"))
+          .groupBy($"len").agg(count(lit(1)).as("n_users_best"))
+        streaks.join(best, Seq("len"), "full")
+          .select($"len",
+            coalesce($"n_streaks", lit(0L)).as("n_streaks"),
+            coalesce($"n_users_best", lit(0L)).as("n_users_best"))
+          .orderBy($"len")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM (SELECT user_id, day - row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS grp FROM a)
+        |  GROUP BY user_id, grp),
+        |st AS (SELECT len, CAST(count(*) AS BIGINT) AS n_streaks
+        |  FROM i GROUP BY 1),
+        |b AS (SELECT len, CAST(count(*) AS BIGINT) AS n_users_best
+        |  FROM (SELECT user_id, max(len) AS len FROM i GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT COALESCE(st.len, b.len) AS len,
+        |  COALESCE(n_streaks, 0) AS n_streaks,
+        |  COALESCE(n_users_best, 0) AS n_users_best
+        |FROM st FULL JOIN b ON st.len = b.len
+        |ORDER BY len""".stripMargin)),
+
+    // ---- 280. calendar coverage-gap audit — the completeness check a
+    //          date-partitioned 100 TB table needs before anyone
+    //          trusts a scan (q95 FILLS gaps; q129 audits keys; this
+    //          audits the TIME axis): per event type, the expected
+    //          calendar is the explode(sequence(min, max)) spine (a
+    //          narrow generator, the q260/q273 device — never a
+    //          crossJoin), missing days surface by a null-flag left
+    //          join, and gap runs come from the same island key as
+    //          q279. Everything after the distinct collapse is
+    //          calendar-grid-sized. ----
+    QDef("q280_calendar_gaps",
+      (s, dir) => {
+        import s.implicits._
+        val present = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"))
+          .distinct()
+        val bounds = present.groupBy($"event_type").agg(
+          min($"day").as("dmin"), max($"day").as("dmax"),
+          count(lit(1)).as("days_present"))
+        val spine = bounds
+          .withColumn("day", explode(expr("sequence(dmin, dmax)")))
+        val missing = spine
+          .join(present.withColumn("hit", lit(1)),
+            Seq("event_type", "day"), "left")
+          .filter($"hit".isNull)
+        val wT = Window.partitionBy($"event_type").orderBy($"day")
+        val gaps = missing
+          .withColumn("grp", $"day" - row_number().over(wT))
+          .groupBy($"event_type", $"grp").agg(count(lit(1)).as("len"))
+          .groupBy($"event_type").agg(
+            count(lit(1)).as("n_gaps"), max($"len").as("longest_gap"),
+            sum($"len").as("missing_days"))
+        bounds.join(gaps, Seq("event_type"), "left")
+          .select($"event_type",
+            ($"dmax" - $"dmin" + 1).as("days_expected"), $"days_present",
+            coalesce($"n_gaps", lit(0L)).as("n_gaps"),
+            coalesce($"longest_gap", lit(0L)).as("longest_gap"),
+            coalesce($"missing_days", lit(0L)).as("missing_days"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH p AS (SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT event_type, min(day) AS dmin, max(day) AS dmax,
+        |    CAST(count(*) AS BIGINT) AS days_present FROM p GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(dmin, dmax))
+        |    AS day FROM b),
+        |m AS (SELECT sp.event_type, sp.day FROM sp
+        |  LEFT JOIN p ON p.event_type = sp.event_type AND p.day = sp.day
+        |  WHERE p.day IS NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(max(len) AS BIGINT) AS longest_gap,
+        |    CAST(sum(len) AS BIGINT) AS missing_days
+        |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS len
+        |    FROM (SELECT event_type, day, day - row_number() OVER (
+        |        PARTITION BY event_type ORDER BY day) AS grp FROM m)
+        |    GROUP BY event_type, grp)
+        |  GROUP BY 1)
+        |SELECT b.event_type, b.dmax - b.dmin + 1 AS days_expected,
+        |  days_present, COALESCE(n_gaps, 0) AS n_gaps,
+        |  COALESCE(longest_gap, 0) AS longest_gap,
+        |  COALESCE(missing_days, 0) AS missing_days
+        |FROM b LEFT JOIN g ON b.event_type = g.event_type
+        |ORDER BY b.event_type""".stripMargin)),
+
+    // ---- 281. Mann–Whitney U — the nonparametric two-sample test the
+    //          drift tier lacks (q165 KS compares ECDF shapes; U asks
+    //          the rank question: do purchase values stochastically
+    //          dominate view values?). Exact with ties: collapse both
+    //          samples onto the distinct-cents value grid FIRST (rides
+    //          the counting shuffle), carry doubled average ranks
+    //          (2·avg is integer: 2·cum_before + cnt + 1) through the
+    //          distributed prefix sum — never a one-task rank window —
+    //          and report 2U plus the common-language effect size in
+    //          ppm, all integer cross-ratios in d38. Null values are
+    //          excluded (a NULL cents row would order differently in
+    //          the two engines' window defaults). ----
+    QDef("q281_mann_whitney",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val grid = Tables.events(s, dir)
+          .filter($"event_type".isin("purchase", "view"))
+          .select(round($"value" * 100).cast("long").as("cents"),
+            ($"event_type" === "purchase").cast("long").as("g"))
+          .filter($"cents".isNotNull)
+          .groupBy($"cents").agg(sum($"g").as("n1"),
+            sum(lit(1L) - $"g").as("n2"))
+          .withColumn("cnt", $"n1" + $"n2")
+          .withColumn("__g", lit(0))
+        graft.ops.PrefixSum.withRunningSum(
+            grid, Seq("__g"), Seq("cents"), "cnt", "cum")
+          .join(grid.select($"cents", $"n1", $"n2"), Seq("cents"))
+          .select($"n1", $"n2",
+            ($"n1".cast(d38) *
+              (lit(2L) * ($"cum" - $"n1" - $"n2") + $"n1" + $"n2" + 1))
+              .as("r1x2"))
+          .agg(sum($"n1").as("n1t"), sum($"n2").as("n2t"),
+            sum($"r1x2").as("r1x2"))
+          .select($"n1t".as("n1"), $"n2t".as("n2"),
+            ($"r1x2" - $"n1t".cast(d38) * ($"n1t" + 1)).cast("long")
+              .as("u2"),
+            when($"n1t" > 0 && $"n2t" > 0,
+              expr("((r1x2 - CAST(n1t AS DECIMAL(38,0)) * (n1t + 1))" +
+                " * 1000000) div" +
+                " (2 * CAST(n1t AS DECIMAL(38,0)) * n2t)"))
+              .cast("long").as("cles_ppm"))
+          .orderBy($"n1")
+      },
+      Some("""WITH v AS (SELECT CAST(round(value * 100) AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |    AND value IS NOT NULL),
+        |c AS (SELECT cents, CAST(sum(g) AS BIGINT) AS n1,
+        |    CAST(sum(1 - g) AS BIGINT) AS n2 FROM v GROUP BY 1),
+        |r AS (SELECT n1, n2,
+        |    CAST(sum(n1 + n2) OVER (ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |a AS (SELECT CAST(sum(n1) AS HUGEINT) AS n1t,
+        |    CAST(sum(n2) AS HUGEINT) AS n2t,
+        |    sum(CAST(n1 AS HUGEINT) *
+        |      (2 * (cum - n1 - n2) + n1 + n2 + 1)) AS r1x2 FROM r)
+        |SELECT CAST(n1t AS BIGINT) AS n1, CAST(n2t AS BIGINT) AS n2,
+        |  CAST(r1x2 - n1t * (n1t + 1) AS BIGINT) AS u2,
+        |  CAST(CASE WHEN n1t > 0 AND n2t > 0 THEN
+        |    ((r1x2 - n1t * (n1t + 1)) * 1000000) // (2 * n1t * n2t)
+        |    ELSE NULL END AS BIGINT) AS cles_ppm
+        |FROM a ORDER BY n1""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -684,7 +684,13 @@ object ScaleProbe {
       // frame depth constant); q277 collapses to the same
       // |types|×7 contingency grid.
       "q275_spearman", "q276_nelson_aalen", "q277_cramers_v",
-      "q278_bitemporal_asof")
+      "q278_bitemporal_asof",
+      // q279 rides disjoint user keys (island depth constant per user);
+      // q280's distinct (type, day) collapse absorbs the 10× count
+      // depth (same calendar); q281's replicas repeat the same values,
+      // so the distinct-cents grid is constant and growth measures the
+      // counting collapse.
+      "q279_activity_streaks", "q280_calendar_gaps", "q281_mann_whitney")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
