@@ -13176,7 +13176,176 @@ object Queries {
         |  CAST(CASE WHEN n1t > 0 AND n2t > 0 THEN
         |    ((r1x2 - n1t * (n1t + 1)) * 1000000) // (2 * n1t * n2t)
         |    ELSE NULL END AS BIGINT) AS cles_ppm
-        |FROM a ORDER BY n1""".stripMargin))
+        |FROM a ORDER BY n1""".stripMargin)),
+
+    // ---- 282. L-moments — the robust distribution summary the
+    //          moment tier lacks (q52's variance/skew square the data;
+    //          L-statistics are linear in the ORDER statistics, so
+    //          they exist whenever the mean does and resist outliers):
+    //          per event type, L-scale λ₂ and L-CV τ₂ = λ₂/λ₁, exactly.
+    //          b₁ = Σ(rᵢ−1)xᵢ/(n(n−1)) collapses onto the distinct-
+    //          cents grid — a tied block of cnt values at cumBefore
+    //          contributes x·(cnt·cumBefore + cnt(cnt−1)/2), invariant
+    //          to tie order — with ranks from the per-type distributed
+    //          prefix sum. λ₂ = (2·b1num − (n−1)·s₁)/(n(n−1)) and τ₂
+    //          are integer cross-ratios in d38 (b1num ≤ x_max·n²:
+    //          headroom to n ≈ 10¹⁵ at cents ≤ 10⁷). ----
+    QDef("q282_l_moments",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val grid = Tables.events(s, dir)
+          .select($"event_type", round($"value" * 100).cast("long")
+            .as("cents"))
+          .filter($"cents".isNotNull)
+          .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt"))
+        graft.ops.PrefixSum.withRunningSum(
+            grid, Seq("event_type"), Seq("cents"), "cnt", "cum")
+          .select($"event_type", $"cents", $"cnt",
+            ($"cum" - $"cnt").as("cb"))
+          .groupBy($"event_type").agg(
+            sum($"cnt").as("n"),
+            sum($"cents".cast(d38) * $"cnt").as("s1"),
+            sum($"cents".cast(d38) *
+              ($"cnt".cast(d38) * $"cb" +
+                expr("(CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)) div 2")))
+              .as("b1num"))
+          .select($"event_type", $"n",
+            when($"n" > 0, expr("(s1 * 1000) div n")).cast("long")
+              .as("mean_milli"),
+            when($"n" > 1, expr(
+              "((2 * b1num - (n - 1) * s1) * 1000) div" +
+                " (CAST(n AS DECIMAL(38,0)) * (n - 1))"))
+              .cast("long").as("l2_milli"),
+            when($"n" > 1 && $"s1" > 0, expr(
+              "((2 * b1num - (n - 1) * s1) * 1000000) div ((n - 1) * s1)"))
+              .cast("long").as("lcv_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS cb FROM c),
+        |a AS (SELECT event_type, CAST(sum(cnt) AS HUGEINT) AS n,
+        |    sum(CAST(cents AS HUGEINT) * cnt) AS s1,
+        |    sum(CAST(cents AS HUGEINT) *
+        |      (CAST(cnt AS HUGEINT) * cb +
+        |       (CAST(cnt AS HUGEINT) * (cnt - 1)) // 2)) AS b1num
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n > 0 THEN (s1 * 1000) // n END AS BIGINT)
+        |    AS mean_milli,
+        |  CAST(CASE WHEN n > 1 THEN
+        |    ((2 * b1num - (n - 1) * s1) * 1000) // (n * (n - 1))
+        |    END AS BIGINT) AS l2_milli,
+        |  CAST(CASE WHEN n > 1 AND s1 > 0 THEN
+        |    ((2 * b1num - (n - 1) * s1) * 1000000) // ((n - 1) * s1)
+        |    END AS BIGINT) AS lcv_ppm
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- 283. ANOVA η² effect size — q149 shows the day-of-week
+    //          MEANS; this quantifies how much of the value variance
+    //          the weekday actually explains: per event type,
+    //          η² = SS_between/SS_total over the 7 DOW groups. One
+    //          floor per group (s_g² div n_g — int64-safe to
+    //          Σ|cents| < 3·10⁹·√n_g per cell; both engines floor
+    //          identically, the q277 device), then multiply through by
+    //          n so numerator and denominator are single d38
+    //          cross-products: η²_ppm = (n·Σ⌊s_g²/n_g⌋ − s²)·10⁶ div
+    //          (n·Σx² − s²). The scan collapses once to (type, dow)
+    //          sufficient statistics; everything after is the
+    //          |types|×7 grid. ----
+    QDef("q283_anova_eta2",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val cells = Tables.events(s, dir)
+          .select($"event_type",
+            pmod(expr("ts_us div 86400000000"), lit(7L)).as("dow"),
+            round($"value" * 100).cast("long").as("cents"))
+          .filter($"cents".isNotNull)
+          .groupBy($"event_type", $"dow").agg(
+            count(lit(1)).as("n_g"),
+            sum($"cents".cast(d38)).as("s_g"),
+            sum($"cents".cast(d38) * $"cents").as("q_g"))
+        cells
+          .withColumn("a_g", expr("(s_g * s_g) div n_g"))
+          .groupBy($"event_type").agg(
+            sum($"n_g").as("n"), sum($"s_g").as("s"),
+            sum($"q_g").as("q"), sum($"a_g".cast(d38)).as("suma"))
+          .withColumn("num", $"n".cast(d38) * $"suma" - $"s" * $"s")
+          .withColumn("den", $"n".cast(d38) * $"q" - $"s" * $"s")
+          .select($"event_type", $"n",
+            // greatest(0): the per-group floors can push SSB an ulp
+            // negative, and Spark div truncates while DuckDB // floors —
+            // clamping keeps the two engines on the same side of zero
+            when($"den" > 0, expr("(greatest(num, 0) * 1000000) div den"))
+              .cast("long").as("eta2_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, dow, CAST(count(*) AS HUGEINT) AS n_g,
+        |    sum(CAST(cents AS HUGEINT)) AS s_g,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS q_g
+        |  FROM v GROUP BY 1, 2),
+        |a AS (SELECT event_type, sum(n_g) AS n, sum(s_g) AS s,
+        |    sum(q_g) AS q, sum((s_g * s_g) // n_g) AS suma
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n * q - s * s > 0 THEN
+        |    (greatest(n * suma - s * s, 0) * 1000000) // (n * q - s * s)
+        |    END AS BIGINT) AS eta2_ppm
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- 284. empirical-Bayes smoothed rates — the ranking device
+    //          that makes small-sample rates comparable (a source with
+    //          2/2 long docs must not outrank one with 900/1000): per
+    //          (lang, source), the long-doc rate shrunk toward the
+    //          corpus rate with prior strength k = 25:
+    //          smoothed = (pos + k·p̂)/(n + k), all in integer ppm —
+    //          smoothed_ppm = (pos·10⁶ + k·global_ppm) div (n + k).
+    //          One collapse to the (lang, source) grid riding the agg
+    //          shuffle; the global rate is a window total ON that grid
+    //          (grid-sized, never a second corpus scan). ----
+    QDef("q284_bayes_rate",
+      (s, dir) => {
+        import s.implicits._
+        val k = 25L
+        val g = Tables.documents(s, dir)
+          .select($"lang", $"source",
+            ($"n_chars" >= 2000).cast("long").as("pos"))
+          .groupBy($"lang", $"source").agg(
+            count(lit(1)).as("n"), sum($"pos").as("pos"))
+        val wTot = Window.partitionBy()
+        g.withColumn("gn", sum($"n").over(wTot))
+          .withColumn("gpos", sum($"pos").over(wTot))
+          .withColumn("global_ppm", expr("(gpos * 1000000) div gn"))
+          .select($"lang", $"source", $"n", $"pos",
+            expr("(pos * 1000000) div n").as("raw_ppm"),
+            expr(s"(pos * 1000000 + $k * global_ppm) div (n + $k)")
+              .as("smoothed_ppm"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH g AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT g.*,
+        |    (sum(pos) OVER () * 1000000) // sum(n) OVER ()
+        |      AS global_ppm FROM g)
+        |SELECT lang, source, n, pos,
+        |  CAST((pos * 1000000) // n AS BIGINT) AS raw_ppm,
+        |  CAST((pos * 1000000 + 25 * global_ppm) // (n + 25)
+        |    AS BIGINT) AS smoothed_ppm
+        |FROM t ORDER BY lang, source""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

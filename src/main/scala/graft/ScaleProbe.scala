@@ -690,7 +690,11 @@ object ScaleProbe {
       // depth (same calendar); q281's replicas repeat the same values,
       // so the distinct-cents grid is constant and growth measures the
       // counting collapse.
-      "q279_activity_streaks", "q280_calendar_gaps", "q281_mann_whitney")
+      "q279_activity_streaks", "q280_calendar_gaps", "q281_mann_whitney",
+      // q282's replicas repeat the same values (distinct-cents grid
+      // constant); q283 collapses to |types|×7 sufficient stats;
+      // q284's (lang, source) grid is constant under shared sources.
+      "q282_l_moments", "q283_anova_eta2", "q284_bayes_rate")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
