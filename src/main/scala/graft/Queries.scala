@@ -13345,7 +13345,206 @@ object Queries {
         |  CAST((pos * 1000000) // n AS BIGINT) AS raw_ppm,
         |  CAST((pos * 1000000 + 25 * global_ppm) // (n + 25)
         |    AS BIGINT) AS smoothed_ppm
-        |FROM t ORDER BY lang, source""".stripMargin))
+        |FROM t ORDER BY lang, source""".stripMargin)),
+
+    // ---- 285. mix-shift decomposition — "the average moved: did the
+    //          SEGMENTS change, or the MIX of segments?" (the Oaxaca/
+    //          Kitagawa question every metrics review asks; q225/q273
+    //          measure distribution drift, neither attributes a MEAN).
+    //          Between the first and second half of the calendar, per
+    //          event type: Δmean = Σ(w₂−w₁)r₁ (mix) + Σw₂(r₂−r₁)
+    //          (within). Each term is one d38 cross-ratio over the
+    //          per-(half, type) sufficient stats (n, Σcents) — the
+    //          scan collapses once, the halves pivot onto one
+    //          |types|-row grid, and N₁/N₂ ride as window totals on
+    //          that grid. milli-cents floors are deterministic both
+    //          engines. ----
+    QDef("q285_mix_decomposition",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .filter($"cents".isNotNull)
+        val bRow = e.agg(min($"day"), max($"day")).head
+        val cut = if (bRow.isNullAt(0)) Long.MinValue
+          else (bRow.getLong(0) + bRow.getLong(1)) / 2
+        val g = e.withColumn("h", ($"day" > cut).cast("long"))
+          .groupBy($"event_type").agg(
+            sum(when($"h" === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when($"h" === 0, $"cents").otherwise(0L).cast(d38))
+              .as("s1"),
+            sum(when($"h" === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when($"h" === 1, $"cents").otherwise(0L).cast(d38))
+              .as("s2"))
+        val wTot = Window.partitionBy()
+        g.withColumn("nt1", sum($"n1").over(wTot))
+          .withColumn("nt2", sum($"n2").over(wTot))
+          .select($"event_type", $"n1", $"n2",
+            when($"n1" > 0, expr("(s1 * 1000) div n1")).cast("long")
+              .as("mean1_milli"),
+            when($"n2" > 0, expr("(s2 * 1000) div n2")).cast("long")
+              .as("mean2_milli"),
+            when($"n1" > 0 && $"nt1" > 0 && $"nt2" > 0, expr(
+              "((CAST(n2 AS DECIMAL(38,0)) * nt1 -" +
+                " CAST(n1 AS DECIMAL(38,0)) * nt2) * s1 * 1000) div" +
+                " (CAST(nt1 AS DECIMAL(38,0)) * nt2 * n1)"))
+              .cast("long").as("mix_milli"),
+            when($"n1" > 0 && $"n2" > 0 && $"nt2" > 0, expr(
+              "((s2 * n1 - s1 * n2) * 1000) div" +
+                " (CAST(nt2 AS DECIMAL(38,0)) * n1)"))
+              .cast("long").as("within_milli"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT (min(day) + max(day)) // 2 AS cut FROM e),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN day <= cut THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN day <= cut THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS s1,
+        |    CAST(sum(CASE WHEN day > cut THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN day > cut THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS s2
+        |  FROM e, b GROUP BY 1),
+        |t AS (SELECT g.*, sum(n1) OVER () AS nt1, sum(n2) OVER () AS nt2
+        |  FROM g)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2,
+        |  CAST(CASE WHEN n1 > 0 THEN (s1 * 1000) // n1 END AS BIGINT)
+        |    AS mean1_milli,
+        |  CAST(CASE WHEN n2 > 0 THEN (s2 * 1000) // n2 END AS BIGINT)
+        |    AS mean2_milli,
+        |  CAST(CASE WHEN n1 > 0 AND nt1 > 0 AND nt2 > 0 THEN
+        |    ((n2 * nt1 - n1 * nt2) * s1 * 1000) // (nt1 * nt2 * n1)
+        |    END AS BIGINT) AS mix_milli,
+        |  CAST(CASE WHEN n1 > 0 AND n2 > 0 AND nt2 > 0 THEN
+        |    ((s2 * n1 - s1 * n2) * 1000) // (nt2 * n1)
+        |    END AS BIGINT) AS within_milli
+        |FROM t ORDER BY event_type""".stripMargin)),
+
+    // ---- 286. functional-dependency audit — the profiling question
+    //          column-level stats (q237) and FK checks (q129) both
+    //          miss: does A determine B? For four candidate FDs over
+    //          lineitem/orders, count LHS keys whose B-image has more
+    //          than one distinct value. Each candidate is a two-level
+    //          combinable agg (exact distinct per key, then a count of
+    //          violators — both ride the groupBy shuffle, scans are
+    //          two-column prunes); the four results union into one
+    //          |candidates|-row verdict with violation ppm. ----
+    QDef("q286_fd_audit",
+      (s, dir) => {
+        import s.implicits._
+        def fd(df: DataFrame, a: String, b: String, name: String) = df
+          .groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(($"nd" > 1).cast("long")).as("n_violating"))
+          .select(lit(name).as("fd"), $"n_keys", $"n_violating",
+            when($"n_keys" > 0,
+              expr("(n_violating * 1000000) div n_keys"))
+              .as("violation_ppm"))
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        fd(li, "l_partkey", "l_suppkey", "l_partkey->l_suppkey")
+          .unionAll(fd(li, "l_orderkey", "l_returnflag",
+            "l_orderkey->l_returnflag"))
+          .unionAll(fd(li, "l_suppkey", "l_partkey",
+            "l_suppkey->l_partkey"))
+          .unionAll(fd(o, "o_custkey", "o_orderpriority",
+            "o_custkey->o_orderpriority"))
+          .orderBy($"fd")
+      },
+      Some("""WITH f1 AS (SELECT 'l_partkey->l_suppkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+        |    FROM lineitem GROUP BY 1)),
+        |f2 AS (SELECT 'l_orderkey->l_returnflag' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+        |    FROM lineitem GROUP BY 1)),
+        |f3 AS (SELECT 'l_suppkey->l_partkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT l_suppkey, count(DISTINCT l_partkey) AS nd
+        |    FROM lineitem GROUP BY 1)),
+        |f4 AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        |    FROM orders GROUP BY 1)),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |SELECT fd, n_keys, n_violating,
+        |  CAST(CASE WHEN n_keys > 0 THEN
+        |    (n_violating * 1000000) // n_keys END AS BIGINT)
+        |    AS violation_ppm
+        |FROM u ORDER BY fd""".stripMargin)),
+
+    // ---- 287. weekend odds / risk ratio — the 2×2 effect-direction
+    //          report q164/q277 stop short of (χ² says "associated",
+    //          not "which way, how much"): per event type, is a
+    //          high-value event (≥ $100) more likely on a weekend?
+    //          One conditional-agg collapse to the 2×2 cells, then
+    //          OR = ad/bc and RR = [a/(a+b)]/[c/(c+d)] as integer
+    //          cross-ratios in ppm — d38 products, zero-cell rows
+    //          report NULL rather than a fake infinity. ----
+    QDef("q287_odds_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        Tables.events(s, dir)
+          .select($"event_type",
+            (pmod(expr("ts_us div 86400000000"), lit(7L)) >= 5)
+              .cast("long").as("we"),
+            (round($"value" * 100) >= 10000L).cast("long").as("hi"))
+          .groupBy($"event_type").agg(
+            sum($"we" * $"hi").as("a"),
+            sum($"we" * (lit(1L) - $"hi")).as("b"),
+            sum((lit(1L) - $"we") * $"hi").as("c"),
+            sum((lit(1L) - $"we") * (lit(1L) - $"hi")).as("d"))
+          .select($"event_type", $"a", $"b", $"c", $"d",
+            when($"b" > 0 && $"c" > 0,
+              expr("(CAST(a AS DECIMAL(38,0)) * d * 1000000) div" +
+                " (CAST(b AS DECIMAL(38,0)) * c)"))
+              .cast("long").as("or_ppm"),
+            when($"a" + $"b" > 0 && $"c" > 0,
+              expr("(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000) div" +
+                " (CAST(c AS DECIMAL(38,0)) * (a + b))"))
+              .cast("long").as("rr_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    CASE WHEN (epoch_us(ts) // 86400000000) % 7 >= 5
+        |      THEN 1 ELSE 0 END AS we,
+        |    CASE WHEN round(value * 100) >= 10000 THEN 1 ELSE 0 END
+        |      AS hi
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(we * hi) AS BIGINT) AS a,
+        |    CAST(sum(we * (1 - hi)) AS BIGINT) AS b,
+        |    CAST(sum((1 - we) * hi) AS BIGINT) AS c,
+        |    CAST(sum((1 - we) * (1 - hi)) AS BIGINT) AS d
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, a, b, c, d,
+        |  CAST(CASE WHEN b > 0 AND c > 0 THEN
+        |    (CAST(a AS HUGEINT) * d * 1000000) //
+        |      (CAST(b AS HUGEINT) * c) END AS BIGINT) AS or_ppm,
+        |  CAST(CASE WHEN a + b > 0 AND c > 0 THEN
+        |    (CAST(a AS HUGEINT) * (c + d) * 1000000) //
+        |      (CAST(c AS HUGEINT) * (a + b)) END AS BIGINT) AS rr_ppm
+        |FROM g ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -694,7 +694,12 @@ object ScaleProbe {
       // q282's replicas repeat the same values (distinct-cents grid
       // constant); q283 collapses to |types|×7 sufficient stats;
       // q284's (lang, source) grid is constant under shared sources.
-      "q282_l_moments", "q283_anova_eta2", "q284_bayes_rate")
+      "q282_l_moments", "q283_anova_eta2", "q284_bayes_rate",
+      // q285/q287 collapse to per-type sufficient stats; q286's
+      // lineitem FDs meet unshifted keys (10× rows per key, same
+      // distinct images — growth measures the per-key distinct
+      // collapse) while the orders FD rides 10× shifted custkeys.
+      "q285_mix_decomposition", "q286_fd_audit", "q287_odds_ratio")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
