@@ -13544,7 +13544,151 @@ object Queries {
         |  CAST(CASE WHEN a + b > 0 AND c > 0 THEN
         |    (CAST(a AS HUGEINT) * (c + d) * 1000000) //
         |      (CAST(c AS HUGEINT) * (a + b)) END AS BIGINT) AS rr_ppm
-        |FROM g ORDER BY event_type""".stripMargin))
+        |FROM g ORDER BY event_type""".stripMargin)),
+
+    // ---- 288. effective sample size — the design-effect audit a
+    //          weighted corpus mix needs (q111/q214 ASSIGN weights;
+    //          nothing yet reports what they cost in statistical
+    //          power): per source, Kish's ESS = (Σw)²/Σw² with
+    //          w = n_chars, and the efficiency ratio ESS/n in ppm —
+    //          1.0 means uniform weights, low values flag a source
+    //          whose mass sits in a few huge documents. One combinable
+    //          (n, Σw, Σw²) collapse; (Σw)² runs in d38 (headroom to
+    //          Σw < 10¹⁹ per source, the q164 convention). ----
+    QDef("q288_effective_sample_size",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        Tables.documents(s, dir)
+          .select($"source", $"n_chars".cast("long").as("w"))
+          .groupBy($"source").agg(
+            count(lit(1)).as("n"),
+            sum($"w".cast(d38)).as("sw"),
+            sum($"w".cast(d38) * $"w").as("sw2"))
+          .select($"source", $"n",
+            when($"sw2" > 0, expr("(sw * sw) div sw2")).cast("long")
+              .as("ess"),
+            when($"sw2" > 0 && $"n" > 0,
+              expr("(sw * sw * 1000000) div" +
+                " (CAST(n AS DECIMAL(38,0)) * sw2)"))
+              .cast("long").as("ess_ratio_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sw,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sw2
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n,
+        |  CAST(CASE WHEN sw2 > 0 THEN (sw * sw) // sw2 END AS BIGINT)
+        |    AS ess,
+        |  CAST(CASE WHEN sw2 > 0 AND n > 0 THEN
+        |    (sw * sw * 1000000) // (CAST(n AS HUGEINT) * sw2)
+        |    END AS BIGINT) AS ess_ratio_ppm
+        |FROM g ORDER BY source""".stripMargin)),
+
+    // ---- 289. hash-collision audit — q257 certifies bucket
+    //          UNIFORMITY; this counts the actual pairwise collisions
+    //          a hash-partitioned join would suffer: distinct users
+    //          hashed into 2¹⁶ buckets (the md5-hash60 device),
+    //          observed colliding pairs Σ C(n_b, 2) against the
+    //          birthday expectation n(n−1)/2·2¹⁶, as an exact integer
+    //          ratio. The per-bucket collapse rides the distinct
+    //          shuffle; everything after is the ≤ 2¹⁶-row bucket
+    //          grid. ----
+    QDef("q289_hash_collision_audit",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val bk = Tables.events(s, dir)
+          .select($"user_id").distinct()
+          .select(TF.hash60(concat(lit("col:"),
+            $"user_id".cast("string"))).as("h"))
+          .select(expr("h div 17592186044416").as("b"))  // 2^60/2^16=2^44
+          .groupBy($"b").agg(count(lit(1)).as("cnt"))
+        bk.agg(
+            sum($"cnt").as("n"),
+            count(lit(1)).as("buckets_used"),
+            sum(expr("(cnt * (cnt - 1)) div 2")).as("obs_collisions"))
+          .select($"n", $"buckets_used", $"obs_collisions",
+            when($"n" > 1,
+              expr("(CAST(n AS DECIMAL(38,0)) * (n - 1) * 1000) div" +
+                " 131072")).cast("long").as("exp_collisions_milli"),
+            when($"n" > 1,
+              expr("(CAST(obs_collisions AS DECIMAL(38,0)) * 131072" +
+                " * 1000000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))"))
+              .cast("long").as("ratio_ppm"))
+          .orderBy($"n")
+      },
+      Some("""WITH k AS (SELECT CAST(('0x' || substring(md5('col:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      // 17592186044416 AS b
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |bk AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM k
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS buckets_used,
+        |    CAST(sum((cnt * (cnt - 1)) // 2) AS HUGEINT)
+        |      AS obs_collisions
+        |  FROM bk)
+        |SELECT CAST(n AS BIGINT) AS n, buckets_used,
+        |  CAST(obs_collisions AS BIGINT) AS obs_collisions,
+        |  CAST(CASE WHEN n > 1 THEN (n * (n - 1) * 1000) // 131072
+        |    END AS BIGINT) AS exp_collisions_milli,
+        |  CAST(CASE WHEN n > 1 THEN
+        |    (obs_collisions * 131072 * 1000000) // (n * (n - 1))
+        |    END AS BIGINT) AS ratio_ppm
+        |FROM a ORDER BY n""".stripMargin)),
+
+    // ---- 290. tail ratio p99/p50 — the skew summary SLO reviews
+    //          quote, computed EXACTLY in integers (q51's exact
+    //          quantiles interpolate doubles; nearest-rank order
+    //          statistics need no arithmetic at all): per event type,
+    //          the smallest cents with cum ≥ ⌈n/2⌉ and ⌈99n/100⌉ off
+    //          the distinct-cents grid — the rank conditions 2·cum ≥ n
+    //          and 100·cum ≥ 99·n are pure integer predicates, the
+    //          picks are conditional mins on the grid, and the ratio
+    //          is one d38 cross-ratio in ppm. ----
+    QDef("q290_tail_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val grid = Tables.events(s, dir)
+          .select($"event_type", round($"value" * 100).cast("long")
+            .as("cents"))
+          .filter($"cents".isNotNull)
+          .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt"))
+        graft.ops.PrefixSum.withRunningSum(
+            grid, Seq("event_type"), Seq("cents"), "cnt", "cum")
+          .withColumn("n",
+            sum($"cnt").over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type").agg(
+            max($"n").as("n"),
+            min(when($"cum" * 2 >= $"n", $"cents")).as("p50"),
+            min(when($"cum" * 100 >= $"n" * 99, $"cents")).as("p99"))
+          .select($"event_type", $"n", $"p50", $"p99",
+            when($"p50" > 0,
+              expr("(CAST(p99 AS DECIMAL(38,0)) * 1000000) div p50"))
+              .cast("long").as("tail_ratio_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n FROM c),
+        |a AS (SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cum * 2 >= n THEN cents END) AS p50,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n, p50, p99,
+        |  CAST(CASE WHEN p50 > 0 THEN
+        |    (CAST(p99 AS HUGEINT) * 1000000) // p50 END AS BIGINT)
+        |    AS tail_ratio_ppm
+        |FROM a ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -699,7 +699,12 @@ object ScaleProbe {
       // lineitem FDs meet unshifted keys (10× rows per key, same
       // distinct images — growth measures the per-key distinct
       // collapse) while the orders FD rides 10× shifted custkeys.
-      "q285_mix_decomposition", "q286_fd_audit", "q287_odds_ratio")
+      "q285_mix_decomposition", "q286_fd_audit", "q287_odds_ratio",
+      // q288 collapses to per-source sufficient stats; q289 sees 10×
+      // distinct user hashes on the fixed 2¹⁶ bucket grid; q290's
+      // replicas repeat the same values (distinct-cents grid constant).
+      "q288_effective_sample_size", "q289_hash_collision_audit",
+      "q290_tail_ratio")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
