@@ -13688,7 +13688,135 @@ object Queries {
         |  CAST(CASE WHEN p50 > 0 THEN
         |    (CAST(p99 AS HUGEINT) * 1000000) // p50 END AS BIGINT)
         |    AS tail_ratio_ppm
-        |FROM a ORDER BY event_type""".stripMargin))
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- 291. watermark tradeoff curve — q270 measures how late the
+    //          corpus runs; this prices the DECISION: for four
+    //          candidate watermark delays (1 min, 10 min, 1 h, 1 d),
+    //          how many events would a streaming job drop? Lateness is
+    //          the same one O(1) running-max frame per user (arrival
+    //          order = event_id); the four thresholds are conditional
+    //          sums in ONE aggregate over that frame, unpivoted to a
+    //          4-row curve — one scan, one window, never four. ----
+    QDef("q291_watermark_tradeoff",
+      (s, dir) => {
+        import s.implicits._
+        val wA = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val late = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"ts_us")
+          .withColumn("late_us", max($"ts_us").over(wA) - $"ts_us")
+        val agg = late.agg(
+          count(lit(1)).as("n_total"),
+          sum(($"late_us" > 60000000L).cast("long")).as("d1"),
+          sum(($"late_us" > 600000000L).cast("long")).as("d2"),
+          sum(($"late_us" > 3600000000L).cast("long")).as("d3"),
+          sum(($"late_us" > 86400000000L).cast("long")).as("d4"))
+        agg.select(expr(
+            "stack(4, 60000000L, d1, 600000000L, d2," +
+              " 3600000000L, d3, 86400000000L, d4)")
+            .as(Seq("delay_us", "n_dropped")), $"n_total")
+          .select($"delay_us", $"n_total", $"n_dropped",
+            when($"n_total" > 0,
+              expr("(n_dropped * 1000000) div n_total"))
+              .as("dropped_ppm"))
+          .orderBy($"delay_us")
+      },
+      Some("""WITH l AS (SELECT
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |      - epoch_us(ts) AS late_us
+        |  FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d4
+        |  FROM l),
+        |u AS (SELECT 60000000 AS delay_us, n_total, d1 AS n_dropped
+        |    FROM a
+        |  UNION ALL SELECT 600000000, n_total, d2 FROM a
+        |  UNION ALL SELECT 3600000000, n_total, d3 FROM a
+        |  UNION ALL SELECT 86400000000, n_total, d4 FROM a)
+        |SELECT delay_us, n_total, n_dropped,
+        |  CAST(CASE WHEN n_total > 0 THEN
+        |    (n_dropped * 1000000) // n_total END AS BIGINT)
+        |    AS dropped_ppm
+        |FROM u ORDER BY delay_us""".stripMargin)),
+
+    // ---- 292. dictionary-encoding size estimate — the writer-side
+    //          encoding-choice audit beside q261 (RLE run counting):
+    //          for four lineitem columns, estimate dictionary-encoded
+    //          size (Σ distinct-value bytes + n·⌈log₂ nd⌉/8 code
+    //          bytes) against raw string bytes. The code width comes
+    //          from length(bin(nd−1)) — an integer both engines agree
+    //          on, no log2 — and each column is a two-level combinable
+    //          agg on its own two-column pruned scan; the four verdict
+    //          rows union. ----
+    QDef("q292_encoding_estimate",
+      (s, dir) => {
+        import s.implicits._
+        def est(df: DataFrame, c: String) = df
+          .select(col(c).cast("string").as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("cnt"))
+          .agg(sum($"cnt").as("n"), count(lit(1)).as("nd"),
+            sum(length($"v") * $"cnt").as("raw_bytes"),
+            sum(length($"v")).as("dict_bytes"))
+          .select(lit(c).as("col_name"), $"n", $"nd",
+            $"raw_bytes",
+            ($"dict_bytes" +
+              expr("(n * length(bin(nd - 1))) div 8")).as("est_bytes"))
+          .select($"col_name", $"n", $"nd", $"raw_bytes", $"est_bytes",
+            when($"raw_bytes" > 0,
+              expr("(est_bytes * 1000000) div raw_bytes"))
+              .as("ratio_ppm"))
+        val li = Tables.lineitem(s, dir)
+        est(li, "l_returnflag")
+          .unionAll(est(li, "l_shipdate"))
+          .unionAll(est(li, "l_partkey"))
+          .unionAll(est(li, "l_quantity"))
+          .orderBy($"col_name")
+      },
+      Some("""WITH e1 AS (SELECT 'l_returnflag' AS col_name,
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(length(v) * cnt) AS BIGINT) AS raw_bytes,
+        |    CAST(sum(length(v)) + (sum(cnt) *
+        |      length(bin(count(*) - 1))) // 8 AS BIGINT) AS est_bytes
+        |  FROM (SELECT CAST(l_returnflag AS VARCHAR) AS v,
+        |      CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1)),
+        |e2 AS (SELECT 'l_shipdate', CAST(sum(cnt) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(length(v) * cnt) AS BIGINT),
+        |    CAST(sum(length(v)) + (sum(cnt) *
+        |      length(bin(count(*) - 1))) // 8 AS BIGINT)
+        |  FROM (SELECT CAST(l_shipdate AS VARCHAR) AS v,
+        |      CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1)),
+        |e3 AS (SELECT 'l_partkey', CAST(sum(cnt) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(length(v) * cnt) AS BIGINT),
+        |    CAST(sum(length(v)) + (sum(cnt) *
+        |      length(bin(count(*) - 1))) // 8 AS BIGINT)
+        |  FROM (SELECT CAST(l_partkey AS VARCHAR) AS v,
+        |      CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1)),
+        |e4 AS (SELECT 'l_quantity', CAST(sum(cnt) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(length(v) * cnt) AS BIGINT),
+        |    CAST(sum(length(v)) + (sum(cnt) *
+        |      length(bin(count(*) - 1))) // 8 AS BIGINT)
+        |  FROM (SELECT CAST(l_quantity AS VARCHAR) AS v,
+        |      CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1)),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT col_name, n, nd, raw_bytes, est_bytes,
+        |  CAST(CASE WHEN raw_bytes > 0 THEN
+        |    (est_bytes * 1000000) // raw_bytes END AS BIGINT)
+        |    AS ratio_ppm
+        |FROM u ORDER BY col_name""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -704,7 +704,11 @@ object ScaleProbe {
       // distinct user hashes on the fixed 2¹⁶ bucket grid; q290's
       // replicas repeat the same values (distinct-cents grid constant).
       "q288_effective_sample_size", "q289_hash_collision_audit",
-      "q290_tail_ratio")
+      "q290_tail_ratio",
+      // q291 rides disjoint user keys (one O(1) frame per user);
+      // q292's replicas repeat the same column values, so the distinct
+      // grids are constant and growth measures the counting collapse.
+      "q291_watermark_tradeoff", "q292_encoding_estimate")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
