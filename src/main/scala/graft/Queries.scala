@@ -13816,7 +13816,120 @@ object Queries {
         |  CAST(CASE WHEN raw_bytes > 0 THEN
         |    (est_bytes * 1000000) // raw_bytes END AS BIGINT)
         |    AS ratio_ppm
-        |FROM u ORDER BY col_name""".stripMargin))
+        |FROM u ORDER BY col_name""".stripMargin)),
+
+    // ---- 293. invoice reconciliation — the cross-table consistency
+    //          audit q274 (same-table checksum) and q129 (key
+    //          presence) both stop short of: does the header's
+    //          o_totalprice equal the sum of its detail lines under
+    //          the standard price formula? Per order-month: orders
+    //          with no lines, orders whose header disagrees with
+    //          Σ round(extprice·(1−disc)·(1+tax)·100), and the worst
+    //          absolute gap. One per-order detail collapse (rides the
+    //          join shuffle), one key-equi left join at orders grain,
+    //          one month roll-up. The per-line rounding makes both
+    //          engines compare identical integers — the multiply chain
+    //          is plain IEEE, no transcendentals. ----
+    QDef("q293_invoice_reconcile",
+      (s, dir) => {
+        import s.implicits._
+        val det = Tables.lineitem(s, dir)
+          .select($"l_orderkey",
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+              (lit(1.0) + $"l_tax") * 100).cast("long").as("lc"))
+          .groupBy($"l_orderkey").agg(sum($"lc").as("ltotal"))
+        Tables.orders(s, dir)
+          .select($"o_orderkey",
+            (year($"o_orderdate") * 100 + month($"o_orderdate"))
+              .as("mon"),
+            round($"o_totalprice" * 100).cast("long").as("oc"))
+          .join(det, $"o_orderkey" === $"l_orderkey", "left")
+          .groupBy($"mon").agg(
+            count(lit(1)).as("n_orders"),
+            sum($"ltotal".isNull.cast("long")).as("n_no_lines"),
+            sum(($"ltotal".isNotNull && $"ltotal" =!= $"oc")
+              .cast("long")).as("n_mismatched"),
+            max(when($"ltotal".isNotNull, abs($"ltotal" - $"oc"))
+              .otherwise(0L)).as("max_gap_cents"))
+          .select($"mon", $"n_orders", $"n_no_lines", $"n_mismatched",
+            $"max_gap_cents",
+            expr("((n_no_lines + n_mismatched) * 1000000) div n_orders")
+              .as("bad_ppm"))
+          .orderBy($"mon")
+      },
+      Some("""WITH det AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) *
+        |      (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS ltotal
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey,
+        |    year(o_orderdate) * 100 + month(o_orderdate) AS mon,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS oc
+        |  FROM orders),
+        |j AS (SELECT o.mon, o.oc, det.ltotal FROM o
+        |  LEFT JOIN det ON o.o_orderkey = det.l_orderkey),
+        |g AS (SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN ltotal IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_no_lines,
+        |    CAST(sum(CASE WHEN ltotal IS NOT NULL AND ltotal <> oc
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+        |    CAST(max(CASE WHEN ltotal IS NOT NULL
+        |      THEN abs(ltotal - oc) ELSE 0 END) AS BIGINT)
+        |      AS max_gap_cents
+        |  FROM j GROUP BY 1)
+        |SELECT mon, n_orders, n_no_lines, n_mismatched, max_gap_cents,
+        |  CAST(((n_no_lines + n_mismatched) * 1000000) // n_orders
+        |    AS BIGINT) AS bad_ppm
+        |FROM g ORDER BY mon""".stripMargin)),
+
+    // ---- 294. type co-engagement overlap — the user-overlap Jaccard
+    //          matrix between event types (q121 lifts CO-OCCURRENCE
+    //          counts; this asks about USER SETS: do the people who
+    //          purchase also error?): distinct (user, type) collapses
+    //          first, the pair generator is a user-keyed self-join
+    //          with t1 < t2 (fan ≤ |types| per user — key-equi, never
+    //          quadratic in users), and |A∪B| = |A|+|B|−|A∩B| comes
+    //          from the per-type counts — no second pass. Output is
+    //          the |types|²/2 pair grid with Jaccard in ppm. ----
+    QDef("q294_type_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val ut = Tables.events(s, dir)
+          .select($"user_id", $"event_type").distinct()
+        val nt = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        val inter = ut.as("x")
+          .join(ut.as("y"), Seq("user_id"))
+          .filter($"x.event_type" < $"y.event_type")
+          .groupBy($"x.event_type".as("type_a"),
+            $"y.event_type".as("type_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(nt.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n", "n_a"), Seq("type_a"))
+          .join(nt.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n", "n_b"), Seq("type_b"))
+          .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_inter",
+            ($"n_a" + $"n_b" - $"n_inter").as("n_union"),
+            expr("(n_inter * 1000000) div (n_a + n_b - n_inter)")
+              .as("jaccard_ppm"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type
+        |  FROM events),
+        |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ut GROUP BY 1),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_inter,
+        |  a.n + b.n - n_inter AS n_union,
+        |  CAST((n_inter * 1000000) // (a.n + b.n - n_inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM i
+        |JOIN nt a ON i.type_a = a.event_type
+        |JOIN nt b ON i.type_b = b.event_type
+        |ORDER BY type_a, type_b""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -708,7 +708,12 @@ object ScaleProbe {
       // q291 rides disjoint user keys (one O(1) frame per user);
       // q292's replicas repeat the same column values, so the distinct
       // grids are constant and growth measures the counting collapse.
-      "q291_watermark_tradeoff", "q292_encoding_estimate")
+      "q291_watermark_tradeoff", "q292_encoding_estimate",
+      // q293 meets the unshifted-orderkey fan on BOTH sides (10×
+      // detail depth per key, 10 header copies per key — the q129
+      // asymmetric precedent, all key-equi); q294 rides disjoint user
+      // keys with constant ≤|types| per-user fan.
+      "q293_invoice_reconcile", "q294_type_overlap")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
