@@ -13929,7 +13929,124 @@ object Queries {
         |FROM i
         |JOIN nt a ON i.type_a = a.event_type
         |JOIN nt b ON i.type_b = b.event_type
-        |ORDER BY type_a, type_b""".stripMargin))
+        |ORDER BY type_a, type_b""".stripMargin)),
+
+    // ---- 295. histogram selectivity audit — q269 audits the
+    //          optimizer's JOIN-size estimate; this audits its FILTER
+    //          estimate: build the 256-bucket equi-width histogram an
+    //          ANALYZE would keep on o_totalprice, then compare its
+    //          range-predicate estimates (full buckets + linear
+    //          interpolation in the boundary bucket, all integer
+    //          floors) against exact counts for four thresholds. The
+    //          scan collapses ONCE into buckets carrying both the
+    //          histogram and the exact conditional counts; bounds are
+    //          eager scalars (q142 device) so every threshold is a
+    //          plan-time literal, identically derived in the oracle's
+    //          CTE arithmetic. ----
+    QDef("q295_selectivity_audit",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .select(round($"o_totalprice" * 100).cast("long").as("oc"))
+        val bRow = o.agg(min($"oc"), max($"oc")).head
+        val (mn, mx) = if (bRow.isNullAt(0)) (0L, 0L)
+          else (bRow.getLong(0), bRow.getLong(1))
+        val w = (mx - mn) / 256 + 1
+        val span = mx - mn + 1
+        val ts = Seq((1L, 10L), (1L, 4L), (1L, 2L), (3L, 4L))
+          .map { case (nu, de) => mn + span * nu / de }
+        val grid = o
+          .withColumn("b", expr(s"(oc - $mn) div $w"))
+          .groupBy($"b").agg(count(lit(1)).as("cnt"),
+            ts.zipWithIndex.map { case (t, i) =>
+              sum(($"oc" < t).cast("long")).as(s"a$i")
+            }: _*)
+        val aggExprs = ts.zipWithIndex.flatMap { case (t, i) =>
+          val bT = (t - mn) / w
+          Seq(
+            (sum(when($"b" < bT, $"cnt").otherwise(0L)) +
+              sum(when($"b" === bT,
+                expr(s"(cnt * (${t - mn - bT * w})) div $w"))
+                .otherwise(0L))).as(s"est$i"),
+            sum(col(s"a$i")).as(s"act$i"))
+        }
+        val agg = grid.agg(aggExprs.head, aggExprs.tail: _*)
+        agg.select(expr(
+            s"stack(4, ${ts(0)}L, est0, act0, ${ts(1)}L, est1, act1," +
+              s" ${ts(2)}L, est2, act2, ${ts(3)}L, est3, act3)")
+            .as(Seq("threshold_cents", "est", "actual")))
+          .select($"threshold_cents", $"est", $"actual",
+            when($"actual" > 0,
+              expr("((est - actual) * 1000000) div actual"))
+              .as("err_ppm"))
+          .orderBy($"threshold_cents")
+      },
+      Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS oc FROM orders),
+        |bnd AS (SELECT min(oc) AS mn, max(oc) AS mx,
+        |    (max(oc) - min(oc)) // 256 + 1 AS w,
+        |    max(oc) - min(oc) + 1 AS span FROM o),
+        |th AS (SELECT mn + span * 1 // 10 AS t, w, mn FROM bnd
+        |  UNION ALL SELECT mn + span * 1 // 4, w, mn FROM bnd
+        |  UNION ALL SELECT mn + span * 1 // 2, w, mn FROM bnd
+        |  UNION ALL SELECT mn + span * 3 // 4, w, mn FROM bnd),
+        |h AS (SELECT (oc - mn) // w AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM o, bnd GROUP BY 1),
+        |e AS (SELECT th.t AS threshold_cents,
+        |    CAST(sum(CASE WHEN h.b < (th.t - th.mn) // th.w THEN h.cnt
+        |        WHEN h.b = (th.t - th.mn) // th.w THEN
+        |          (h.cnt * (th.t - th.mn - ((th.t - th.mn) // th.w)
+        |            * th.w)) // th.w
+        |        ELSE 0 END) AS BIGINT) AS est
+        |  FROM th LEFT JOIN h ON TRUE GROUP BY 1),
+        |a AS (SELECT th.t AS threshold_cents,
+        |    CAST(sum(CASE WHEN o.oc < th.t THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS actual
+        |  FROM th LEFT JOIN o ON TRUE GROUP BY 1)
+        |SELECT e.threshold_cents, est, actual,
+        |  CAST(CASE WHEN actual > 0 THEN
+        |    ((est - actual) * 1000000) // actual END AS BIGINT)
+        |    AS err_ppm
+        |FROM e JOIN a ON e.threshold_cents = a.threshold_cents
+        |ORDER BY e.threshold_cents""".stripMargin)),
+
+    // ---- 296. CDC sequence-gap audit — q280 audits the TIME axis
+    //          for holes; this audits the SEQUENCE axis: event_id is
+    //          the per-user ingest sequence (the q270 contract), so
+    //          any user whose [min, max] id span exceeds their row
+    //          count has LOST events in transit. One per-user
+    //          combinable collapse (span vs distinct count), then a
+    //          bounded severity histogram — the roll-up a pipeline
+    //          alert would page on. ----
+    QDef("q296_sequence_gap_audit",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id")
+          .groupBy($"user_id").agg(
+            (max($"event_id") - min($"event_id") + 1).as("span"),
+            countDistinct($"event_id").as("present"))
+          .select(($"span" - $"present").as("missing"))
+          .select(when($"missing" === 0, "0_none")
+            .when($"missing" <= 10, "1_upto10")
+            .otherwise("2_over10").as("gap_bucket"), $"missing")
+          .groupBy($"gap_bucket").agg(
+            count(lit(1)).as("n_users"),
+            sum($"missing").as("total_missing"))
+          .orderBy($"gap_bucket")
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    max(event_id) - min(event_id) + 1 AS span,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS present
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT span - present AS missing FROM u)
+        |SELECT CASE WHEN missing = 0 THEN '0_none'
+        |    WHEN missing <= 10 THEN '1_upto10'
+        |    ELSE '2_over10' END AS gap_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(missing) AS BIGINT) AS total_missing
+        |FROM m GROUP BY 1 ORDER BY gap_bucket""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -713,7 +713,11 @@ object ScaleProbe {
       // detail depth per key, 10 header copies per key — the q129
       // asymmetric precedent, all key-equi); q294 rides disjoint user
       // keys with constant ≤|types| per-user fan.
-      "q293_invoice_reconcile", "q294_type_overlap")
+      "q293_invoice_reconcile", "q294_type_overlap",
+      // q295's bucket collapse rides the counting shuffle (≤257-row
+      // grid); q296 rides disjoint user keys (span arithmetic is one
+      // combinable agg per key).
+      "q295_selectivity_audit", "q296_sequence_gap_audit")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
