@@ -14046,7 +14046,655 @@ object Queries {
         |    ELSE '2_over10' END AS gap_bucket,
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(missing) AS BIGINT) AS total_missing
-        |FROM m GROUP BY 1 ORDER BY gap_bucket""".stripMargin))
+        |FROM m GROUP BY 1 ORDER BY gap_bucket""".stripMargin)),
+
+    // ---- 297. Gini split gain — decision-tree feature selection as a
+    //          warehouse audit (distinct from q145's Gini CONCENTRATION:
+    //          this is CART's impurity): which candidate feature best
+    //          splits the order-status label? Impurity 1 − Σp² is exactly
+    //          rational, so unlike entropy/information-gain there is no
+    //          ln in the compared plan (q142 lesson). Per-feature shape:
+    //          one (feat, value, class) combinable count — the grid is
+    //          bounded by feature cardinality × |classes|, never rows —
+    //          then per-value impurity in ppm (floored BEFORE the nv-
+    //          weighted average, pinning the two-stage floor identically
+    //          in both engines). Parent impurity and N are bounded eager
+    //          scalars off the |classes|-row histogram (q142 device);
+    //          cross products widen to DECIMAL(38,0)/HUGEINT before
+    //          squaring (q164 lesson). ----
+    QDef("q297_gini_split_gain",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val o = Tables.orders(s, dir).select(
+          $"o_orderpriority".as("prio"),
+          date_format($"o_orderdate", "MM").as("mon"),
+          $"o_orderstatus".as("cls"))
+        val clsRow = o.groupBy($"cls").agg(count(lit(1)).as("cnt"))
+          .agg(sum($"cnt").as("n"),
+            sum($"cnt".cast(d38) * $"cnt".cast(d38)).as("s2"))
+          .head
+        val n = if (clsRow.isNullAt(0)) 0L else clsRow.getLong(0)
+        val parentPpm = if (n == 0L) 0L
+          else {
+            val s2 = BigInt(clsRow.getDecimal(1).toBigInteger)
+            (((BigInt(n) * n - s2) * 1000000) / (BigInt(n) * n)).toLong
+          }
+        val nSafe = if (n == 0L) 1L else n // empty input never evaluates
+        val tall = o.select(
+          expr("stack(2, 'priority', prio, 'month', mon)")
+            .as(Seq("feat", "v")), $"cls")
+        val pv = tall.groupBy($"feat", $"v", $"cls")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"feat", $"v").agg(sum($"c").as("nv"),
+            sum($"c".cast(d38) * $"c".cast(d38)).as("s2"))
+          .select($"feat", $"nv",
+            expr("cast(((cast(nv as decimal(38,0)) * nv - s2) * 1000000)" +
+              " div (cast(nv as decimal(38,0)) * nv) as bigint)")
+              .as("child_ppm"))
+        pv.groupBy($"feat").agg(count(lit(1)).as("n_values"),
+            expr(s"cast(sum(cast(nv as decimal(38,0)) * child_ppm)" +
+              s" div ${nSafe}L as bigint)").as("weighted_ppm"))
+          .select($"feat", $"n_values",
+            lit(parentPpm).as("parent_ppm"), $"weighted_ppm",
+            (lit(parentPpm) - $"weighted_ppm").as("gain_ppm"))
+          .orderBy($"feat")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio,
+        |    strftime(o_orderdate, '%m') AS mon,
+        |    o_orderstatus AS cls FROM orders),
+        |p AS (SELECT cls, CAST(count(*) AS HUGEINT) AS cnt
+        |  FROM o GROUP BY 1),
+        |par AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+        |    ((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000)
+        |      // (sum(cnt) * sum(cnt)) AS parent_ppm FROM p),
+        |t AS (SELECT 'priority' AS feat, prio AS v, cls FROM o
+        |  UNION ALL SELECT 'month', mon, cls FROM o),
+        |vc AS (SELECT feat, v, cls, CAST(count(*) AS HUGEINT) AS c
+        |  FROM t GROUP BY 1, 2, 3),
+        |pv AS (SELECT feat, v, sum(c) AS nv,
+        |    ((sum(c) * sum(c) - sum(c * c)) * 1000000)
+        |      // (sum(c) * sum(c)) AS child_ppm
+        |  FROM vc GROUP BY 1, 2),
+        |f AS (SELECT feat, CAST(count(*) AS BIGINT) AS n_values,
+        |    CAST(sum(nv * child_ppm) // (SELECT n FROM par) AS BIGINT)
+        |      AS weighted_ppm
+        |  FROM pv GROUP BY 1)
+        |SELECT feat, n_values,
+        |  CAST((SELECT parent_ppm FROM par) AS BIGINT) AS parent_ppm,
+        |  weighted_ppm,
+        |  CAST((SELECT parent_ppm FROM par) AS BIGINT) - weighted_ppm
+        |    AS gain_ppm
+        |FROM f ORDER BY feat""".stripMargin)),
+
+    // ---- 298. CUPED variance reduction — the experimentation-platform
+    //          pre-flight: how much metric variance does the pre-period
+    //          covariate remove? Per event type: x = a user's first-half
+    //          spend, y = second-half spend (split at the midpoint of
+    //          the observed ts_us range — min/max are bounded eager
+    //          scalars, replayed as a scalar subquery in the oracle);
+    //          θ = cov(x,y)/var(x) and the removed share ρ² reported in
+    //          ppm. All five moments are exact cent integers widened to
+    //          DECIMAL(38,0)/HUGEINT before the cross products; ρ²
+    //          avoids num² (which can outgrow d38) via the two-stage
+    //          floor a = |num|·1e3 div dx, then (a·|num|·1e3) div dy —
+    //          each stage bounded by 1e6·dy, pinned identically in both
+    //          engines; signs ride sign-split ABS-then-divide (q209
+    //          device). One (type, user) collapse, then a combinable
+    //          moment aggregate on the |types| grid. ----
+    QDef("q298_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.events(s, dir).select($"event_type", $"user_id",
+          $"ts_us", round($"value" * 100).cast("long").as("cents"))
+        val bRow = e.agg(min($"ts_us"), max($"ts_us")).head
+        val mid = if (bRow.isNullAt(0)) 0L
+          else (bRow.getLong(0) + bRow.getLong(1)) / 2
+        val uxy = e.groupBy($"event_type", $"user_id").agg(
+          sum(when($"ts_us" <= mid, $"cents").otherwise(0L)).as("x"),
+          sum(when($"ts_us" > mid, $"cents").otherwise(0L)).as("y"))
+        val m = uxy.groupBy($"event_type").agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum($"x").cast(d38).as("sx"), sum($"y").cast(d38).as("sy"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"),
+          sum($"y".cast(d38) * $"y".cast(d38)).as("syy"),
+          sum($"x".cast(d38) * $"y".cast(d38)).as("sxy"))
+        m.select($"event_type", $"n".cast("long").as("n_users"),
+            expr("n * sxy - sx * sy").as("num"),
+            expr("n * sxx - sx * sx").as("dx"),
+            expr("n * syy - sy * sy").as("dy"))
+          .select($"event_type", $"n_users",
+            when($"dx" > 0,
+              expr("cast(case when num >= 0 then" +
+                " (num * 1000000) div dx" +
+                " else -(((-num) * 1000000) div dx) end as bigint)"))
+              .as("theta_ppm"),
+            when($"dx" > 0 && $"dy" > 0,
+              expr("cast(((abs(num) * 1000 div dx) * abs(num) * 1000)" +
+                " div dy as bigint)"))
+              .as("var_removed_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tu,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |md AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM e),
+        |u AS (SELECT event_type, user_id,
+        |    CAST(sum(CASE WHEN tu <= (SELECT mid FROM md) THEN cents
+        |      ELSE 0 END) AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN tu > (SELECT mid FROM md) THEN cents
+        |      ELSE 0 END) AS HUGEINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM u GROUP BY 1),
+        |d AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+        |  CAST(CASE WHEN dx > 0 THEN
+        |    CASE WHEN num >= 0 THEN (num * 1000000) // dx
+        |      ELSE -(((-num) * 1000000) // dx) END END AS BIGINT)
+        |    AS theta_ppm,
+        |  CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+        |    ((abs(num) * 1000 // dx) * abs(num) * 1000) // dy
+        |    END AS BIGINT) AS var_removed_ppm
+        |FROM d ORDER BY event_type""".stripMargin)),
+
+    // ---- 299. simplified silhouette — cluster-quality audit over the
+    //          embedding labels (the evaluation step every clustered
+    //          corpus needs before trusting its partitions): a = squared
+    //          distance to the OWN label centroid, b = min over other
+    //          centroids, s = (b−a)/max(a,b). Made hash-exact by
+    //          quantizing components to floor(x·1e6) longs FIRST —
+    //          centroid sums, means and distances are then pure integer
+    //          arithmetic (float row-sum order could never be pinned
+    //          across engines; the quantization contract bounds every
+    //          product by the unit scale, not corpus size). Centroid
+    //          mean and the two signed means use sign-split ABS-then-
+    //          divide (q209 device). Shape: one posexplode (rows×64),
+    //          centroids = a combinable (label, pos) agg on the k×64
+    //          grid, distances an equi-join on pos with fan k — never a
+    //          row×row pair; NaN/null/off-dim rows quarantined by the
+    //          q247 pre-filter. ----
+    QDef("q299_silhouette",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull && size($"embedding") === 64 &&
+            !exists($"embedding", x => isnan(x.cast("double"))))
+          .select($"vec_id", $"label".cast("long").as("label"),
+            transform($"embedding",
+              x => floor(x.cast("double") * 1000000).cast("long")).as("q"))
+        val comp = e.select($"vec_id", $"label",
+          posexplode($"q").as(Seq("pos", "xi")))
+        val cent = comp.groupBy($"label", $"pos")
+          .agg(sum($"xi").as("sx"), count(lit(1)).as("cn"))
+          .select($"label".as("clabel"), $"pos",
+            expr("case when sx >= 0 then sx div cn" +
+              " else -((-sx) div cn) end").as("ci"))
+        val dist = comp.join(cent, Seq("pos"))
+          .groupBy($"vec_id", $"label", $"clabel")
+          .agg(sum(($"xi" - $"ci") * ($"xi" - $"ci")).as("d2"))
+        val ab = dist.groupBy($"vec_id", $"label").agg(
+            sum(when($"clabel" === $"label", $"d2").otherwise(0L)).as("a"),
+            min(when($"clabel" =!= $"label", $"d2")).as("b"))
+          .filter($"b".isNotNull)
+        ab.select($"label",
+            when(greatest($"a", $"b") === 0L, 0L).otherwise(
+              expr("cast(case when b >= a then" +
+                " (cast(b - a as decimal(38,0)) * 1000000)" +
+                "   div greatest(a, b)" +
+                " else -((cast(a - b as decimal(38,0)) * 1000000)" +
+                "   div greatest(a, b)) end as bigint)")).as("s_ppm"),
+            ($"b" < $"a").cast("long").as("neg"))
+          .groupBy($"label").agg(count(lit(1)).as("n_vec"),
+            sum($"s_ppm").as("ssum"), sum($"neg").as("n_neg"))
+          .select($"label", $"n_vec",
+            expr("cast(case when ssum >= 0 then ssum div n_vec" +
+              " else -((-ssum) div n_vec) end as bigint)")
+              .as("mean_sil_ppm"),
+            $"n_neg")
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> isnan(x))) = 0),
+        |comp AS (SELECT vec_id, label, i AS pos, q[i] AS xi
+        |  FROM e, unnest(generate_series(1, 64)) AS g(i)),
+        |cent AS (SELECT label AS clabel, pos,
+        |    CASE WHEN sum(xi) >= 0 THEN sum(xi) // count(*)
+        |      ELSE -((-sum(xi)) // count(*)) END AS ci
+        |  FROM comp GROUP BY 1, 2),
+        |d AS (SELECT c.vec_id, c.label, ct.clabel,
+        |    sum((c.xi - ct.ci) * (c.xi - ct.ci)) AS d2
+        |  FROM comp c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    sum(CASE WHEN clabel = label THEN d2 ELSE 0 END) AS a,
+        |    min(CASE WHEN clabel <> label THEN d2 END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |sil AS (SELECT label,
+        |    CASE WHEN greatest(a, b) = 0 THEN 0
+        |      WHEN b >= a THEN
+        |        (CAST(b - a AS HUGEINT) * 1000000) // greatest(a, b)
+        |      ELSE -((CAST(a - b AS HUGEINT) * 1000000)
+        |        // greatest(a, b)) END AS s_ppm,
+        |    CASE WHEN b < a THEN 1 ELSE 0 END AS neg
+        |  FROM ab WHERE b IS NOT NULL)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vec,
+        |  CAST(CASE WHEN sum(s_ppm) >= 0 THEN sum(s_ppm) // count(*)
+        |    ELSE -((-sum(s_ppm)) // count(*)) END AS BIGINT)
+        |    AS mean_sil_ppm,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- 300. multi-touch attribution — q152 stops at last-touch;
+    //          this reports the three standard models side by side
+    //          (first / last / position-based 40-20-40) so a channel
+    //          review can see how much the MODEL, not the data, moves
+    //          the credit. Touch set = view/click strictly before the
+    //          user's FIRST purchase in (ts_us, event_id) lexicographic
+    //          order (the tie pin both engines share); U-shape middle
+    //          credits are integer ppm floors with the remainder pinned
+    //          to the FIRST touch, so every user's credits sum to
+    //          exactly 1e6 under all three models. Shape: one per-user
+    //          conversion pick (combinable min-struct), one key-equi
+    //          join, one per-user sort carrying rank + count — credit
+    //          arithmetic is row-local; the roll-up is a combinable
+    //          per-type agg. ----
+    QDef("q300_attribution_models",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        val conv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(struct($"ts_us", $"event_id")).as("cv"))
+          .select($"user_id", $"cv.ts_us".as("cts"), $"cv.event_id".as("cid"))
+        val touch = ev.filter($"event_type".isin("view", "click"))
+          .join(conv, Seq("user_id"))
+          .filter($"ts_us" < $"cts" ||
+            ($"ts_us" === $"cts" && $"event_id" < $"cid"))
+        val wU = Window.partitionBy($"user_id")
+          .orderBy($"ts_us", $"event_id")
+        val wN = Window.partitionBy($"user_id")
+        touch.select($"event_type",
+            row_number().over(wU).as("rn"),
+            count(lit(1)).over(wN).as("n"))
+          .select($"event_type",
+            when($"rn" === 1, 1000000L).otherwise(0L).as("ft"),
+            when($"rn" === $"n", 1000000L).otherwise(0L).as("lt"),
+            when($"n" === 1, 1000000L)
+              .when($"n" === 2, 500000L)
+              .when($"rn" === 1,
+                lit(600000L) - ($"n" - 2) * expr("200000 div (n - 2)"))
+              .when($"rn" === $"n", 400000L)
+              .otherwise(expr("200000 div (n - 2)")).as("u"))
+          .groupBy($"event_type").agg(count(lit(1)).as("n_touches"),
+            sum($"ft").as("first_touch_ppm"),
+            sum($"lt").as("last_touch_ppm"),
+            sum($"u").as("u_shape_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu,
+        |    event_id FROM events),
+        |cv AS (SELECT user_id, tu AS cts, event_id AS cid FROM (
+        |    SELECT user_id, tu, event_id, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY tu, event_id) AS rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |t AS (SELECT e.user_id, e.event_type, e.tu, e.event_id
+        |  FROM ev e JOIN cv ON e.user_id = cv.user_id
+        |  WHERE e.event_type IN ('view', 'click')
+        |    AND (e.tu < cv.cts OR (e.tu = cv.cts
+        |      AND e.event_id < cv.cid))),
+        |r AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n FROM t)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS first_touch_ppm,
+        |  CAST(sum(CASE WHEN rn = n THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS last_touch_ppm,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1000000
+        |    WHEN n = 2 THEN 500000
+        |    WHEN rn = 1 THEN 600000 - (n - 2) * (200000 // (n - 2))
+        |    WHEN rn = n THEN 400000
+        |    ELSE 200000 // (n - 2) END) AS BIGINT) AS u_shape_ppm
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 301. Hamilton apportionment — the largest-remainder
+    //          allocation every stratified sampler needs (q111/q214
+    //          allocate by temperature/headroom; this is the EXACT
+    //          quota method: floor each stratum's proportional share of
+    //          a 10 000-row sample budget, then give the leftover seats
+    //          to the largest remainders — Σalloc equals the budget by
+    //          construction, which proportional flooring alone never
+    //          guarantees). Remainder ranking is pinned by (rem desc,
+    //          lang, source); windows run on the bounded strata grid
+    //          (the corpus collapses first), and B·n_h stays long-safe
+    //          to n_h ≈ 9·10¹⁴ docs per stratum. ----
+    QDef("q301_apportionment",
+      (s, dir) => {
+        import s.implicits._
+        val wG = Window.partitionBy()
+        val wR = Window.orderBy($"rem".desc, $"lang", $"source")
+        Tables.documents(s, dir)
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("tot", sum($"n_docs").over(wG))
+          .select($"lang", $"source", $"n_docs",
+            expr("(10000 * n_docs) div tot").as("base"),
+            expr("(10000 * n_docs) % tot").as("rem"))
+          .withColumn("left", lit(10000L) - sum($"base").over(wG))
+          .withColumn("rk", row_number().over(wR))
+          .select($"lang", $"source", $"n_docs", $"base",
+            when($"rk" <= $"left", 1L).otherwise(0L).as("extra"),
+            ($"base" + when($"rk" <= $"left", 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH h AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, source, n_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS tot FROM h),
+        |q AS (SELECT lang, source, n_docs,
+        |    (10000 * n_docs) // tot AS base,
+        |    (10000 * n_docs) % tot AS rem FROM t),
+        |r AS (SELECT *, 10000 - CAST(sum(base) OVER () AS BIGINT)
+        |      AS lft,
+        |    row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+        |  FROM q)
+        |SELECT lang, source, n_docs, CAST(base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY lang, source""".stripMargin)),
+
+    // ---- 302. delta / delta-of-delta encoding estimate — the time-
+    //          series codec member of the layout-audit family (q261
+    //          RLE runs, q292 dictionary): what would Gorilla-style
+    //          timestamp compression buy on the per-user event streams?
+    //          Varint cost = 1 + (bitlen(zigzag(v)) − 1) div 7 with
+    //          bitlen = length(bin(v)) — the q292 integer-log device,
+    //          no log2 — and zigzag as a row-local CASE. First value
+    //          per user is stored raw (8 bytes), the second as a delta
+    //          varint in the dod scheme. The delta SEQUENCE depends
+    //          only on the sorted multiset of timestamps, so ties can't
+    //          flip it; order is pinned by (ts_us, event_id) anyway.
+    //          One per-user sort carries both lags; the verdict is a
+    //          3-row stack off one global combinable agg. ----
+    QDef("q302_delta_encoding",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val d = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id")
+          .withColumn("dlt", $"ts_us" - lag($"ts_us", 1).over(w))
+          .withColumn("dod", $"dlt" - lag($"dlt", 1).over(w))
+        def vbytes(col: String): Column = expr(
+          s"1L + (length(bin(case when $col >= 0 then $col * 2" +
+            s" else -$col * 2 - 1 end)) - 1) div 7")
+        val agg = d.agg(count(lit(1)).as("n_rows"),
+          sum(when($"dlt".isNull, 8L).otherwise(vbytes("dlt")))
+            .as("delta_bytes"),
+          sum(when($"dlt".isNull, 8L)
+            .when($"dod".isNull, vbytes("dlt"))
+            .otherwise(vbytes("dod"))).as("dod_bytes"))
+        agg.select(expr("stack(3," +
+            " 'raw64', n_rows * 8, n_rows," +
+            " 'delta_varint', delta_bytes, n_rows," +
+            " 'dod_varint', dod_bytes, n_rows)")
+            .as(Seq("encoding", "total_bytes", "n_rows")))
+          .select($"encoding", $"total_bytes", $"n_rows",
+            when($"n_rows" > 0,
+              expr("(total_bytes * 1000000) div (n_rows * 8)"))
+              .as("ratio_ppm"))
+          .orderBy($"encoding")
+      },
+      Some("""WITH s AS (SELECT user_id, epoch_us(ts) AS tu, event_id
+        |    FROM events),
+        |d0 AS (SELECT user_id, tu, event_id,
+        |    tu - lag(tu) OVER w AS dlt
+        |  FROM s WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tu, event_id)),
+        |d AS (SELECT dlt, dlt - lag(dlt) OVER w AS dod
+        |  FROM d0 WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tu, event_id)),
+        |v AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN dlt IS NULL THEN 8 ELSE
+        |      1 + (length(bin(CASE WHEN dlt >= 0 THEN dlt * 2
+        |        ELSE -dlt * 2 - 1 END)) - 1) // 7 END) AS BIGINT)
+        |      AS delta_bytes,
+        |    CAST(sum(CASE WHEN dlt IS NULL THEN 8
+        |      WHEN dod IS NULL THEN
+        |        1 + (length(bin(CASE WHEN dlt >= 0 THEN dlt * 2
+        |          ELSE -dlt * 2 - 1 END)) - 1) // 7
+        |      ELSE 1 + (length(bin(CASE WHEN dod >= 0 THEN dod * 2
+        |        ELSE -dod * 2 - 1 END)) - 1) // 7 END) AS BIGINT)
+        |      AS dod_bytes
+        |  FROM d),
+        |u AS (SELECT 'raw64' AS encoding, n_rows * 8 AS total_bytes,
+        |    n_rows FROM v
+        |  UNION ALL SELECT 'delta_varint', delta_bytes, n_rows FROM v
+        |  UNION ALL SELECT 'dod_varint', dod_bytes, n_rows FROM v)
+        |SELECT encoding, total_bytes, n_rows,
+        |  CAST(CASE WHEN n_rows > 0 THEN
+        |    (total_bytes * 1000000) // (n_rows * 8) END AS BIGINT)
+        |    AS ratio_ppm
+        |FROM u ORDER BY encoding""".stripMargin)),
+
+    // ---- 303. isotonic regression (PAV) — the monotone calibration
+    //          fit q183's reliability deciles point at: per event type,
+    //          the isotonic fit of daily mean event value over the
+    //          calendar, via the minimax identity fitted(i) =
+    //          max_{j≤i} min_{k≥i} avg(j..k) — the closed form of
+    //          pool-adjacent-violators that needs no sequential loop.
+    //          Window averages are floored to ppm cents FIRST (the
+    //          ppm-grid isotonic contract: min/max then compare
+    //          integers, pinned identically in both engines). The pair
+    //          generator is quadratic in CALENDAR DAYS, never rows —
+    //          the q209 convention: facts collapse to the per-type day
+    //          grid, the (j ≤ k) fan is a type-keyed equi-join on that
+    //          grid, the suffix min is one O(1) frame per (type, j),
+    //          and fitted is a combinable max at (type, k). ----
+    QDef("q303_isotonic_pav",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val g = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"))
+          .groupBy($"event_type", $"day")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+        val wCum = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g.select($"event_type", $"day", $"n", $"sc",
+          sum($"n").over(wCum).as("cn"), sum($"sc").over(wCum).as("cs"))
+        val l = cum.select($"event_type", $"day".as("jd"),
+          ($"cn" - $"n").as("cn0"), ($"cs" - $"sc").as("cs0"))
+        val r = cum.select($"event_type", $"day".as("kd"),
+          $"cn".as("cnk"), $"cs".as("csk"))
+        val pairs = l.join(r, Seq("event_type")).filter($"jd" <= $"kd")
+          .select($"event_type", $"jd", $"kd",
+            expr("cast(case when csk - cs0 >= 0 then" +
+              " (cast(csk - cs0 as decimal(38,0)) * 1000000)" +
+              "   div (cnk - cn0)" +
+              " else -((cast(cs0 - csk as decimal(38,0)) * 1000000)" +
+              "   div (cnk - cn0)) end as bigint)").as("avg_ppm"))
+        val wSuf = Window.partitionBy($"event_type", $"jd")
+          .orderBy($"kd".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val minsuf = pairs
+          .withColumn("msuf", min($"avg_ppm").over(wSuf))
+        val fit = minsuf.groupBy($"event_type", $"kd".as("day"))
+          .agg(max($"msuf").as("fitted_ppm"))
+        g.select($"event_type", $"day", $"n",
+            expr("cast(case when sc >= 0 then" +
+              " (cast(sc as decimal(38,0)) * 1000000) div n" +
+              " else -((cast(-sc as decimal(38,0)) * 1000000) div n)" +
+              " end as bigint)").as("day_avg_ppm"))
+          .join(fit, Seq("event_type", "day"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, n, sc,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(sc) OVER w AS BIGINT) AS cs
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT l.event_type, l.day AS jd, r.day AS kd,
+        |    CASE WHEN r.cs - (l.cs - l.sc) >= 0 THEN
+        |      (CAST(r.cs - (l.cs - l.sc) AS HUGEINT) * 1000000)
+        |        // (r.cn - (l.cn - l.n))
+        |    ELSE -((CAST((l.cs - l.sc) - r.cs AS HUGEINT) * 1000000)
+        |        // (r.cn - (l.cn - l.n))) END AS avg_ppm
+        |  FROM c l JOIN c r ON l.event_type = r.event_type
+        |    AND l.day <= r.day),
+        |m AS (SELECT event_type, jd, kd,
+        |    min(avg_ppm) OVER (PARTITION BY event_type, jd
+        |      ORDER BY kd DESC ROWS UNBOUNDED PRECEDING) AS msuf
+        |  FROM p),
+        |f AS (SELECT event_type, kd AS day,
+        |    CAST(max(msuf) AS BIGINT) AS fitted_ppm
+        |  FROM m GROUP BY 1, 2)
+        |SELECT g.event_type, g.day, g.n,
+        |  CAST(CASE WHEN sc >= 0 THEN
+        |    (CAST(sc AS HUGEINT) * 1000000) // n
+        |  ELSE -((CAST(-sc AS HUGEINT) * 1000000) // n) END AS BIGINT)
+        |    AS day_avg_ppm,
+        |  f.fitted_ppm
+        |FROM g JOIN f ON g.event_type = f.event_type AND g.day = f.day
+        |ORDER BY g.event_type, g.day""".stripMargin)),
+
+    // ---- 304. time-decay attribution — the third standard model
+    //          beside q152 (last-touch) and q300 (position-based):
+    //          credit each pre-conversion touch by a 7-day half-life.
+    //          The decay weights floor(1e6·0.5^(age/7)) for ages 0..27
+    //          are Scala-computed ONCE and printed into BOTH engines as
+    //          the same integer array literal (the benfordPpm device) —
+    //          no pow() in the compared plan; past 27 days the weight
+    //          is 0 by the q198 ledger convention (bounded horizon), so
+    //          per-user state is bounded too. Credit = w·1e6 div Σw per
+    //          user (integer cross-ratio); users whose touches ALL aged
+    //          out carry Σw = 0 and are excluded rather than divided.
+    //          Same join shape as q300: one min-struct conversion pick,
+    //          one key-equi join, credits row-local over the per-user
+    //          weight total. ----
+    QDef("q304_time_decay_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val wLit = decayPpm.mkString(", ")
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts_us", $"event_id",
+            expr("ts_us div 86400000000").cast("long").as("day"))
+        val cdays = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(struct($"ts_us", $"event_id", $"day")).as("cv"))
+          .select($"user_id", $"cv.ts_us".as("cts"),
+            $"cv.event_id".as("cid"), $"cv.day".as("cday"))
+        val touch = ev.filter($"event_type".isin("view", "click"))
+          .join(cdays, Seq("user_id"))
+          .filter($"ts_us" < $"cts" ||
+            ($"ts_us" === $"cts" && $"event_id" < $"cid"))
+          .select($"user_id", $"event_type",
+            ($"cday" - $"day").as("age"))
+          .withColumn("w", when($"age" <= 27,
+            expr(s"element_at(array(${wLit}L), cast(age as int) + 1)"))
+            .otherwise(0L))
+        val wU = Window.partitionBy($"user_id")
+        touch.withColumn("wsum", sum($"w").over(wU))
+          .filter($"wsum" > 0)
+          .groupBy($"event_type").agg(
+            count(lit(1)).as("n_touches"),
+            sum($"w").as("w_total"),
+            sum(expr("(w * 1000000) div wsum")).as("credit_ppm"))
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS tu, event_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |cv AS (SELECT user_id, tu AS cts, event_id AS cid,
+        |    day AS cday FROM (
+        |    SELECT user_id, tu, event_id, day, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY tu, event_id) AS rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |t AS (SELECT e.user_id, e.event_type,
+        |    cv.cday - e.day AS age
+        |  FROM ev e JOIN cv ON e.user_id = cv.user_id
+        |  WHERE e.event_type IN ('view', 'click')
+        |    AND (e.tu < cv.cts OR (e.tu = cv.cts
+        |      AND e.event_id < cv.cid))),
+        |tw AS (SELECT user_id, event_type,
+        |    CAST(CASE WHEN age <= 27 THEN
+        |      ([${decayPpm.mkString(", ")}])[CAST(age AS INT) + 1]
+        |    ELSE 0 END AS BIGINT) AS w FROM t),
+        |ws AS (SELECT event_type, w,
+        |    CAST(sum(w) OVER (PARTITION BY user_id) AS BIGINT) AS wsum
+        |  FROM tw)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(w) AS BIGINT) AS w_total,
+        |  CAST(sum((w * 1000000) // wsum) AS BIGINT) AS credit_ppm
+        |FROM ws WHERE wsum > 0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 305. sample-ratio-mismatch audit — the experiment-health
+    //          gate that runs before any CUPED read (q298): does a
+    //          deterministic 50/50 user split actually land 50/50 in
+    //          each segment? Assignment = md5-hash60('srm:' || user)
+    //          mod 2 — replayed from the same preimage both engines —
+    //          and the χ² (1 df) statistic against the even split is
+    //          the pure integer rational (n_a−n_b)²·10⁶ div n. One
+    //          distinct (type, user) collapse riding its shuffle, one
+    //          conditional combinable agg on the |types| grid; d38
+    //          widening for the square (q164 lesson). ----
+    QDef("q305_srm_audit",
+      (s, dir) => {
+        import s.implicits._
+        val arm = pmod(TF.hash60(concat(lit("srm:"),
+          $"user_id".cast("string"))), lit(2L))
+        Tables.events(s, dir)
+          .select($"event_type", $"user_id").distinct()
+          .select($"event_type", arm.as("arm"))
+          .groupBy($"event_type").agg(
+            sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"))
+          .select($"event_type", $"n_a", $"n_b",
+            when($"n_a" + $"n_b" > 0,
+              expr("cast((cast(n_a - n_b as decimal(38,0))" +
+                " * (n_a - n_b) * 1000000) div (n_a + n_b)" +
+                " as bigint)")).as("chi2_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id
+        |    FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('srm:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |      AS BIGINT) AS arm
+        |  FROM u),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM a GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(CASE WHEN n_a + n_b > 0 THEN
+        |    (CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000)
+        |      // (n_a + n_b) END AS BIGINT) AS chi2_ppm
+        |FROM c ORDER BY event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
