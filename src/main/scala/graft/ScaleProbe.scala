@@ -717,7 +717,26 @@ object ScaleProbe {
       // q295's bucket collapse rides the counting shuffle (≤257-row
       // grid); q296 rides disjoint user keys (span arithmetic is one
       // combinable agg per key).
-      "q295_selectivity_audit", "q296_sequence_gap_audit")
+      "q295_selectivity_audit", "q296_sequence_gap_audit",
+      // q297's replica repeats the same (prio, month, status) triples,
+      // so the feature grids are constant and growth measures the
+      // stacked counting collapse; q298 rides disjoint user keys into
+      // per-type sufficient stats; q299's embeddings replicate with
+      // IDENTICAL vectors (centroids invariant — the q256 precedent),
+      // growth measures the posexplode + fan-k distance agg.
+      "q297_gini_split_gain", "q298_cuped", "q299_silhouette",
+      // q300/q304 ride disjoint user keys (per-user touch depth
+      // constant; conversion pick + credit windows per key); q301's
+      // (lang, source) strata grid is constant under shared sources;
+      // q302 rides disjoint user keys (two lags on one per-user sort).
+      "q300_attribution_models", "q301_apportionment",
+      "q302_delta_encoding",
+      // q303's pair fan is quadratic in CALENDAR DAYS (same calendar
+      // in the replica — the grid is constant, growth measures the
+      // daily collapse); q305's distinct (type, user) collapse sees
+      // 10× disjoint hashes on the |types| grid.
+      "q303_isotonic_pav", "q304_time_decay_attribution",
+      "q305_srm_audit")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
