@@ -14694,7 +14694,266 @@ object Queries {
         |  CAST(CASE WHEN n_a + n_b > 0 THEN
         |    (CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000)
         |      // (n_a + n_b) END AS BIGINT) AS chi2_ppm
-        |FROM c ORDER BY event_type""".stripMargin))
+        |FROM c ORDER BY event_type""".stripMargin)),
+
+    // ---- 306. stratified sample materialization — the sampler that
+    //          CONSUMES q301's apportionment: allocate a 100-row budget
+    //          across (lang, source) strata by largest remainder, then
+    //          take each stratum's alloc lowest-hash documents
+    //          (md5-hash60 order — deterministic, repartition-stable,
+    //          and replayed from the same preimage in the oracle; the
+    //          property a LIMIT-per-group sample never has). A stratum
+    //          smaller than its allocation yields all its rows —
+    //          n_sampled = min(alloc, n_docs), reported per stratum
+    //          with a commutative id checksum rather than 100 id rows.
+    //          Shape: strata grid windows (bounded), one broadcastable
+    //          grid join back to docs, one per-stratum rank window
+    //          (hash-partitioned by stratum). ----
+    QDef("q306_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val wG = Window.partitionBy()
+        val wR = Window.orderBy($"rem".desc, $"lang", $"source")
+        val strata = Tables.documents(s, dir)
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("tot", sum($"n_docs").over(wG))
+          .select($"lang", $"source", $"n_docs",
+            expr("(100 * n_docs) div tot").as("base"),
+            expr("(100 * n_docs) % tot").as("rem"))
+          .withColumn("left", lit(100L) - sum($"base").over(wG))
+          .withColumn("rk", row_number().over(wR))
+          .select($"lang", $"source", $"n_docs",
+            ($"base" + when($"rk" <= $"left", 1L).otherwise(0L))
+              .as("alloc"))
+        val wS = Window.partitionBy($"lang", $"source")
+          .orderBy($"h", $"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source",
+            TF.hash60(concat(lit("smp:"), $"doc_id".cast("string")))
+              .as("h"))
+          .join(broadcast(strata), Seq("lang", "source"))
+          .withColumn("rn", row_number().over(wS))
+          .filter($"rn" <= $"alloc")
+          .groupBy($"lang", $"source").agg(
+            first($"n_docs").as("n_docs"), first($"alloc").as("alloc"),
+            count(lit(1)).as("n_sampled"),
+            sum($"doc_id").as("id_checksum"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH h AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, source, n_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS tot FROM h),
+        |q AS (SELECT lang, source, n_docs,
+        |    (100 * n_docs) // tot AS base,
+        |    (100 * n_docs) % tot AS rem FROM t),
+        |st AS (SELECT lang, source, n_docs,
+        |    base + CASE WHEN row_number() OVER (
+        |        ORDER BY rem DESC, lang, source)
+        |      <= 100 - CAST(sum(base) OVER () AS BIGINT)
+        |      THEN 1 ELSE 0 END AS alloc
+        |  FROM q),
+        |d AS (SELECT doc_id, lang, source,
+        |    CAST(('0x' || substring(md5('smp:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT d.doc_id, d.lang, d.source, st.n_docs, st.alloc,
+        |    row_number() OVER (PARTITION BY d.lang, d.source
+        |      ORDER BY d.h, d.doc_id) AS rn
+        |  FROM d JOIN st ON d.lang = st.lang AND d.source = st.source)
+        |SELECT lang, source, CAST(min(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(min(alloc) AS BIGINT) AS alloc,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM r WHERE rn <= alloc
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin)),
+
+    // ---- 307. debounce / rapid-repeat audit — the event-stream
+    //          throttle gate (q08 dedups exact key repeats, q160
+    //          measures the gap DISTRIBUTION; this flags the sub-500 ms
+    //          rapid repeats a client-side debounce would suppress).
+    //          Contract pinned honestly: a repeat is rapid when its gap
+    //          from the previous RAW event of the same (user, type) is
+    //          < 500 ms — the throttle definition; the last-KEPT-
+    //          relative stride variant is sequential state and belongs
+    //          to the streaming tier. Bursts are maximal runs of
+    //          consecutive rapid rows — the q279 island key on the
+    //          rapid flag, rn − rapid_rank. One per-key sort carries
+    //          the lag, the flag, and both island windows; the roll-up
+    //          is a combinable per-type agg. ----
+    QDef("q307_debounce_audit",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts_us", $"event_id")
+        val flagged = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts_us", $"event_id")
+          .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+          .withColumn("rapid",
+            ($"gap".isNotNull && $"gap" < 500000L).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rrank", sum($"rapid").over(
+            Window.partitionBy($"user_id", $"event_type")
+              .orderBy($"ts_us", $"event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("island",
+            when($"rapid" === 1L, $"rn" - $"rrank"))
+        val bursts = flagged.filter($"rapid" === 1L)
+          .groupBy($"event_type", $"user_id", $"island")
+          .agg(count(lit(1)).as("blen"))
+          .groupBy($"event_type").agg(
+            count(lit(1)).as("n_bursts"), max($"blen").as("max_burst"))
+        flagged.groupBy($"event_type").agg(
+            count(lit(1)).as("n_events"), sum($"rapid").as("n_rapid"),
+            expr("(sum(rapid) * 1000000) div count(1)").as("rapid_ppm"))
+          .join(bursts, Seq("event_type"), "left")
+          .select($"event_type", $"n_events", $"n_rapid", $"rapid_ppm",
+            coalesce($"n_bursts", lit(0L)).as("n_bursts"),
+            coalesce($"max_burst", lit(0L)).as("max_burst"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu,
+        |    event_id FROM events),
+        |f AS (SELECT user_id, event_type,
+        |    CASE WHEN tu - lag(tu) OVER w IS NOT NULL
+        |      AND tu - lag(tu) OVER w < 500000 THEN 1 ELSE 0 END
+        |      AS rapid,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY tu, event_id)),
+        |g AS (SELECT user_id, event_type, rapid, rn,
+        |    CAST(sum(rapid) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS rrank
+        |  FROM f),
+        |b AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_bursts,
+        |    CAST(max(blen) AS BIGINT) AS max_burst
+        |  FROM (SELECT event_type, user_id, rn - rrank AS island,
+        |      CAST(count(*) AS BIGINT) AS blen
+        |    FROM g WHERE rapid = 1 GROUP BY 1, 2, 3) GROUP BY 1),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(rapid) AS BIGINT) AS n_rapid,
+        |    CAST((sum(rapid) * 1000000) // count(*) AS BIGINT)
+        |      AS rapid_ppm
+        |  FROM g GROUP BY 1)
+        |SELECT a.event_type, n_events, n_rapid, rapid_ppm,
+        |  COALESCE(b.n_bursts, 0) AS n_bursts,
+        |  COALESCE(b.max_burst, 0) AS max_burst
+        |FROM a LEFT JOIN b ON a.event_type = b.event_type
+        |ORDER BY a.event_type""".stripMargin)),
+
+    // ---- 308. Fellegi–Sunter m/u weights — the record-linkage
+    //          parameter estimate behind every ER scorer (q109/q188
+    //          generate candidates, q212 audits blocking; this
+    //          estimates the AGREEMENT weights a linker multiplies):
+    //          for each metadata feature, m = P(agree | match) over
+    //          exact-duplicate pairs (same text — the corpus's own
+    //          match truth) and u = P(agree | non-match) over all other
+    //          pairs. The scale device: every one of the four pair
+    //          probabilities comes from SUFFICIENT STATISTICS — pairs
+    //          agreeing on v = Σ C(n_v, 2), match pairs = Σ C(g, 2),
+    //          match∧agree = Σ_g Σ_v C(n_gv, 2) — so the quadratic pair
+    //          space is NEVER materialized (the q212/q289 convention,
+    //          here carried through a 2×2 decomposition). Weight proxy
+    //          = m_ppm − u_ppm (the log-ratio would drag in libm, q142
+    //          lesson; the difference is monotone in the same signal —
+    //          q216 precedent). All C(n,2) cross-products in d38/
+    //          HUGEINT. ----
+    QDef("q308_fellegi_sunter",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val docs = Tables.documents(s, dir)
+          .select(md5($"text").as("tkey"), $"lang", $"source")
+        def sumPairs(keyCols: Seq[Column]) =
+          docs.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+            .agg(sum(expr(
+              "cast(n as decimal(38,0)) * (n - 1) div 2")).as("p"))
+        // all_pairs and match_pairs are BOUNDED EAGER SCALARS (the q142
+        // device — a 1-row frame would constant-fold its join key and
+        // plan the BNLJ the PlanSpec sweep bans; caught live by CI).
+        // The oracle derives the same two numbers as scalar subqueries.
+        // `div` yields BIGINT in Spark, so the scalars land as longs —
+        // per-group C(n,2) products still widen through d38 first; the
+        // long SUM has headroom to ~4.6e18 total pairs (q275-style
+        // documented bound; the DuckDB replay runs the sum in HUGEINT
+        // and casts back, identical below that bound).
+        val totRow = docs.agg(count(lit(1)).cast(d38).as("n"))
+          .select(expr("cast(n * (n - 1) div 2 as bigint)")).head
+        val allPairs = BigInt(totRow.getLong(0))
+        val mpRow = sumPairs(Seq($"tkey")).head
+        val matchPairs = if (mpRow.isNullAt(0)) BigInt(0)
+          else BigInt(mpRow.getLong(0))
+        val nonMatch = allPairs - matchPairs
+        // per-feature stats stay distributed: a (feature, agree) and a
+        // (feature, am) tall frame, joined on the 2-value feature key —
+        // a real equi-join on bounded grids. The heaviest grid is
+        // (text, feature): dup groups × features, the q36 collapse.
+        def feat(c: Column, name: String) = sumPairs(Seq(c.as("v")))
+          .select(lit(name).as("feature"), $"p".as("agree_pairs"))
+        def featM(c: Column, name: String) =
+          sumPairs(Seq($"tkey", c.as("v")))
+            .select(lit(name).as("feature"), $"p".as("am_pairs"))
+        val a = feat($"lang", "lang").unionAll(feat($"source", "source"))
+        val am = featM($"lang", "lang")
+          .unionAll(featM($"source", "source"))
+        a.join(am, Seq("feature"))
+          .select($"feature",
+            lit(matchPairs.toLong).as("match_pairs"),
+            (if (matchPairs > 0)
+              expr("cast((cast(am_pairs as decimal(38,0)) * 1000000)" +
+                s" div ${matchPairs}BD as bigint)")
+            else lit(null).cast("long")).as("m_ppm"),
+            (if (nonMatch > 0)
+              expr("cast((cast(agree_pairs - am_pairs as decimal(38,0))" +
+                s" * 1000000) div ${nonMatch}BD as bigint)")
+            else lit(null).cast("long")).as("u_ppm"))
+          .withColumn("weight_ppm", $"m_ppm" - $"u_ppm")
+          .orderBy($"feature")
+      },
+      Some("""WITH d AS (SELECT md5(text) AS tkey, lang, source
+        |    FROM documents),
+        |tot AS (SELECT (CAST(count(*) AS HUGEINT)
+        |      * (count(*) - 1)) // 2 AS all_pairs FROM d),
+        |mp AS (SELECT CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+        |      AS HUGEINT) AS match_pairs
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+        |    GROUP BY tkey)),
+        |fl AS (SELECT 'lang' AS feature,
+        |    (SELECT CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+        |        AS HUGEINT)
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+        |        GROUP BY lang)) AS agree_pairs,
+        |    (SELECT CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+        |        AS HUGEINT)
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+        |        GROUP BY tkey, lang)) AS am_pairs
+        |  UNION ALL SELECT 'source',
+        |    (SELECT CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+        |        AS HUGEINT)
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+        |        GROUP BY source)),
+        |    (SELECT CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2)
+        |        AS HUGEINT)
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+        |        GROUP BY tkey, source)))
+        |SELECT feature, CAST(mp.match_pairs AS BIGINT) AS match_pairs,
+        |  CAST(CASE WHEN mp.match_pairs > 0 THEN
+        |    (am_pairs * 1000000) // mp.match_pairs END AS BIGINT)
+        |    AS m_ppm,
+        |  CAST(CASE WHEN tot.all_pairs > mp.match_pairs THEN
+        |    ((agree_pairs - am_pairs) * 1000000)
+        |      // (tot.all_pairs - mp.match_pairs) END AS BIGINT)
+        |    AS u_ppm,
+        |  CAST(CASE WHEN mp.match_pairs > 0
+        |      AND tot.all_pairs > mp.match_pairs THEN
+        |    (am_pairs * 1000000) // mp.match_pairs
+        |    - ((agree_pairs - am_pairs) * 1000000)
+        |      // (tot.all_pairs - mp.match_pairs) END AS BIGINT)
+        |    AS weight_ppm
+        |FROM fl, tot, mp ORDER BY feature""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

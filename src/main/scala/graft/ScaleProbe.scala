@@ -736,7 +736,15 @@ object ScaleProbe {
       // daily collapse); q305's distinct (type, user) collapse sees
       // 10× disjoint hashes on the |types| grid.
       "q303_isotonic_pav", "q304_time_decay_attribution",
-      "q305_srm_audit")
+      "q305_srm_audit",
+      // q306's strata grid is constant under shared sources (10× rows
+      // per stratum through the rank window — per-stratum hash order,
+      // disjoint doc keys); q307 rides disjoint (user, type) keys (one
+      // lag + two island windows per key); q308's replicas share text
+      // → dup groups deepen 10× but every statistic is a combinable
+      // C(n,2) sum on collapsed grids — the pair space never exists.
+      "q306_stratified_sample", "q307_debounce_audit",
+      "q308_fellegi_sunter")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
