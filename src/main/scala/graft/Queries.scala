@@ -14953,7 +14953,561 @@ object Queries {
         |    - ((agree_pairs - am_pairs) * 1000000)
         |      // (tot.all_pairs - mp.match_pairs) END AS BIGINT)
         |    AS weight_ppm
-        |FROM fl, tot, mp ORDER BY feature""".stripMargin))
+        |FROM fl, tot, mp ORDER BY feature""".stripMargin)),
+
+    // ---- 309. funnel with exclusion step — the negative-condition
+    //          funnel q205/q223 can't express (ClickHouse's
+    //          windowFunnel has no NOT-step either): view → purchase
+    //          conversions split by whether an ERROR fell strictly
+    //          between the first view and the first subsequent
+    //          purchase — the "did the bug block the checkout" read.
+    //          All step picks are (ts_us, event_id)-lexicographic
+    //          conditional min-structs (combinable, one agg per step);
+    //          the exclusion test is ONE conditional count on the same
+    //          per-user join — never an EXISTS subquery per row.
+    //          Cohorted by first-view month so the verdict is a
+    //          bounded multi-row grid. ----
+    QDef("q309_funnel_exclusion",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        val tv = ev.filter($"event_type" === "view")
+          .groupBy($"user_id")
+          .agg(min(struct($"ts_us", $"event_id")).as("v"))
+          .select($"user_id", $"v.ts_us".as("vts"), $"v.event_id".as("vid"))
+        val tp = ev.filter($"event_type" === "purchase")
+          .join(tv, Seq("user_id"))
+          .filter($"ts_us" > $"vts" ||
+            ($"ts_us" === $"vts" && $"event_id" > $"vid"))
+          .groupBy($"user_id")
+          .agg(min(struct($"ts_us", $"event_id")).as("p"))
+          .select($"user_id", $"p.ts_us".as("pts"), $"p.event_id".as("pid"))
+        val blocked = ev.filter($"event_type" === "error")
+          .join(tv, Seq("user_id")).join(tp, Seq("user_id"))
+          .filter(($"ts_us" > $"vts" ||
+              ($"ts_us" === $"vts" && $"event_id" > $"vid")) &&
+            ($"ts_us" < $"pts" ||
+              ($"ts_us" === $"pts" && $"event_id" < $"pid")))
+          .select($"user_id").distinct()
+          .withColumn("blk", lit(1L))
+        tv.join(tp, Seq("user_id"), "left")
+          .join(blocked, Seq("user_id"), "left")
+          .select(
+            date_format(timestamp_micros($"vts"), "yyyy-MM").as("cohort"),
+            $"pts".isNotNull.cast("long").as("conv"),
+            coalesce($"blk", lit(0L)).as("blk"))
+          .groupBy($"cohort").agg(
+            count(lit(1)).as("n_viewers"),
+            sum($"conv").as("n_converted"),
+            sum($"conv" * (lit(1L) - $"blk")).as("n_clean"),
+            sum($"conv" * $"blk").as("n_error_between"))
+          .orderBy($"cohort")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu,
+        |    event_id FROM events),
+        |tv AS (SELECT user_id, tu AS vts, event_id AS vid FROM (
+        |    SELECT user_id, tu, event_id, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY tu, event_id) AS rn
+        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+        |tp AS (SELECT user_id, tu AS pts, event_id AS pid FROM (
+        |    SELECT e.user_id, e.tu, e.event_id, row_number() OVER (
+        |        PARTITION BY e.user_id ORDER BY e.tu, e.event_id) AS rn
+        |    FROM ev e JOIN tv ON e.user_id = tv.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.tu > tv.vts OR (e.tu = tv.vts
+        |        AND e.event_id > tv.vid))) WHERE rn = 1),
+        |blk AS (SELECT DISTINCT e.user_id
+        |  FROM ev e JOIN tv ON e.user_id = tv.user_id
+        |    JOIN tp ON e.user_id = tp.user_id
+        |  WHERE e.event_type = 'error'
+        |    AND (e.tu > tv.vts OR (e.tu = tv.vts
+        |      AND e.event_id > tv.vid))
+        |    AND (e.tu < tp.pts OR (e.tu = tp.pts
+        |      AND e.event_id < tp.pid))),
+        |u AS (SELECT strftime(make_timestamp(tv.vts), '%Y-%m')
+        |      AS cohort,
+        |    CASE WHEN tp.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN blk.user_id IS NOT NULL THEN 1 ELSE 0 END AS b
+        |  FROM tv LEFT JOIN tp ON tv.user_id = tp.user_id
+        |    LEFT JOIN blk ON tv.user_id = blk.user_id)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_viewers,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  CAST(sum(conv * (1 - b)) AS BIGINT) AS n_clean,
+        |  CAST(sum(conv * b) AS BIGINT) AS n_error_between
+        |FROM u GROUP BY 1 ORDER BY cohort""".stripMargin)),
+
+    // ---- 310. reach / frequency curve — the ad-analytics read of the
+    //          per-user exposure histogram (q119 profiles activity;
+    //          this answers "how many people do N+ impressions buy"):
+    //          per event type, reach at frequency caps 1+/2+/3+/5+/10+
+    //          as conditional sums over the per-user count grid — one
+    //          distinct-key collapse riding its shuffle, one combinable
+    //          agg on the |types| grid, caps unrolled as columns (one
+    //          pass, never five). ----
+    QDef("q310_reach_frequency",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"event_type".isin("view", "click"))
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"event_type").agg(
+            sum($"n").as("impressions"),
+            count(lit(1)).as("reach_1plus"),
+            sum(when($"n" >= 2, 1L).otherwise(0L)).as("reach_2plus"),
+            sum(when($"n" >= 3, 1L).otherwise(0L)).as("reach_3plus"),
+            sum(when($"n" >= 5, 1L).otherwise(0L)).as("reach_5plus"),
+            sum(when($"n" >= 10, 1L).otherwise(0L)).as("reach_10plus"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH u AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS impressions,
+        |  CAST(count(*) AS BIGINT) AS reach_1plus,
+        |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reach_2plus,
+        |  CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reach_3plus,
+        |  CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reach_5plus,
+        |  CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS reach_10plus
+        |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 311. queueing backlog (Lindley recursion) — what a FIFO
+    //          single-server ingest worker's wait times look like if
+    //          each event costs value seconds: the sequential recurrence
+    //          W_n = max(0, W_{n-1} + s_{n-1} − gap) unrolls to the
+    //          PREFIX IDENTITY finish_n = S_n + max_{k≤n}(a_k − S_{k−1})
+    //          — so wait w_n = S_{n−1} + runmax(a_k − S_{k−1}) − a_n
+    //          needs just TWO O(1) running frames on one per-type
+    //          (ts_us, event_id) sort (the q173 drawdown family's
+    //          device applied to queueing). Service µs = floor(value·
+    //          1e6) — one IEEE multiply, bit-identical both engines;
+    //          w ≥ 0 falls out of the k = n term, no clamp needed. ----
+    QDef("q311_lindley_backlog",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"ts_us", $"event_id")
+        val wCum = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val q = Tables.events(s, dir)
+          .select($"event_type", $"ts_us", $"event_id",
+            floor($"value" * 1000000).cast("long").as("svc"))
+          .withColumn("scum", sum($"svc").over(wCum))
+          .withColumn("m",
+            max($"ts_us" - ($"scum" - $"svc")).over(wCum))
+          .withColumn("wait",
+            ($"scum" - $"svc") + $"m" - $"ts_us")
+        // the wait SUM outgrows int64 when the queue diverges (service
+        // demand ≫ arrival span — exactly the overloaded case the audit
+        // exists to flag; caught live by the 10× probe): widen to d38
+        // and report seconds/ms, which fit BIGINT at any backlog.
+        q.groupBy($"event_type").agg(
+            count(lit(1)).as("n_events"),
+            max($"wait").as("max_wait_us"),
+            sum($"wait".cast(d38)).as("tw"),
+            sum(($"wait" > 0L).cast("long")).as("n_delayed"))
+          .select($"event_type", $"n_events", $"max_wait_us",
+            expr("cast(tw div 1000000 as bigint)").as("total_wait_s"),
+            $"n_delayed",
+            expr("cast((tw * 1000) div (n_events * 1000000)" +
+              " as bigint)").as("mean_wait_ms"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS a,
+        |    event_id, CAST(floor(value * 1000000) AS BIGINT) AS svc
+        |  FROM events),
+        |c1 AS (SELECT event_type, a, event_id, svc,
+        |    CAST(sum(svc) OVER w AS BIGINT) AS scum
+        |  FROM e WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY a, event_id ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT event_type, a, svc, scum,
+        |    CAST(max(a - (scum - svc)) OVER w AS BIGINT) AS m
+        |  FROM c1 WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY a, event_id ROWS UNBOUNDED PRECEDING)),
+        |q AS (SELECT event_type,
+        |    (scum - svc) + m - a AS wait FROM c)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(wait) AS BIGINT) AS max_wait_us,
+        |  CAST(CAST(sum(wait) AS HUGEINT) // 1000000 AS BIGINT)
+        |    AS total_wait_s,
+        |  CAST(sum(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_delayed,
+        |  CAST((CAST(sum(wait) AS HUGEINT) * 1000)
+        |    // (count(*) * 1000000) AS BIGINT) AS mean_wait_ms
+        |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 312. session-timeout sensitivity curve — the parameter
+    //          sweep BEFORE committing a sessionization threshold
+    //          (q56-family sessions assume one θ; q291 prices
+    //          watermarks the same way): for θ ∈ {15, 30, 60} min,
+    //          session count = n_users + #(gap > θ), in-session time =
+    //          Σ gap·[gap ≤ θ] — every θ a CONDITIONAL SUM over the
+    //          same single per-user lag pass, unpivoted to a 3-row
+    //          curve. One scan, one window, never three. ----
+    QDef("q312_session_timeout_curve",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val g = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id")
+          .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+        val thetas = Seq(15L, 30L, 60L).map(_ * 60000000L)
+        val aggs = Seq(
+          countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events")) ++
+          thetas.zipWithIndex.flatMap { case (t, i) => Seq(
+            sum(($"gap" > t).cast("long")).as(s"brk$i"),
+            sum(when($"gap" <= t, $"gap").otherwise(0L).cast(d38))
+              .as(s"act$i"))
+          }
+        val a = g.agg(aggs.head, aggs.tail: _*)
+        a.select(expr("stack(3," +
+            " 15L, n_users + brk0, act0," +
+            " 30L, n_users + brk1, act1," +
+            " 60L, n_users + brk2, act2)")
+            .as(Seq("timeout_min", "n_sessions", "act")), $"n_events")
+          .select($"timeout_min", $"n_sessions",
+            when($"n_sessions" > 0,
+              expr("(n_events * 1000000) div n_sessions"))
+              .as("events_per_session_ppm"),
+            when($"n_sessions" > 0,
+              expr("cast(act div (n_sessions * 1000000) as bigint)"))
+              .as("mean_session_s"))
+          .orderBy($"timeout_min")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id
+        |    FROM events),
+        |g AS (SELECT user_id,
+        |    tu - lag(tu) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id) AS gap
+        |  FROM e),
+        |a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |      AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN gap > 900000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS brk0,
+        |    CAST(sum(CASE WHEN gap <= 900000000 THEN gap ELSE 0 END)
+        |      AS HUGEINT) AS act0,
+        |    CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS brk1,
+        |    CAST(sum(CASE WHEN gap <= 1800000000 THEN gap ELSE 0 END)
+        |      AS HUGEINT) AS act1,
+        |    CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS brk2,
+        |    CAST(sum(CASE WHEN gap <= 3600000000 THEN gap ELSE 0 END)
+        |      AS HUGEINT) AS act2
+        |  FROM g),
+        |u AS (SELECT 15 AS timeout_min, n_users + brk0 AS n_sessions,
+        |    act0 AS act, n_events FROM a
+        |  UNION ALL SELECT 30, n_users + brk1, act1, n_events FROM a
+        |  UNION ALL SELECT 60, n_users + brk2, act2, n_events FROM a)
+        |SELECT CAST(timeout_min AS BIGINT) AS timeout_min,
+        |  CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(CASE WHEN n_sessions > 0 THEN
+        |    (n_events * 1000000) // n_sessions END AS BIGINT)
+        |    AS events_per_session_ppm,
+        |  CAST(CASE WHEN n_sessions > 0 THEN
+        |    act // (n_sessions * 1000000) END AS BIGINT)
+        |    AS mean_session_s
+        |FROM u ORDER BY timeout_min""".stripMargin)),
+
+    // ---- 313. skip-gram pair generation — the word2vec/co-occurrence
+    //          training-pair extractor (q121 lifts DAY-level
+    //          co-occurrence; this is TOKEN-level within a ±2 window):
+    //          ordered pairs (w1 precedes w2 by δ ∈ {1,2}) via the
+    //          linear generator — positions join on (doc, pos + δ)
+    //          with δ an exploded 2-literal spine, so the fan is 2
+    //          pairs per token, NEVER a per-doc T² self-join. Lift =
+    //          P(pair)/(P(w1)P(w2)) as one d38 cross-ratio; verdict is
+    //          the global top-20 by (count desc, pair) through
+    //          TakeOrdered. Token totals ride broadcastable unigram
+    //          dims (q217's device). ----
+    QDef("q313_skipgram_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", posexplode(filter(split($"text", " "),
+            t => t =!= "")).as(Seq("pos", "tok")))
+        val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c1"))
+        val totRow = toks.agg(count(lit(1))).head
+        val nTok = if (totRow.isNullAt(0)) 1L
+          else math.max(1L, totRow.getLong(0))
+        // δ spine as an exploded literal (a 2-row crossJoin would plan
+        // the BNLJ the PlanSpec sweep bans — the q260 generator device)
+        val l = toks.select($"doc_id", $"pos", $"tok".as("w1"))
+          .withColumn("d", explode(array(lit(1), lit(2))))
+          .select($"doc_id", ($"pos" + $"d").as("pos2"), $"w1")
+        val pairs = l.join(
+            toks.select($"doc_id", $"pos".as("pos2"), $"tok".as("w2")),
+            Seq("doc_id", "pos2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val npRow = pairs.agg(sum($"c12")).head
+        val nPairs = if (npRow.isNullAt(0)) 1L
+          else math.max(1L, npRow.getLong(0))
+        pairs
+          .join(broadcast(uni.select($"tok".as("w1"), $"c1".as("cw1"))),
+            Seq("w1"))
+          .join(broadcast(uni.select($"tok".as("w2"), $"c1".as("cw2"))),
+            Seq("w2"))
+          .select($"w1", $"w2", $"c12",
+            expr(s"cast((cast(c12 as decimal(38,0)) * ${nTok}L *" +
+              s" ${nTok}L * 1000000) div (cast(cw1 as decimal(38,0))" +
+              s" * cw2 * ${nPairs}L) as bigint)").as("lift_ppm"))
+          .orderBy($"c12".desc, $"w1", $"w2").limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |  FROM tok GROUP BY 1),
+        |nt AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n
+        |  FROM tok),
+        |p AS (SELECT a.tok AS w1, b.tok AS w2,
+        |    CAST(count(*) AS BIGINT) AS c12
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+        |    AND b.pos - a.pos IN (1, 2)
+        |  GROUP BY 1, 2),
+        |np AS (SELECT greatest(CAST(sum(c12) AS BIGINT), 1) AS n
+        |  FROM p)
+        |SELECT w1, w2, c12,
+        |  CAST((CAST(c12 AS HUGEINT) * nt.n * nt.n * 1000000)
+        |    // (CAST(u1.c1 AS HUGEINT) * u2.c1 * np.n) AS BIGINT)
+        |    AS lift_ppm
+        |FROM p JOIN uni u1 ON p.w1 = u1.tok
+        |  JOIN uni u2 ON p.w2 = u2.tok, nt, np
+        |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ---- 314. CUPED-adjusted treatment effect — the read that
+    //          completes the experimentation tier (q305 gates the
+    //          split, q298 estimates θ; this reports the ADJUSTED
+    //          diff-in-means a platform would ship): per event type,
+    //          raw and covariate-adjusted A−B spend difference with
+    //          the q305 hash assignment and the q298 midpoint split.
+    //          Exact-rational staging keeps every product inside d38
+    //          at any corpus size: t1 = (syA·nB − syB·nA)·10³ div
+    //          (nA·nB) (milli-cents), t2 likewise for x, θ_ppm from
+    //          pooled moments, adj = t1 − (θ_ppm·t2) div 10⁶ — floors
+    //          pinned in this order in BOTH engines (the two-stage q298
+    //          device; drift ≤ 1 milli-cent per stage, stated). Signs
+    //          ride sign-split ABS-then-divide everywhere. ----
+    QDef("q314_cuped_effect",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.events(s, dir).select($"event_type", $"user_id",
+          $"ts_us", round($"value" * 100).cast("long").as("cents"))
+        val bRow = e.agg(min($"ts_us"), max($"ts_us")).head
+        val mid = if (bRow.isNullAt(0)) 0L
+          else (bRow.getLong(0) + bRow.getLong(1)) / 2
+        val uxy = e.groupBy($"event_type", $"user_id").agg(
+            sum(when($"ts_us" <= mid, $"cents").otherwise(0L)).as("x"),
+            sum(when($"ts_us" > mid, $"cents").otherwise(0L)).as("y"))
+          .withColumn("arm", pmod(TF.hash60(concat(lit("srm:"),
+            $"user_id".cast("string"))), lit(2L)))
+        val m = uxy.groupBy($"event_type").agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum($"x").cast(d38).as("sx"), sum($"y").cast(d38).as("sy"),
+          sum($"x".cast(d38) * $"x".cast(d38)).as("sxx"),
+          sum($"x".cast(d38) * $"y".cast(d38)).as("sxy"),
+          sum(when($"arm" === 0L, 1L).otherwise(0L)).cast(d38).as("na"),
+          sum(when($"arm" === 1L, 1L).otherwise(0L)).cast(d38).as("nb"),
+          sum(when($"arm" === 0L, $"x").otherwise(0L)).cast(d38)
+            .as("sxa"),
+          sum(when($"arm" === 1L, $"x").otherwise(0L)).cast(d38)
+            .as("sxb"),
+          sum(when($"arm" === 0L, $"y").otherwise(0L)).cast(d38)
+            .as("sya"),
+          sum(when($"arm" === 1L, $"y").otherwise(0L)).cast(d38)
+            .as("syb"))
+        def sdiv(num: String, den: String) =
+          s"(case when $num >= 0 then ($num) div ($den)" +
+            s" else -((-($num)) div ($den)) end)"
+        m.filter($"na" > 0 && $"nb" > 0)
+          .select($"event_type",
+            $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+            expr("n * sxy - sx * sy").as("num"),
+            expr("n * sxx - sx * sx").as("dx"),
+            expr(s"cast(${sdiv("(sya * nb - syb * na) * 1000",
+              "na * nb")} as bigint)").as("raw_diff_milli"),
+            expr(s"cast(${sdiv("(sxa * nb - sxb * na) * 1000",
+              "na * nb")} as bigint)").as("t2"))
+          .select($"event_type", $"n_a", $"n_b", $"raw_diff_milli",
+            when($"dx" > 0,
+              expr(s"cast(${sdiv("num * 1000000", "dx")} as bigint)"))
+              .as("theta_ppm"),
+            when($"dx" > 0, $"raw_diff_milli" -
+              expr(s"cast(${sdiv(
+                s"cast(${sdiv("num * 1000000", "dx")} as decimal(38,0))" +
+                  " * t2", "1000000")} as bigint)"))
+              .as("adj_diff_milli"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tu,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |md AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM e),
+        |u AS (SELECT event_type, user_id,
+        |    CAST(sum(CASE WHEN tu <= (SELECT mid FROM md) THEN cents
+        |      ELSE 0 END) AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN tu > (SELECT mid FROM md) THEN cents
+        |      ELSE 0 END) AS HUGEINT) AS y,
+        |    CAST(('0x' || substring(md5('srm:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |      AS BIGINT) AS arm
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(x * y) AS sxy,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS nb,
+        |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+        |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
+        |  FROM u GROUP BY 1),
+        |d AS (SELECT event_type, na, nb,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx,
+        |    CASE WHEN (sya * nb - syb * na) >= 0 THEN
+        |      ((sya * nb - syb * na) * 1000) // (na * nb)
+        |    ELSE -((-((sya * nb - syb * na)) * 1000) // (na * nb))
+        |      END AS raw_diff_milli,
+        |    CASE WHEN (sxa * nb - sxb * na) >= 0 THEN
+        |      ((sxa * nb - sxb * na) * 1000) // (na * nb)
+        |    ELSE -((-((sxa * nb - sxb * na)) * 1000) // (na * nb))
+        |      END AS t2
+        |  FROM m WHERE na > 0 AND nb > 0),
+        |f AS (SELECT event_type, na, nb, raw_diff_milli, t2, dx,
+        |    CASE WHEN dx > 0 THEN
+        |      CASE WHEN num >= 0 THEN (num * 1000000) // dx
+        |        ELSE -(((-num) * 1000000) // dx) END END AS theta_ppm
+        |  FROM d)
+        |SELECT event_type, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CAST(raw_diff_milli AS BIGINT) AS raw_diff_milli,
+        |  CAST(theta_ppm AS BIGINT) AS theta_ppm,
+        |  CAST(CASE WHEN dx > 0 THEN raw_diff_milli -
+        |    (CASE WHEN theta_ppm * t2 >= 0 THEN
+        |      (theta_ppm * t2) // 1000000
+        |     ELSE -((-(theta_ppm * t2)) // 1000000) END)
+        |    END AS BIGINT) AS adj_diff_milli
+        |FROM f ORDER BY event_type""".stripMargin)),
+
+    // ---- 315. percentile-rollup fallacy audit — the observability
+    //          lesson made measurable ("you cannot average p99s"): per
+    //          event type, the EXACT global p99 of event cents vs the
+    //          mean and max of per-DAY p99s — the number a naive
+    //          dashboard rollup would show vs the truth, with the bias
+    //          in signed ppm. Every percentile is the pinned lower
+    //          order-statistic pick rn = ⌊q·(n−1)⌋+1 (q250 device, no
+    //          interpolation); per-day picks ride one (type, day) sort
+    //          window, the global pick rides one (type) sort window,
+    //          means/max are combinable on the (type, day) grid.
+    //          Sign-split division for the signed bias (q209 device).
+    //          ----
+    QDef("q315_p99_rollup_fallacy",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.events(s, dir)
+          .select($"event_type",
+            expr("ts_us div 86400000000").cast("long").as("day"),
+            round($"value" * 100).cast("long").as("cents"),
+            $"event_id")
+        val wD = Window.partitionBy($"event_type", $"day")
+          .orderBy($"cents", $"event_id")
+        val wDn = Window.partitionBy($"event_type", $"day")
+        val daily = e
+          .withColumn("rn", row_number().over(wD))
+          .withColumn("n", count(lit(1)).over(wDn))
+          .filter($"rn" === expr("(99 * (n - 1)) div 100 + 1"))
+          .select($"event_type", $"day", $"cents".as("day_p99"))
+        val dayAgg = daily.groupBy($"event_type").agg(
+          count(lit(1)).as("n_days"),
+          expr(s"cast(${
+            "case when sum(day_p99) >= 0" +
+              " then sum(day_p99) div count(1)" +
+              " else -((-sum(day_p99)) div count(1)) end"
+          } as bigint)").as("mean_daily_p99"),
+          max($"day_p99").as("max_daily_p99"))
+        // global pick on the COLLAPSED distinct-cents grid (q290
+        // device): the raw-row rank window would give only |types|
+        // partitions — measured 4.6× at the 10× probe before this
+        // rewrite; the grid form collapses first (rides the counting
+        // shuffle) and its windows run on the tiny distinct grid. Same
+        // pinned Kth-order-statistic as the daily pick: the multiset
+        // Kth value — the (cents, event_id) row pick selects the same
+        // cents by construction.
+        val wGc = Window.partitionBy($"event_type").orderBy($"cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wGn = Window.partitionBy($"event_type")
+        val glob = e.groupBy($"event_type", $"cents")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum($"c").over(wGc))
+          .withColumn("n", sum($"c").over(wGn))
+          .withColumn("k", expr("(99 * (n - 1)) div 100 + 1"))
+          .filter($"cum" >= $"k" && $"cum" - $"c" < $"k")
+          .select($"event_type", $"cents".as("exact_p99"))
+        glob.join(dayAgg, Seq("event_type"))
+          .select($"event_type", $"exact_p99", $"n_days",
+            $"mean_daily_p99", $"max_daily_p99",
+            when($"exact_p99" =!= 0L,
+              expr("cast(case when mean_daily_p99 - exact_p99 >= 0" +
+                " then (cast(mean_daily_p99 - exact_p99 as" +
+                " decimal(38,0)) * 1000000) div abs(exact_p99)" +
+                " else -((cast(exact_p99 - mean_daily_p99 as" +
+                " decimal(38,0)) * 1000000) div abs(exact_p99)) end" +
+                " as bigint)")).as("rollup_bias_ppm"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |dp AS (SELECT event_type, day, cents AS day_p99 FROM (
+        |    SELECT event_type, day, cents,
+        |      row_number() OVER (PARTITION BY event_type, day
+        |        ORDER BY cents, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type, day) AS n
+        |    FROM e) WHERE rn = (99 * (n - 1)) // 100 + 1),
+        |da AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(CASE WHEN sum(day_p99) >= 0 THEN
+        |      sum(day_p99) // count(*)
+        |    ELSE -((-sum(day_p99)) // count(*)) END AS BIGINT)
+        |      AS mean_daily_p99,
+        |    CAST(max(day_p99) AS BIGINT) AS max_daily_p99
+        |  FROM dp GROUP BY 1),
+        |gg AS (SELECT event_type, cents,
+        |    CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |gc AS (SELECT event_type, cents, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM gg),
+        |gp AS (SELECT event_type, cents AS exact_p99
+        |  FROM gc WHERE cum >= (99 * (n - 1)) // 100 + 1
+        |    AND cum - c < (99 * (n - 1)) // 100 + 1)
+        |SELECT gp.event_type, exact_p99, n_days, mean_daily_p99,
+        |  max_daily_p99,
+        |  CAST(CASE WHEN exact_p99 <> 0 THEN
+        |    CASE WHEN mean_daily_p99 - exact_p99 >= 0 THEN
+        |      (CAST(mean_daily_p99 - exact_p99 AS HUGEINT) * 1000000)
+        |        // abs(exact_p99)
+        |    ELSE -((CAST(exact_p99 - mean_daily_p99 AS HUGEINT)
+        |      * 1000000) // abs(exact_p99)) END END AS BIGINT)
+        |    AS rollup_bias_ppm
+        |FROM gp JOIN da ON gp.event_type = da.event_type
+        |ORDER BY gp.event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

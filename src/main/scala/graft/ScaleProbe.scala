@@ -744,7 +744,24 @@ object ScaleProbe {
       // → dup groups deepen 10× but every statistic is a combinable
       // C(n,2) sum on collapsed grids — the pair space never exists.
       "q306_stratified_sample", "q307_debounce_audit",
-      "q308_fellegi_sunter")
+      "q308_fellegi_sunter",
+      // q309 rides disjoint user keys (three conditional min-struct
+      // collapses + two key-equi joins per key); q310's per-user count
+      // grid sees 10× disjoint keys, caps are one agg; q311 is two
+      // O(1) frames on the per-type sort — 10× rows through the same
+      // two windows, the honest linear growth of a sequential-identity
+      // unroll.
+      "q309_funnel_exclusion", "q310_reach_frequency",
+      "q311_lindley_backlog",
+      // q312 rides disjoint user keys (one lag pass; the θ sweep is
+      // conditional sums in one agg); q313's replicas share text, so
+      // the pair/unigram grids are constant — growth measures the
+      // position explode + (doc, pos+δ) equi-join; q314 extends q298's
+      // shape (disjoint keys → per-type moments) with the arm split in
+      // the same agg; q315 deepens each (type, day) sort 10× — two
+      // rank windows over constant grids.
+      "q312_session_timeout_curve", "q313_skipgram_pairs",
+      "q314_cuped_effect", "q315_p99_rollup_fallacy")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
