@@ -15507,7 +15507,124 @@ object Queries {
         |      * 1000000) // abs(exact_p99)) END END AS BIGINT)
         |    AS rollup_bias_ppm
         |FROM gp JOIN da ON gp.event_type = da.event_type
-        |ORDER BY gp.event_type""".stripMargin))
+        |ORDER BY gp.event_type""".stripMargin)),
+
+    // ---- 316. stride debounce — the last-KEPT-relative suppression
+    //          q307's raw-gap contract explicitly defers: keep an event
+    //          iff ≥ 500 ms after the last kept one (each decision
+    //          depends on the previous — no window form exists). Batch
+    //          shape: a per-key HOF fold over the sorted timestamp
+    //          list — acc = [lastKept, keptSoFar] folded left, kept =
+    //          acc[1] + 1 (the first element seeds the fold in BOTH
+    //          engines: Spark `aggregate` init = [ts[0], 0], DuckDB
+    //          `list_reduce` starts at the first element of the
+    //          [t, 0]-transformed list — identical recurrences).
+    //          Equal-ts ties are order-free: a zero gap is always
+    //          suppressed, so the kept count depends only on the
+    //          sorted multiset. Per-key list depth = per-key activity
+    //          (the q271 bounded-fold convention; max_key_depth is
+    //          reported so the bound is visible); streaming/
+    //          DebounceStream maintains the same fold as 3 longs of
+    //          state. ----
+    QDef("q316_stride_debounce",
+      (s, dir) => {
+        import s.implicits._
+        val arrs = Tables.events(s, dir)
+          .groupBy($"user_id", $"event_type")
+          .agg(sort_array(collect_list($"ts_us")).as("ts"))
+          .select($"event_type", size($"ts").cast("long").as("n"),
+            expr("aggregate(slice(ts, 2, size(ts) - 1)," +
+              " array(ts[0], 0L)," +
+              " (a, x) -> if(x - a[0] >= 500000L," +
+              "   array(x, a[1] + 1L), a)," +
+              " a -> a[1] + 1L)").as("kept"))
+        arrs.groupBy($"event_type").agg(
+            count(lit(1)).as("n_keys"),
+            sum($"n").as("n_events"), sum($"kept").as("n_kept"),
+            expr("(sum(kept) * 1000000) div sum(n)").as("kept_ppm"),
+            max($"n").as("max_key_depth"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+        |    FROM events),
+        |a AS (SELECT user_id, event_type,
+        |    list_sort(list(tu)) AS ts FROM e GROUP BY 1, 2),
+        |k AS (SELECT event_type, CAST(len(ts) AS BIGINT) AS n,
+        |    list_reduce(list_transform(ts,
+        |        t -> [t, CAST(0 AS BIGINT)]),
+        |      (acc, x) -> CASE WHEN x[1] - acc[1] >= 500000
+        |        THEN [x[1], acc[2] + 1] ELSE acc END)[2] + 1 AS kept
+        |  FROM a)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST((sum(kept) * 1000000) // sum(n) AS BIGINT) AS kept_ppm,
+        |  CAST(max(n) AS BIGINT) AS max_key_depth
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- 317. int8 scalar-quantization error audit — the SQ8-vs-PQ
+    //          decision input every ANN index build needs (q177 is the
+    //          PQ leg; SQ8 is the cheaper baseline): quantize each
+    //          dimension to 0..255 against its corpus min/max and
+    //          report per-dimension reconstruction error. Exactness:
+    //          components land on the µunit grid FIRST (floor(x·1e6),
+    //          the q256/q299 contract), so scale, code = (xq−mn)·255
+    //          div (mx−mn), dequant mn + code·(mx−mn) div 255, and the
+    //          error stats are pure integer arithmetic. Shape: one
+    //          posexplode, per-dim min/max = a combinable 64-row grid,
+    //          broadcast back on pos, row-local code/dequant, per-dim
+    //          roll-up. Flat-dimension columns (mx = mn) code to 0 and
+    //          reconstruct exactly. ----
+    QDef("q317_sq8_quantization",
+      (s, dir) => {
+        import s.implicits._
+        val comp = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull && size($"embedding") === 64 &&
+            !exists($"embedding", x => isnan(x.cast("double"))))
+          .select(posexplode(transform($"embedding",
+            x => floor(x.cast("double") * 1000000).cast("long")))
+            .as(Seq("pos", "xq")))
+        val grid = comp.groupBy($"pos")
+          .agg(min($"xq").as("mn"), max($"xq").as("mx"))
+        comp.join(broadcast(grid), Seq("pos"))
+          .select($"pos", $"mn", $"mx",
+            when($"mx" > $"mn",
+              expr("((xq - mn) * 255) div (mx - mn)")).otherwise(0L)
+              .as("code"), $"xq")
+          .select($"pos", $"mn", $"mx",
+            ($"xq" - ($"mn" + expr("(code * (mx - mn)) div 255")))
+              .as("err"))
+          .groupBy($"pos").agg(
+            first($"mn").as("mn_micro"), first($"mx").as("mx_micro"),
+            count(lit(1)).as("n"),
+            expr("cast(sum(abs(err)) div count(1) as bigint)")
+              .as("mean_abs_err_micro"),
+            max(abs($"err")).as("max_abs_err_micro"))
+          .orderBy($"pos")
+      },
+      Some("""WITH e AS (SELECT list_transform(
+        |      CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> isnan(x))) = 0),
+        |comp AS (SELECT i - 1 AS pos, q[i] AS xq
+        |  FROM e, unnest(generate_series(1, 64)) AS g(i)),
+        |grid AS (SELECT pos, CAST(min(xq) AS BIGINT) AS mn,
+        |    CAST(max(xq) AS BIGINT) AS mx FROM comp GROUP BY 1),
+        |c AS (SELECT comp.pos, mn, mx,
+        |    CASE WHEN mx > mn THEN ((xq - mn) * 255) // (mx - mn)
+        |      ELSE 0 END AS code, xq
+        |  FROM comp JOIN grid ON comp.pos = grid.pos),
+        |r AS (SELECT pos, mn, mx,
+        |    xq - (mn + (code * (mx - mn)) // 255) AS err FROM c)
+        |SELECT CAST(pos AS BIGINT) AS pos, min(mn) AS mn_micro,
+        |  min(mx) AS mx_micro, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(abs(err)) // count(*) AS BIGINT)
+        |    AS mean_abs_err_micro,
+        |  CAST(max(abs(err)) AS BIGINT) AS max_abs_err_micro
+        |FROM r GROUP BY pos ORDER BY pos""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -761,7 +761,13 @@ object ScaleProbe {
       // the same agg; q315 deepens each (type, day) sort 10× — two
       // rank windows over constant grids.
       "q312_session_timeout_curve", "q313_skipgram_pairs",
-      "q314_cuped_effect", "q315_p99_rollup_fallacy")
+      "q314_cuped_effect", "q315_p99_rollup_fallacy",
+      // q316 folds per disjoint (user, type) key — list depth is the
+      // per-key activity, constant under the replica; q317's replica
+      // repeats identical vectors, so the 64-row min/max grid is
+      // invariant and growth measures the posexplode + broadcast-join
+      // error pass.
+      "q316_stride_debounce", "q317_sq8_quantization")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
