@@ -15624,7 +15624,164 @@ object Queries {
         |  CAST(sum(abs(err)) // count(*) AS BIGINT)
         |    AS mean_abs_err_micro,
         |  CAST(max(abs(err)) AS BIGINT) AS max_abs_err_micro
-        |FROM r GROUP BY pos ORDER BY pos""".stripMargin))
+        |FROM r GROUP BY pos ORDER BY pos""".stripMargin)),
+
+    // ---- 318. dot-vs-cosine ranking disagreement — the metric choice
+    //          every ANN index bakes in, audited (q35/q104 rank by
+    //          cosine; unnormalized corpora often ship dot): per label,
+    //          how much do the two top-10s overlap over the same-label
+    //          candidate pool? Exactness contract: components land on
+    //          the 1e-4 grid (floor(x·1e4) — coarser than q299's 1e-6
+    //          so the cross-products fit: dot ≤ ~1e11 at unit scale,
+    //          dot²·1e6 ≤ ~1e28, all inside d38), and the cosine ORDER
+    //          is the pinned
+    //          surrogate sign(dot)·(dot²·1e6 div ‖c‖²) — the probe norm
+    //          is constant within a probe and drops out of the
+    //          ranking. Zero-norm candidates are excluded (q247 flags
+    //          them; their cosine is undefined). Pool = same-label
+    //          candidates, the q200 bounded-audit-set convention; both
+    //          rankings ride one window pass each over that pool. ----
+    QDef("q318_metric_disagreement",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull && size($"embedding") === 64 &&
+            !exists($"embedding", x => isnan(x.cast("double"))))
+          .select($"vec_id", $"label".cast("long").as("label"),
+            transform($"embedding",
+              x => floor(x.cast("double") * 10000).cast("long")).as("q"))
+        val probe = e.groupBy($"label")
+          .agg(min($"vec_id").as("pid"))
+          .join(e.select($"vec_id".as("pid"), $"q".as("pq")), Seq("pid"))
+        val cand = e.join(broadcast(probe), Seq("label"))
+          .filter($"vec_id" =!= $"pid")
+          .select($"label", $"vec_id",
+            expr("aggregate(zip_with(q, pq, (a, b) -> a * b), 0L," +
+              " (acc, v) -> acc + v)").as("dot"),
+            expr("aggregate(q, 0L, (acc, v) -> acc + v * v)").as("nc"))
+          .filter($"nc" > 0L)
+          .withColumn("cos2q",
+            expr("cast(case when dot >= 0 then" +
+              " (cast(dot as decimal(38,0)) * dot * 1000000) div nc" +
+              " else -((cast(dot as decimal(38,0)) * dot * 1000000)" +
+              "   div nc) end as bigint)"))
+        val wDot = Window.partitionBy($"label")
+          .orderBy($"dot".desc, $"vec_id")
+        val wCos = Window.partitionBy($"label")
+          .orderBy($"cos2q".desc, $"vec_id")
+        cand.withColumn("rd", row_number().over(wDot))
+          .withColumn("rc", row_number().over(wCos))
+          .groupBy($"label").agg(
+            count(lit(1)).as("n_candidates"),
+            sum(($"rd" <= 10 && $"rc" <= 10).cast("long"))
+              .as("top10_overlap"),
+            sum(($"rd" === 1 && $"rc" === 1).cast("long"))
+              .as("top1_agree"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> isnan(x))) = 0),
+        |p AS (SELECT e.label, e.vec_id AS pid, e.q AS pq
+        |  FROM e JOIN (SELECT label, min(vec_id) AS pid FROM e
+        |    GROUP BY 1) m ON e.vec_id = m.pid),
+        |c0 AS (SELECT e.label, e.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> e.q[i] * p.pq[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(e.q, v -> v * v)) AS BIGINT)
+        |      AS nc
+        |  FROM e JOIN p ON e.label = p.label
+        |  WHERE e.vec_id <> p.pid),
+        |c AS (SELECT label, vec_id, dot, nc,
+        |    CASE WHEN dot >= 0 THEN
+        |      (CAST(dot AS HUGEINT) * dot * 1000000) // nc
+        |    ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // nc)
+        |      END AS cos2q
+        |  FROM c0 WHERE nc > 0),
+        |r AS (SELECT label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY dot DESC, vec_id) AS rd,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY cos2q DESC, vec_id) AS rc
+        |  FROM c)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN rd <= 10 AND rc <= 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS top10_overlap,
+        |  CAST(sum(CASE WHEN rd = 1 AND rc = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS top1_agree
+        |FROM r GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ---- 319. walk-forward fold audit — temporal cross-validation
+    //          assignment plus the leakage guard (q266 does ONE
+    //          temporal split; real backtests walk forward): days cut
+    //          into 5 equal-rank folds off the distinct-day grid, and
+    //          for each test fold k = 1..4 the expanding train window
+    //          is folds < k — per fold: sizes and the purchase-rate
+    //          drift between train and test (the number that says
+    //          "your CV folds are not exchangeable, temporal it is").
+    //          Shapes: the fold id is integer arithmetic on the day
+    //          grid's dense rank (a grid-sized window), fold stats are
+    //          ONE combinable agg, and the expanding train side is a
+    //          running sum over the 5-row fold grid — never a second
+    //          scan. Sign-split for the signed drift. ----
+    QDef("q319_walkforward_folds",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select(expr("ts_us div 86400000000").cast("long").as("day"),
+            ($"event_type" === "purchase").cast("long").as("pur"))
+        val wDay = Window.orderBy($"day")
+        val days = e.select($"day").distinct()
+          .withColumn("rk", row_number().over(wDay))
+        val nDays = days.count()
+        val fold = days.select($"day",
+          expr(s"((rk - 1) * 5) div ${math.max(nDays, 1L)}L").as("fold"))
+        val stats = e.join(broadcast(fold), Seq("day"))
+          .groupBy($"fold").agg(count(lit(1)).as("n"),
+            sum($"pur").as("np"))
+        val wCum = Window.orderBy($"fold")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        stats
+          .withColumn("train_n", sum($"n").over(wCum))
+          .withColumn("train_np", sum($"np").over(wCum))
+          .filter($"fold" >= 1)
+          .select($"fold", $"train_n", $"n".as("test_n"),
+            expr("(train_np * 1000000) div train_n")
+              .as("train_purchase_ppm"),
+            expr("(np * 1000000) div n").as("test_purchase_ppm"))
+          .withColumn("drift_ppm",
+            $"test_purchase_ppm" - $"train_purchase_ppm")
+          .orderBy($"fold")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS pur FROM events),
+        |days AS (SELECT day, row_number() OVER (ORDER BY day) AS rk,
+        |    count(*) OVER () AS nd
+        |  FROM (SELECT DISTINCT day FROM e)),
+        |f AS (SELECT day, ((rk - 1) * 5) // greatest(nd, 1) AS fold
+        |  FROM days),
+        |s AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pur) AS BIGINT) AS np
+        |  FROM e JOIN f ON e.day = f.day GROUP BY 1),
+        |c AS (SELECT fold, n, np,
+        |    CAST(sum(n) OVER (ORDER BY fold ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS BIGINT) AS train_n,
+        |    CAST(sum(np) OVER (ORDER BY fold ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS BIGINT) AS train_np
+        |  FROM s)
+        |SELECT fold, train_n, n AS test_n,
+        |  CAST((train_np * 1000000) // train_n AS BIGINT)
+        |    AS train_purchase_ppm,
+        |  CAST((np * 1000000) // n AS BIGINT) AS test_purchase_ppm,
+        |  CAST((np * 1000000) // n - (train_np * 1000000) // train_n
+        |    AS BIGINT) AS drift_ppm
+        |FROM c WHERE fold >= 1 ORDER BY fold""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -767,7 +767,13 @@ object ScaleProbe {
       // repeats identical vectors, so the 64-row min/max grid is
       // invariant and growth measures the posexplode + broadcast-join
       // error pass.
-      "q316_stride_debounce", "q317_sq8_quantization")
+      "q316_stride_debounce", "q317_sq8_quantization",
+      // q318's per-label candidate pools deepen 10× (shifted vec_id,
+      // identical vectors) — the two rank windows see 10× rows in the
+      // same |labels| partitions, the bounded-audit-set contract made
+      // visible; q319's day grid is constant (same calendar), growth
+      // is the fold-id broadcast join + one combinable agg.
+      "q318_metric_disagreement", "q319_walkforward_folds")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
