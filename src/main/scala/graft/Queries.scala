@@ -15781,7 +15781,204 @@ object Queries {
         |  CAST((np * 1000000) // n AS BIGINT) AS test_purchase_ppm,
         |  CAST((np * 1000000) // n - (train_np * 1000000) // train_n
         |    AS BIGINT) AS drift_ppm
-        |FROM c WHERE fold >= 1 ORDER BY fold""".stripMargin))
+        |FROM c WHERE fold >= 1 ORDER BY fold""".stripMargin)),
+
+    // ---- 320. hierarchy share-of-parent — the BI rollup the star
+    //          joins (q04/q176) and grouping sets (q19/q39/q98) stop
+    //          short of: revenue by nation WITH each nation's share of
+    //          its region and each region's share of the total, in one
+    //          result. Two window totals on the |nations| grid (the
+    //          aggregate collapses first — windows never see fact
+    //          rows); broadcast dims, DECIMAL-exact cents, ppm floors.
+    //          ----
+    QDef("q320_share_of_parent",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val rev = Tables.orders(s, dir)
+          .select($"o_custkey", round($"o_totalprice" * 100)
+            .cast("long").as("cents"))
+          .join(Tables.customer(s, dir)
+            .select($"c_custkey".as("o_custkey"), $"c_nationkey"),
+            Seq("o_custkey"))
+          .groupBy($"c_nationkey").agg(sum($"cents").as("rev"))
+        val dim = Tables.nation(s, dir)
+          .select($"n_nationkey".as("c_nationkey"),
+            $"n_name".as("nation"), $"n_regionkey")
+          .join(Tables.region(s, dir)
+            .select($"r_regionkey".as("n_regionkey"),
+              $"r_name".as("region")), Seq("n_regionkey"))
+        val wR = Window.partitionBy($"region")
+        val wG = Window.partitionBy()
+        rev.join(broadcast(dim), Seq("c_nationkey"))
+          .select($"region", $"nation", $"rev")
+          .withColumn("region_rev", sum($"rev").over(wR))
+          .withColumn("total_rev", sum($"rev").over(wG))
+          .select($"region", $"nation", $"rev".as("nation_cents"),
+            expr("cast((cast(rev as decimal(38,0)) * 1000000)" +
+              " div region_rev as bigint)").as("share_of_region_ppm"),
+            expr("cast((cast(region_rev as decimal(38,0)) * 1000000)" +
+              " div total_rev as bigint)").as("region_share_ppm"))
+          .orderBy($"region", $"nation")
+      },
+      Some("""WITH rev AS (SELECT c_nationkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |d AS (SELECT n_nationkey, n_name AS nation, r_name AS region
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |j AS (SELECT region, nation, rev,
+        |    CAST(sum(rev) OVER (PARTITION BY region) AS BIGINT)
+        |      AS region_rev,
+        |    CAST(sum(rev) OVER () AS BIGINT) AS total_rev
+        |  FROM rev JOIN d ON rev.c_nationkey = d.n_nationkey)
+        |SELECT region, nation, rev AS nation_cents,
+        |  CAST((CAST(rev AS HUGEINT) * 1000000) // region_rev
+        |    AS BIGINT) AS share_of_region_ppm,
+        |  CAST((CAST(region_rev AS HUGEINT) * 1000000) // total_rev
+        |    AS BIGINT) AS region_share_ppm
+        |FROM j ORDER BY region, nation""".stripMargin)),
+
+    // ---- 321. Markov removal-effect attribution — the data-driven
+    //          model that completes the attribution family (q152
+    //          last-touch, q300 position, q304 time-decay): channel
+    //          credit = how much 6-step view→purchase conversion drops
+    //          when the channel's transitions are removed (no
+    //          renormalization — removed mass is lost, the standard
+    //          removal-effect semantics). The chain is q127's MLE
+    //          transition matrix in integer ppm; absorption runs as SIX
+    //          UNROLLED rounds of P_k(s) = T·P_{k−1} with a ppm floor
+    //          per round (the q249 power-iteration convention — both
+    //          engines replay the identical integer recurrence; purchase
+    //          is absorbing at 1e6). All four scenarios (baseline +
+    //          remove view/click/error... view is the start state so
+    //          its removal zeroes trivially — the three NON-start
+    //          channels are removed) ride the SAME |types|² grid
+    //          joined per round; nothing after the bigram collapse is
+    //          event-sized. ----
+    QDef("q321_markov_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val bi = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+          .withColumn("nxt", lead($"event_type", 1).over(w))
+          .filter($"nxt".isNotNull)
+          .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy($"src")
+        val t = bi.withColumn("tot", sum($"c").over(wSrc))
+          .select($"src", $"dst",
+            expr("(c * 1000000) div tot").as("p_ppm"))
+        // The DISTRIBUTED work is the bigram collapse above; the
+        // transition matrix itself is |types|² ≤ 25 rows at ANY corpus
+        // size, so it comes back as bounded bookkeeping (the Knn
+        // centroid / q272 grid convention — a 4-scenario × 5-round
+        // lazy join DAG over it re-planned the scan per round and
+        // measured 8.4 s at sf0.1 before this restructure). Six
+        // absorption rounds per scenario in exact Long arithmetic:
+        // P_k(s) = T[s, purchase] + ⌊Σ_t T[s,t]·P_{k−1}(t) / 1e6⌋;
+        // 'purchase' is absorbing — out of the state space, its reward
+        // is the direct-edge base term; transient states with no
+        // direct purchase edge stay in the universe with base 0. The
+        // oracle replays the identical recurrence in its p1..p6 CTEs.
+        val tm = t.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        def conv6(drop: Option[String]): Long = {
+          val edges = tm.filter { case (a, b, _) =>
+            !drop.contains(a) && !drop.contains(b) }
+          val states = edges.map(_._1).filter(_ != "purchase").distinct
+          val b = states.map { st =>
+            st -> edges.collectFirst {
+              case (`st`, "purchase", p) => p }.getOrElse(0L)
+          }.toMap
+          val t2 = edges.filter { case (a, c, _) =>
+            a != "purchase" && c != "purchase" }
+          var p = b
+          (1 to 5).foreach { _ =>
+            p = states.map { st =>
+              val prop = t2.collect { case (`st`, dstSt, w)
+                if p.contains(dstSt) => w * p(dstSt) }.sum / 1000000L
+              st -> (b(st) + prop)
+            }.toMap
+          }
+          p.getOrElse("view", 0L)
+        }
+        val rows = Seq(
+          ("baseline", conv6(None)),
+          ("no_click", conv6(Some("click"))),
+          ("no_error", conv6(Some("error"))),
+          ("no_signup", conv6(Some("signup"))))
+        rows.toDF("scenario", "conv_ppm").orderBy($"scenario")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    event_type FROM events),
+        |b AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id) AS dst
+        |  FROM e),
+        |bi AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+        |  FROM b WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, dst,
+        |    CAST((c * 1000000) // (CAST(sum(c) OVER (PARTITION BY src)
+        |      AS BIGINT)) AS BIGINT) AS p_ppm
+        |  FROM bi),
+        |sc AS (SELECT 'baseline' AS scenario, src, dst, p_ppm FROM t
+        |  UNION ALL SELECT 'no_click', src, dst, p_ppm FROM t
+        |    WHERE src <> 'click' AND dst <> 'click'
+        |  UNION ALL SELECT 'no_error', src, dst, p_ppm FROM t
+        |    WHERE src <> 'error' AND dst <> 'error'
+        |  UNION ALL SELECT 'no_signup', src, dst, p_ppm FROM t
+        |    WHERE src <> 'signup' AND dst <> 'signup'),
+        |states AS (SELECT DISTINCT scenario, src AS state FROM sc
+        |  WHERE src <> 'purchase'),
+        |base AS (SELECT states.scenario, states.state,
+        |    COALESCE(pp.p_ppm, 0) AS bp
+        |  FROM states LEFT JOIN (SELECT scenario, src, p_ppm FROM sc
+        |      WHERE dst = 'purchase') pp
+        |    ON states.scenario = pp.scenario
+        |      AND states.state = pp.src),
+        |t2 AS (SELECT scenario, src, dst, p_ppm FROM sc
+        |  WHERE src <> 'purchase' AND dst <> 'purchase'),
+        |p1 AS (SELECT scenario, state, bp AS v FROM base),
+        |p2 AS (SELECT base.scenario, base.state, base.bp +
+        |    COALESCE((SELECT sum(t2.p_ppm * p1.v) // 1000000 FROM t2
+        |      JOIN p1 ON t2.scenario = p1.scenario
+        |        AND t2.dst = p1.state
+        |      WHERE t2.scenario = base.scenario
+        |        AND t2.src = base.state), 0) AS v
+        |  FROM base),
+        |p3 AS (SELECT base.scenario, base.state, base.bp +
+        |    COALESCE((SELECT sum(t2.p_ppm * p2.v) // 1000000 FROM t2
+        |      JOIN p2 ON t2.scenario = p2.scenario
+        |        AND t2.dst = p2.state
+        |      WHERE t2.scenario = base.scenario
+        |        AND t2.src = base.state), 0) AS v
+        |  FROM base),
+        |p4 AS (SELECT base.scenario, base.state, base.bp +
+        |    COALESCE((SELECT sum(t2.p_ppm * p3.v) // 1000000 FROM t2
+        |      JOIN p3 ON t2.scenario = p3.scenario
+        |        AND t2.dst = p3.state
+        |      WHERE t2.scenario = base.scenario
+        |        AND t2.src = base.state), 0) AS v
+        |  FROM base),
+        |p5 AS (SELECT base.scenario, base.state, base.bp +
+        |    COALESCE((SELECT sum(t2.p_ppm * p4.v) // 1000000 FROM t2
+        |      JOIN p4 ON t2.scenario = p4.scenario
+        |        AND t2.dst = p4.state
+        |      WHERE t2.scenario = base.scenario
+        |        AND t2.src = base.state), 0) AS v
+        |  FROM base),
+        |p6 AS (SELECT base.scenario, base.state, base.bp +
+        |    COALESCE((SELECT sum(t2.p_ppm * p5.v) // 1000000 FROM t2
+        |      JOIN p5 ON t2.scenario = p5.scenario
+        |        AND t2.dst = p5.state
+        |      WHERE t2.scenario = base.scenario
+        |        AND t2.src = base.state), 0) AS v
+        |  FROM base)
+        |SELECT scenario, CAST(v AS BIGINT) AS conv_ppm FROM p6
+        |WHERE state = 'view' ORDER BY scenario""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

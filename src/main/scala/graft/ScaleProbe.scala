@@ -773,7 +773,13 @@ object ScaleProbe {
       // same |labels| partitions, the bounded-audit-set contract made
       // visible; q319's day grid is constant (same calendar), growth
       // is the fold-id broadcast join + one combinable agg.
-      "q318_metric_disagreement", "q319_walkforward_folds")
+      "q318_metric_disagreement", "q319_walkforward_folds",
+      // q320's windows run on the constant |nations| grid (the fact
+      // collapse rides the join shuffle; fan = 10 header replicas per
+      // custkey under the replica's shifted custkeys — key-equi);
+      // q321's lead + bigram collapse ride disjoint user keys, and the
+      // six absorption rounds run on the constant |types|² grid.
+      "q320_share_of_parent", "q321_markov_attribution")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
