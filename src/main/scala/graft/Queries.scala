@@ -15978,7 +15978,287 @@ object Queries {
         |        AND t2.src = base.state), 0) AS v
         |  FROM base)
         |SELECT scenario, CAST(v AS BIGINT) AS conv_ppm FROM p6
-        |WHERE state = 'view' ORDER BY scenario""".stripMargin))
+        |WHERE state = 'view' ORDER BY scenario""".stripMargin)),
+
+    // ---- 322. price-volume-mix revenue bridge — the FP&A
+    //          decomposition q285 (mean mix-shift) doesn't give: between
+    //          the first and last order month, ΔRevenue per part brand
+    //          = price effect Δp·q₀ + volume effect p₀·Δq + joint
+    //          Δp·Δq, where p is the brand's mean unit price in µcents
+    //          (one integer floor per side, pinned) and q the unit
+    //          volume. The three effects bridge to the RECONSTRUCTED
+    //          revenue p̄·q, not the raw sum — the gap (price-mix
+    //          within the brand plus the µcent floors) is reported
+    //          honestly as resid_cents instead of silently absorbed.
+    //          Signed numerators ride ABS-then-divide (q209 device).
+    //          Months are bounded eager scalars
+    //          (q142 device, replayed as scalar subqueries); one
+    //          two-column-pruned scan collapses to (brand, month)
+    //          sufficient stats; everything after is the |brands| grid
+    //          pivot. ----
+    QDef("q322_pvm_bridge",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir)
+            .select($"p_partkey".as("l_partkey"), $"p_brand"),
+            Seq("l_partkey"))
+          .select($"p_brand",
+            date_format($"l_shipdate", "yyyy-MM").as("ym"),
+            $"l_quantity".cast("long").as("qty"),
+            round($"l_extendedprice" * 100).cast("long").as("cents"))
+        val mRow = li.agg(min($"ym"), max($"ym")).head
+        if (mRow.isNullAt(0)) {
+          li.select($"p_brand", lit(0L).as("rev_delta_cents"),
+            lit(0L).as("price_effect_cents"),
+            lit(0L).as("volume_effect_cents"),
+            lit(0L).as("joint_effect_cents"),
+            lit(0L).as("resid_cents")).limit(0)
+        } else {
+          val (m0, m1) = (mRow.getString(0), mRow.getString(1))
+          val g = li.filter($"ym" === m0 || $"ym" === m1)
+            .groupBy($"p_brand", $"ym")
+            .agg(sum($"qty").as("q"), sum($"cents").as("rev"))
+          val piv = g.groupBy($"p_brand").agg(
+              sum(when($"ym" === m0, $"q").otherwise(0L)).as("q0"),
+              sum(when($"ym" === m0, $"rev").otherwise(0L)).as("r0"),
+              sum(when($"ym" === m1, $"q").otherwise(0L)).as("q1"),
+              sum(when($"ym" === m1, $"rev").otherwise(0L)).as("r1"))
+            .filter($"q0" > 0 && $"q1" > 0)
+          // mean unit price in µcents: one pinned floor per side
+          piv.select($"p_brand",
+              ($"r1" - $"r0").as("rev_delta_cents"),
+              expr("cast(r0 as decimal(38,0)) * 1000000 div q0")
+                .as("p0u"),
+              expr("cast(r1 as decimal(38,0)) * 1000000 div q1")
+                .as("p1u"),
+              $"q0", $"q1")
+            // signed numerators: ABS-then-divide with an explicit sign
+            // (q209 device) so truncation never diverges from DuckDB's
+            // floor-div
+            .select($"p_brand", $"rev_delta_cents",
+              expr("cast(case when p1u >= p0u then" +
+                " (cast(p1u - p0u as decimal(38,0)) * q0) div 1000000" +
+                " else -((cast(p0u - p1u as decimal(38,0)) * q0)" +
+                "   div 1000000) end as bigint)")
+                .as("price_effect_cents"),
+              expr("cast(case when q1 >= q0 then" +
+                " (cast(p0u as decimal(38,0)) * (q1 - q0)) div 1000000" +
+                " else -((cast(p0u as decimal(38,0)) * (q0 - q1))" +
+                "   div 1000000) end as bigint)")
+                .as("volume_effect_cents"),
+              expr("cast(case when (p1u >= p0u) = (q1 >= q0) then" +
+                " (cast(abs(p1u - p0u) as decimal(38,0))" +
+                "   * abs(q1 - q0)) div 1000000" +
+                " else -((cast(abs(p1u - p0u) as decimal(38,0))" +
+                "   * abs(q1 - q0)) div 1000000) end as bigint)")
+                .as("joint_effect_cents"))
+            .withColumn("resid_cents", $"rev_delta_cents" -
+              ($"price_effect_cents" + $"volume_effect_cents" +
+                $"joint_effect_cents"))
+            .orderBy($"p_brand")
+        }
+      },
+      Some("""WITH li AS (SELECT p_brand,
+        |    strftime(l_shipdate, '%Y-%m') AS ym,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |mm AS (SELECT min(ym) AS m0, max(ym) AS m1 FROM li),
+        |g AS (SELECT p_brand, ym, CAST(sum(qty) AS BIGINT) AS q,
+        |    CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM li WHERE ym = (SELECT m0 FROM mm)
+        |    OR ym = (SELECT m1 FROM mm) GROUP BY 1, 2),
+        |p AS (SELECT p_brand,
+        |    CAST(sum(CASE WHEN ym = (SELECT m0 FROM mm) THEN q
+        |      ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN ym = (SELECT m0 FROM mm) THEN rev
+        |      ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN ym = (SELECT m1 FROM mm) THEN q
+        |      ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN ym = (SELECT m1 FROM mm) THEN rev
+        |      ELSE 0 END) AS BIGINT) AS r1
+        |  FROM g GROUP BY 1),
+        |u AS (SELECT p_brand, r1 - r0 AS rev_delta_cents,
+        |    (CAST(r0 AS HUGEINT) * 1000000) // q0 AS p0u,
+        |    (CAST(r1 AS HUGEINT) * 1000000) // q1 AS p1u, q0, q1
+        |  FROM p WHERE q0 > 0 AND q1 > 0),
+        |f AS (SELECT p_brand, rev_delta_cents,
+        |    CAST(CASE WHEN p1u >= p0u THEN
+        |      (CAST(p1u - p0u AS HUGEINT) * q0) // 1000000
+        |    ELSE -((CAST(p0u - p1u AS HUGEINT) * q0) // 1000000)
+        |      END AS BIGINT) AS price_effect_cents,
+        |    CAST(CASE WHEN q1 >= q0 THEN
+        |      (CAST(p0u AS HUGEINT) * (q1 - q0)) // 1000000
+        |    ELSE -((CAST(p0u AS HUGEINT) * (q0 - q1)) // 1000000)
+        |      END AS BIGINT) AS volume_effect_cents,
+        |    CAST(CASE WHEN (p1u >= p0u) = (q1 >= q0) THEN
+        |      (CAST(abs(p1u - p0u) AS HUGEINT) * abs(q1 - q0))
+        |        // 1000000
+        |    ELSE -((CAST(abs(p1u - p0u) AS HUGEINT) * abs(q1 - q0))
+        |        // 1000000) END AS BIGINT) AS joint_effect_cents
+        |  FROM u)
+        |SELECT p_brand, rev_delta_cents, price_effect_cents,
+        |  volume_effect_cents, joint_effect_cents,
+        |  rev_delta_cents - (price_effect_cents + volume_effect_cents
+        |    + joint_effect_cents) AS resid_cents
+        |FROM f ORDER BY p_brand""".stripMargin)),
+
+    // ---- 323. duplicate-transaction candidates — the finance-audit
+    //          ER variant (q293 reconciles header vs lines; q109/q188
+    //          match NAMES; this flags same-user same-amount
+    //          near-in-time purchase PAIRS, the double-billing
+    //          signal): exact blocking on (user, whole-dollar amount)
+    //          — the pair generator is a self-equi-join on the block
+    //          key, fan bounded by block size — then a ≤ 24 h
+    //          proximity filter and a per-dollar-decade roll-up.
+    //          Pinned pair order (id₁ < id₂) emits each pair
+    //          once. (Orders were the first candidate — their
+    //          synthetic totalprice never collides per customer, 0
+    //          pairs at every SF; the purchase stream carries the
+    //          signal.) ----
+    QDef("q323_duplicate_transactions",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .select($"user_id",
+            floor($"value").cast("long").as("dollars"),
+            round($"value" * 100).cast("long").as("cents"),
+            $"event_id", $"ts_us")
+        val pairs = o.as("a").join(o.as("b"),
+            $"a.user_id" === $"b.user_id" &&
+            $"a.dollars" === $"b.dollars" &&
+            $"a.event_id" < $"b.event_id")
+          .filter(abs($"a.ts_us" - $"b.ts_us") <= 86400000000L)
+          .select($"a.user_id".as("u"), $"a.dollars".as("dollars"),
+            $"a.cents".as("cents"),
+            expr("(a.dollars div 10) * 10").as("decade"))
+        pairs.groupBy($"decade").agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct($"u").as("n_users"),
+            sum($"cents").as("exposure_cents"))
+          .orderBy($"decade")
+      },
+      Some("""WITH o AS (SELECT user_id,
+        |    CAST(floor(value) AS BIGINT) AS dollars,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_id, epoch_us(ts) AS tu
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT a.user_id AS u, a.dollars, a.cents,
+        |    (a.dollars // 10) * 10 AS decade
+        |  FROM o a JOIN o b ON a.user_id = b.user_id
+        |    AND a.dollars = b.dollars AND a.event_id < b.event_id
+        |  WHERE abs(a.tu - b.tu) <= 86400000000)
+        |SELECT decade, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS exposure_cents
+        |FROM p GROUP BY 1 ORDER BY decade""".stripMargin)),
+
+    // ---- 324. funnel-window sensitivity curve — the q312 pattern
+    //          applied to q205's windowFunnel: completed view→click→
+    //          purchase chains at window 15 min / 1 h / 6 h, all three
+    //          from ONE per-user sort. The q205 recurrence (latest
+    //          preceding view; running max of anchored-click views —
+    //          anchors are monotone, so a running MAX replaces the
+    //          per-user loop) runs once per window as three column
+    //          sets over the same two window passes — one scan, one
+    //          sort, never three. Verdict: per window, users at level
+    //          ≥1/≥2/=3. ----
+    QDef("q324_funnel_window_curve",
+      (s, dir) => {
+        import s.implicits._
+        val wU = Window.partitionBy($"user_id")
+          .orderBy($"ts_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val windows = Seq(("w15m", 900000000L), ("w1h", 3600000000L),
+          ("w6h", 21600000000L))
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+          .withColumn("lastv", max(when($"event_type" === "view",
+            $"ts_us")).over(wU))
+        val anchored = windows.foldLeft(e) { case (df, (nm, w)) =>
+          df.withColumn(s"anch_$nm",
+            max(when($"event_type" === "click" &&
+              $"lastv".isNotNull && $"ts_us" <= $"lastv" + w,
+              $"lastv")).over(wU))
+        }
+        val lv = windows.foldLeft(anchored) { case (df, (nm, w)) =>
+          df.withColumn(s"p_$nm",
+            ($"event_type" === "purchase" &&
+              col(s"anch_$nm").isNotNull &&
+              $"ts_us" <= col(s"anch_$nm") + w).cast("long"))
+        }
+        val aggCols =
+          Seq(max($"lastv".isNotNull.cast("long")).as("l1")) ++
+          windows.map { case (nm, _) =>
+            max(col(s"anch_$nm").isNotNull.cast("long"))
+              .as(s"l2_$nm") } ++
+          windows.map { case (nm, _) =>
+            max(col(s"p_$nm")).as(s"l3_$nm") }
+        val perUser = lv.groupBy($"user_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+        perUser.select(expr("stack(3," +
+            " '1_w15m', l1, l2_w15m, l3_w15m," +
+            " '2_w1h',  l1, l2_w1h,  l3_w1h," +
+            " '3_w6h',  l1, l2_w6h,  l3_w6h)")
+            .as(Seq("win", "l1", "l2", "l3")))
+          .groupBy($"win").agg(
+            sum($"l1").as("users_level1"),
+            sum($"l2").as("users_level2"),
+            sum($"l3").as("users_level3"))
+          .orderBy($"win")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    event_type FROM events),
+        |v AS (SELECT user_id, tu, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN tu END)
+        |      OVER w AS lastv
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING)),
+        |a AS (SELECT user_id, tu, event_id, event_type, lastv,
+        |    max(CASE WHEN event_type = 'click' AND lastv IS NOT NULL
+        |      AND tu <= lastv + 900000000 THEN lastv END) OVER w
+        |      AS anch_w15m,
+        |    max(CASE WHEN event_type = 'click' AND lastv IS NOT NULL
+        |      AND tu <= lastv + 3600000000 THEN lastv END) OVER w
+        |      AS anch_w1h,
+        |    max(CASE WHEN event_type = 'click' AND lastv IS NOT NULL
+        |      AND tu <= lastv + 21600000000 THEN lastv END) OVER w
+        |      AS anch_w6h
+        |  FROM v WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING)),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN lastv IS NOT NULL THEN 1 ELSE 0 END) AS l1,
+        |    max(CASE WHEN anch_w15m IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS l2_w15m,
+        |    max(CASE WHEN anch_w1h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS l2_w1h,
+        |    max(CASE WHEN anch_w6h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS l2_w6h,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND anch_w15m IS NOT NULL
+        |      AND tu <= anch_w15m + 900000000 THEN 1 ELSE 0 END)
+        |      AS l3_w15m,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND anch_w1h IS NOT NULL
+        |      AND tu <= anch_w1h + 3600000000 THEN 1 ELSE 0 END)
+        |      AS l3_w1h,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND anch_w6h IS NOT NULL
+        |      AND tu <= anch_w6h + 21600000000 THEN 1 ELSE 0 END)
+        |      AS l3_w6h
+        |  FROM a GROUP BY 1)
+        |SELECT wname AS win, CAST(sum(l1) AS BIGINT)
+        |    AS users_level1,
+        |  CAST(sum(l2) AS BIGINT) AS users_level2,
+        |  CAST(sum(l3) AS BIGINT) AS users_level3
+        |FROM (SELECT '1_w15m' AS wname, l1, l2_w15m AS l2,
+        |      l3_w15m AS l3 FROM u
+        |  UNION ALL SELECT '2_w1h', l1, l2_w1h, l3_w1h FROM u
+        |  UNION ALL SELECT '3_w6h', l1, l2_w6h, l3_w6h FROM u)
+        |GROUP BY 1 ORDER BY wname""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

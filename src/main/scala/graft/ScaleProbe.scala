@@ -574,7 +574,8 @@ object ScaleProbe {
     // coverage audit meets in production (fact grows, dim doesn't).
     // dims stay 1× (the fact-grows-dims-don't production shape): straight
     // copies so dim-joining queries resolve against the replica dir.
-    Seq("supplier", "nation", "region").foreach { t =>
+    // part joined in since q322 (brand roll-ups meet the 10× fact fan).
+    Seq("supplier", "nation", "region", "part").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
@@ -779,7 +780,14 @@ object ScaleProbe {
       // custkey under the replica's shifted custkeys — key-equi);
       // q321's lead + bigram collapse ride disjoint user keys, and the
       // six absorption rounds run on the constant |types|² grid.
-      "q320_share_of_parent", "q321_markov_attribution")
+      "q320_share_of_parent", "q321_markov_attribution",
+      // q322 collapses to (brand, month) sufficient stats riding the
+      // part join (brands are a 1× dim under the replica); q323's
+      // blocks ride disjoint user keys — fan bounded by per-key block
+      // size; q324 is q205's two window passes per disjoint user,
+      // with the three windows as columns.
+      "q322_pvm_bridge", "q323_duplicate_transactions",
+      "q324_funnel_window_curve")
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
