@@ -41,6 +41,19 @@ object Bench {
     // driver run ate a 20x spike on one query); 3 reps by default so a
     // single stalled pass can't own the headline, and the per-rep times
     // ship in the JSON ("reps_sec") so a noisy rep is visible post-hoc.
+    // System load context (1/5/15-min loadavg) stamped at start and end of
+    // the run: driver-window benches on this VM are often heavily contended
+    // (round 7: 10-17x tails on a dozen queries vs the quiet exclusive run),
+    // and the record should carry its own load evidence rather than need a
+    // manual calibration note against a separate quiet rerun.
+    def loadavg(): String =
+      try {
+        val s = scala.io.Source.fromFile("/proc/loadavg")
+        try "[" + s.mkString.trim.split("\\s+").take(3).mkString(",") + "]"
+        finally s.close()
+      } catch { case _: Throwable => "[]" }
+    val loadStart = loadavg()
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Optional comma-separated substring filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
@@ -63,7 +76,8 @@ object Bench {
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps}"""
+    val loadEnd = loadavg()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     println(line)
     // Also land the record in a file: the driver's stdout tail-capture has
     // truncated the one-line JSON two rounds running (BENCH_r03/r04

@@ -9897,16 +9897,16 @@ object Queries {
         |    AS n_kept,
         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_removed,
-        |  CASE WHEN sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) > 0
+        |  CAST(CASE WHEN sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) > 0
         |    THEN (sum(CASE WHEN doc_id = keep_id THEN tk ELSE 0 END)
         |      * 1000000)
         |      // sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
-        |    END AS mean_tok_kept_u,
-        |  CASE WHEN sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) > 0
+        |    END AS BIGINT) AS mean_tok_kept_u,
+        |  CAST(CASE WHEN sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) > 0
         |    THEN (sum(CASE WHEN doc_id <> keep_id THEN tk ELSE 0 END)
         |      * 1000000)
         |      // sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
-        |    END AS mean_tok_removed_u
+        |    END AS BIGINT) AS mean_tok_removed_u
         |FROM d0 JOIN k ON d0.ck = k.ck
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
@@ -11425,7 +11425,7 @@ object Queries {
         |c AS (SELECT pid, bytes,
         |    sum(bytes) OVER (ORDER BY bytes DESC, pid
         |      ROWS UNBOUNDED PRECEDING) AS cum FROM p),
-        |b AS (SELECT pid, bytes, (cum - bytes) // 8192 AS bin FROM c)
+        |b AS (SELECT pid, bytes, CAST((cum - bytes) // 8192 AS BIGINT) AS bin FROM c)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(bytes) AS BIGINT) AS bytes,
         |  min(pid) AS first_pid,
@@ -15868,49 +15868,68 @@ object Queries {
           .groupBy($"event_type".as("src"), $"nxt".as("dst"))
           .agg(count(lit(1)).as("c"))
         val wSrc = Window.partitionBy($"src")
+        // The DISTRIBUTED work is the bigram collapse above; the
+        // transition matrix itself is |types|² ≤ 25 rows at ANY corpus
+        // size. localCheckpoint pins it as a local relation, so the
+        // 4-scenario × 5-round join DAG below plans over 25 rows and
+        // NEVER re-plans the event scan (the lazy version re-planned
+        // it per round: 8.4 s at sf0.1). Engine and oracle now execute
+        // the SAME declarative recurrence — P_k(s) = T[s, purchase] +
+        // ⌊Σ_t T[s,t]·P_{k−1}(t) / 1e6⌋, 'purchase' absorbing, states
+        // = surviving transient sources — and share its missing-row
+        // semantics: a scenario whose removal strips every 'view'
+        // out-edge emits NO row (it has no 'view' state), exactly the
+        // oracle's WHERE state = 'view' over the p6 CTE.
         val t = bi.withColumn("tot", sum($"c").over(wSrc))
           .select($"src", $"dst",
             expr("(c * 1000000) div tot").as("p_ppm"))
-        // The DISTRIBUTED work is the bigram collapse above; the
-        // transition matrix itself is |types|² ≤ 25 rows at ANY corpus
-        // size, so it comes back as bounded bookkeeping (the Knn
-        // centroid / q272 grid convention — a 4-scenario × 5-round
-        // lazy join DAG over it re-planned the scan per round and
-        // measured 8.4 s at sf0.1 before this restructure). Six
-        // absorption rounds per scenario in exact Long arithmetic:
-        // P_k(s) = T[s, purchase] + ⌊Σ_t T[s,t]·P_{k−1}(t) / 1e6⌋;
-        // 'purchase' is absorbing — out of the state space, its reward
-        // is the direct-edge base term; transient states with no
-        // direct purchase edge stay in the universe with base 0. The
-        // oracle replays the identical recurrence in its p1..p6 CTEs.
-        val tm = t.collect().map(r =>
-          (r.getString(0), r.getString(1), r.getLong(2)))
-        def conv6(drop: Option[String]): Long = {
-          val edges = tm.filter { case (a, b, _) =>
-            !drop.contains(a) && !drop.contains(b) }
-          val states = edges.map(_._1).filter(_ != "purchase").distinct
-          val b = states.map { st =>
-            st -> edges.collectFirst {
-              case (`st`, "purchase", p) => p }.getOrElse(0L)
-          }.toMap
-          val t2 = edges.filter { case (a, c, _) =>
-            a != "purchase" && c != "purchase" }
-          var p = b
-          (1 to 5).foreach { _ =>
-            p = states.map { st =>
-              val prop = t2.collect { case (`st`, dstSt, w)
-                if p.contains(dstSt) => w * p(dstSt) }.sum / 1000000L
-              st -> (b(st) + prop)
-            }.toMap
+          .coalesce(1).localCheckpoint()
+        val removals = Seq("no_click" -> "click", "no_error" -> "error",
+          "no_signup" -> "signup")
+        val sc = removals.foldLeft(
+            t.withColumn("scenario", lit("baseline"))) {
+          case (acc, (nm, ch)) => acc.unionByName(
+            t.filter($"src" =!= ch && $"dst" =!= ch)
+              .withColumn("scenario", lit(nm)))
+        }.select($"scenario", $"src", $"dst", $"p_ppm")
+        // The absorption recurrence runs EXECUTOR-SIDE per scenario group
+        // (flatMapGroups — the sanctioned imperative escape hatch, like the
+        // bounded-heap kNN kernels): one tiny shuffle on scenario, then the
+        // exact Long recurrence inside the task. A fully-declarative
+        // join-per-round unrolling was tried first and measured 2.5 s at
+        // sf0.1 — ALL of it fixed broadcast/stage overhead for a ≤25-row
+        // computation (the collapse alone is 0.35 s). Missing-row semantics
+        // match the oracle exactly: a scenario whose removal strips every
+        // 'view' out-edge has no 'view' state and emits NO row (the
+        // oracle's WHERE state = 'view' over p6).
+        sc.as[(String, String, String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (scenario: String,
+              it: Iterator[(String, String, String, Long)]) =>
+            val edges = it.map(e => (e._2, e._3, e._4)).toArray
+            val states = edges.iterator.map(_._1)
+              .filter(_ != "purchase").toArray.distinct
+            if (!states.contains("view")) Iterator.empty
+            else {
+              val b = states.map { st =>
+                st -> edges.collectFirst {
+                  case (`st`, "purchase", p) => p }.getOrElse(0L)
+              }.toMap
+              val t2 = edges.filter(e =>
+                e._1 != "purchase" && e._2 != "purchase")
+              var p = b
+              (1 to 5).foreach { _ =>
+                p = states.map { st =>
+                  val prop = t2.collect { case (`st`, dstSt, w)
+                    if p.contains(dstSt) => w * p(dstSt) }.sum / 1000000L
+                  st -> (b(st) + prop)
+                }.toMap
+              }
+              Iterator((scenario, p("view")))
+            }
           }
-          p.getOrElse("view", 0L)
-        }
-        val rows = Seq(
-          ("baseline", conv6(None)),
-          ("no_click", conv6(Some("click"))),
-          ("no_error", conv6(Some("error"))),
-          ("no_signup", conv6(Some("signup"))))
-        rows.toDF("scenario", "conv_ppm").orderBy($"scenario")
+          .toDF("scenario", "conv_ppm")
+          .orderBy($"scenario")
       },
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
         |    event_type FROM events),

@@ -164,6 +164,28 @@ class BoundaryAuditSpec extends AnyFunSuite {
 
   private val MinClear = 1e-12
 
+  test("transcendental oracle set is pinned to exactly the five audited queries") {
+    // The q180-q324 families were designed rational-by-construction (integer
+    // ppm/µunit arithmetic; Benford/NDCG-style constants pre-computed in
+    // Scala and printed into both engines as literals), so the set of
+    // queries whose ORACLE SQL executes a transcendental inside the
+    // hash-compared plan must stay exactly the five this suite audits. A
+    // failure here means a new query snuck a ln/log/exp past the audit —
+    // either restructure it to integer arithmetic or add a boundary mirror
+    // above and extend this pin. sqrt is NOT in the pattern: IEEE-754
+    // requires it correctly rounded, so both engines' libms agree bit-for-
+    // bit (q111 relies on exactly this and is exempt by design).
+    val pat = "(?i)\\b(ln|log|log2|log10|exp|pow|power)\\s*\\(".r
+    val offenders = Queries.all.iterator.flatMap { q =>
+      q.oracle.filter(sql => pat.findFirstIn(sql).isDefined).map(_ => q.name)
+    }.toSet
+    val pinned = Set("q77_bm25", "q96_hybrid_rrf", "q97_lm_perplexity",
+      "q141_psi_drift", "q148_entropy")
+    assert(offenders === pinned,
+      s"unexpected transcendental oracle(s): ${(offenders -- pinned).toSeq.sorted
+        .mkString(", ")}; missing: ${(pinned -- offenders).toSeq.sorted.mkString(", ")}")
+  }
+
   for (dir <- sfs) {
     val sf = dir.split("/").last
 

@@ -17,6 +17,23 @@ class QuerySanitySpec extends AnyFunSuite {
     }
   }
 
+  test("every query's output schema uses only hash-stable types") {
+    // Mirror of the DuckDB-side type gate in tools/oracle_check.py: the
+    // driver's hash compare reads typed values, so an output column outside
+    // this set (DecimalType from an unparenthesized sum-product, structs,
+    // arrays, FloatType) would hash-differ even when values match. Decimal
+    // math belongs INSIDE a query; outputs must land on these types.
+    import org.apache.spark.sql.types._
+    val ok: Set[DataType] = Set(StringType, LongType, IntegerType, DoubleType,
+      BooleanType, DateType, TimestampType)
+    Queries.all.foreach { q =>
+      val bad = q.fn(spark, dir).schema.fields.filterNot(f => ok(f.dataType))
+      assert(bad.isEmpty,
+        s"${q.name}: non-hash-stable output col(s) " +
+          bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+
   test("approx_count_distinct within tolerance of exact (q26)") {
     // q26 outputs (l_returnflag, exact_parts, approx_ok): the HLL estimate
     // itself is engine-specific, so the checkable surface is the boolean.

@@ -17,20 +17,20 @@ class DebounceStreamSpec extends AnyFunSuite {
   private val S = 500L // stride µs, small for readable fixtures
 
   /** The sequential recurrence (also what q316's HOF fold replays). */
-  private def reference(rows: Seq[DebounceStream.Ev])
+  private def reference(rows: Seq[DebounceStream.Ev], stride: Long = S)
       : Map[(Long, String), (Long, Long)] =
     rows.groupBy(e => (e.userId, e.eventType)).map { case (k, evs) =>
       var lastKept = Long.MinValue; var kept = 0L
       evs.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
-        if (lastKept == Long.MinValue || e.tsUs - lastKept >= S) {
+        if (lastKept == Long.MinValue || e.tsUs - lastKept >= stride) {
           lastKept = e.tsUs; kept += 1
         }
       }
       k -> (kept, evs.size.toLong)
     }
 
-  private def driveBatches(rows: Seq[DebounceStream.Ev], nBatches: Int)
-      : Map[(Long, String), (Long, Long)] = {
+  private def driveBatches(rows: Seq[DebounceStream.Ev], nBatches: Int,
+      stride: Long = S): Map[(Long, String), (Long, Long)] = {
     val root = Files.createTempDirectory(s"debounce_$nBatches").toString
     val src = s"$root/src"; new java.io.File(src).mkdirs()
     val last = new java.util.concurrent.ConcurrentHashMap[
@@ -40,7 +40,7 @@ class DebounceStreamSpec extends AnyFunSuite {
         .schema(Seq(DebounceStream.Ev(0L, "x", 0L, 0L)).toDS().schema)
         .parquet(src)
         .as[DebounceStream.Ev]
-      val q = DebounceStream.updates(evs, S).writeStream
+      val q = DebounceStream.updates(evs, stride).writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch {
@@ -98,11 +98,18 @@ class DebounceStreamSpec extends AnyFunSuite {
 
   test("empty stride window keeps everything; huge stride keeps one per key") {
     val rows = fixture(44, 60)
-    val all = rows.groupBy(e => (e.userId, e.eventType))
-      .map { case (k, v) => k -> (v.size.toLong, v.size.toLong) }
-    // stride 0: every event kept
-    val root = reference(rows) // sanity against S only
-    assert(root.forall { case (k, (kept, total)) =>
-      kept >= 1L && kept <= total && total == all(k)._2 })
+    val totals = rows.groupBy(e => (e.userId, e.eventType))
+      .map { case (k, v) => k -> v.size.toLong }
+    val huge = Long.MaxValue / 2
+    // stride 0: every event kept — reference AND the streamed fold
+    val zeroRef = reference(rows, 0L)
+    assert(zeroRef.forall { case (k, (kept, total)) =>
+      kept == total && total == totals(k) })
+    assert(driveBatches(rows, 3, 0L) === zeroRef)
+    // huge stride: exactly one survivor per key — both engines again
+    val hugeRef = reference(rows, huge)
+    assert(hugeRef.forall { case (k, (kept, total)) =>
+      kept == 1L && total == totals(k) })
+    assert(driveBatches(rows, 3, huge) === hugeRef)
   }
 }

@@ -75,6 +75,24 @@ def decimal_cols(cols, rows):
             if any(isinstance(r[i], decimal.Decimal) for r in rows)]
 
 
+# The driver's hash compare reads TYPED values, so the oracle's output column
+# TYPES must be hash-stable, not just its fetched Python values: HUGEINT
+# (DuckDB's sum(BIGINT) result type) fetches as a plain Python `int` and sails
+# through the value-class check while failing the driver's typed hash — this is
+# exactly how q230/q255 shipped red in round 7. Gate on `rel.types` up front.
+HASH_STABLE_TYPES = {"VARCHAR", "BIGINT", "INTEGER", "DOUBLE", "BOOLEAN",
+                     "DATE", "TIMESTAMP"}
+
+
+def bad_type_cols(con, sql):
+    """Columns of the oracle's OUTPUT whose declared DuckDB type is outside the
+    hash-stable set (HUGEINT, DECIMAL, FLOAT, structs, ...). Checked via the
+    relation type API — no rows fetched, so it catches empty-result queries too."""
+    rel = con.sql(sql)
+    return [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if str(t).split("(")[0] not in HASH_STABLE_TYPES]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -89,6 +107,7 @@ def main():
             n_fail += 1
             continue
         try:
+            btc = bad_type_cols(con, sql)
             s_cols, s_rows = canon(*read_spark(files))
             d_cols, d_rows = canon(*run_oracle(con, sql))
         except Exception as e:
@@ -97,6 +116,10 @@ def main():
             continue
         ok = True
         msgs = []
+        if btc:
+            ok = False
+            msgs.append(
+                f"oracle output type(s) not hash-stable: {btc} — CAST to BIGINT/VARCHAR/DOUBLE")
         for side, cols, rows in (("spark", s_cols, s_rows), ("duck", d_cols, d_rows)):
             dc = decimal_cols(cols, rows)
             if dc:
