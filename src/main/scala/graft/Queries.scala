@@ -16277,7 +16277,467 @@ object Queries {
         |      l3_w15m AS l3 FROM u
         |  UNION ALL SELECT '2_w1h', l1, l2_w1h, l3_w1h FROM u
         |  UNION ALL SELECT '3_w6h', l1, l2_w6h, l3_w6h FROM u)
-        |GROUP BY 1 ORDER BY wname""".stripMargin))
+        |GROUP BY 1 ORDER BY wname""".stripMargin)),
+
+    // ---- 325. user-contribution capping curve — the user-level clipping
+    //          audit a privacy-aware (DP-style) or dedup-by-author pipeline
+    //          runs before fixing a cap: for each candidate cap, how many
+    //          users get clipped and what fraction of rows survives
+    //          Σ min(cnt, cap). Shape: the fact table collapses ONCE to
+    //          per-user counts (one key shuffle, map-side combinable);
+    //          the 6-cap spine is then an explode over that |users|-row
+    //          aggregate — never a re-scan per cap, never a join (the
+    //          q324 curve discipline: spine fans the COLLAPSED side). ----
+    QDef("q325_contribution_cap",
+      (s, dir) => {
+        import s.implicits._
+        val pu = Tables.events(s, dir)
+          .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        pu.withColumn("cap", explode(lit(Array(1L, 2L, 4L, 8L, 16L, 32L))))
+          .groupBy($"cap")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when($"cnt" > $"cap", 1L).otherwise(0L)).as("n_clipped"),
+            sum(least($"cnt", $"cap")).as("rows_kept"),
+            sum($"cnt").as("rows_total"))
+          .select($"cap", $"n_users", $"n_clipped", $"rows_kept",
+            expr("(rows_kept * 1000000) div rows_total").as("kept_ppm"))
+          .orderBy($"cap")
+      },
+      Some("""WITH pu AS (SELECT user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT cnt, unnest([1, 2, 4, 8, 16, 32]) AS cap FROM pu)
+        |SELECT CAST(cap AS BIGINT) AS cap,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN cnt > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(sum(least(cnt, cap)) AS BIGINT) AS rows_kept,
+        |  CAST((sum(least(cnt, cap)) * 1000000) // sum(cnt) AS BIGINT)
+        |    AS kept_ppm
+        |FROM x GROUP BY cap ORDER BY cap""".stripMargin)),
+
+    // ---- 326. cross-source shingle-leakage matrix — which corpus sources
+    //          share verbatim 8-token spans (the train/eval-contamination
+    //          and license-laundering audit, source-granular where q70 is
+    //          doc-granular). The pair generator is the source×source
+    //          matrix, NOT doc pairs: distinct (source, shingle-hash)
+    //          first (combinable distinct on a 60-bit key), then a
+    //          shingle-equi self-join whose per-key fan is bounded by
+    //          |sources| — at ANY corpus size the join output is ≤
+    //          |shingles|·C(|sources|,2) with |sources| a small dim.
+    //          Containment denominator = the smaller source's distinct-
+    //          shingle count (broadcast |sources|-row agg). ----
+    QDef("q326_source_leak_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val par = s.sparkContext.defaultParallelism
+        val ss = Tables.documents(s, dir)
+          .repartition(par)
+          .select($"source", explode(graft.functions.HashExpressions
+            .hash60Array(TF.shingles($"text", 8))).as("h"))
+          .distinct()
+        val perSrc = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+        ss.as("a").join(ss.as("b"),
+            $"a.h" === $"b.h" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+          .agg(count(lit(1)).as("shared_shingles"))
+          .join(broadcast(perSrc.select($"source".as("s1"), $"n".as("n1"))),
+            "s1")
+          .join(broadcast(perSrc.select($"source".as("s2"), $"n".as("n2"))),
+            "s2")
+          .select($"s1", $"s2", $"shared_shingles",
+            expr("(shared_shingles * 1000000) div least(n1, n2)")
+              .as("containment_ppm"))
+          .orderBy($"s1", $"s2")
+      },
+      Some("""WITH tok AS (SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT source, CASE WHEN len(toks) >= 8
+        |    THEN list_distinct([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks)-6)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |ss AS (SELECT DISTINCT source, shingle FROM
+        |  (SELECT source, unnest(s) AS shingle FROM sh)),
+        |n AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        |p AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS shared_shingles
+        |  FROM ss a JOIN ss b
+        |    ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, shared_shingles,
+        |  CAST((shared_shingles * 1000000) // least(n1.n, n2.n) AS BIGINT)
+        |    AS containment_ppm
+        |FROM p JOIN n n1 ON n1.source = p.s1
+        |  JOIN n n2 ON n2.source = p.s2
+        |ORDER BY s1, s2""".stripMargin)),
+
+    // ---- 327. dedup-threshold operating curve — the "what does each
+    //          Jaccard cutoff actually cost" sweep run before fixing a
+    //          near-dup threshold: pairs, docs removed (keep-lowest-id
+    //          star rule: a doc is removed iff it pairs with ANY lower
+    //          id), and tokens removed, at 7 cutoffs. The expensive pair
+    //          generation (q32's bucketed exact-Jaccard machinery) runs
+    //          ONCE at the loosest cutoff and is pinned by localCheckpoint;
+    //          the threshold spine is an explode over the PAIR set (tiny
+    //          relative to the corpus), so the curve costs one pair pass
+    //          + |pairs|·7 rows of aggregation — the q231 b×r-curve
+    //          discipline transposed to exact Jaccard. ----
+    QDef("q327_dedup_threshold_curve",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = MinHashLSH.exactNearDuplicates(docs, idCol = "doc_id",
+            textCol = "text", w = 3, threshold = 0.3, maxDf = 256)
+          .localCheckpoint()
+        val pj = pairs
+          .withColumn("pct",
+            explode(lit(Array(30L, 40L, 50L, 60L, 70L, 80L, 90L))))
+          .filter($"jaccard" >= $"pct" / lit(100.0))
+        val np = pj.groupBy($"pct")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"doc_b").as("n_removed"))
+        val tk = docs.select($"doc_id".as("doc_b"),
+          TF.tokenCount($"text").cast("long").as("tk"))
+        val tr = pj.select($"pct", $"doc_b").distinct()
+          .join(tk, "doc_b")
+          .groupBy($"pct").agg(sum($"tk").as("tokens_removed"))
+        np.join(tr, Seq("pct"))
+          .select($"pct", $"n_pairs", $"n_removed", $"tokens_removed")
+          .orderBy($"pct")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |    round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+        |  FROM pr JOIN sz sa ON sa.doc_id = doc_a
+        |    JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.3),
+        |th AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS pct),
+        |pj AS (SELECT pct, doc_a, doc_b FROM j, th
+        |  WHERE jac >= pct / 100.0),
+        |tk AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+        |  FROM documents),
+        |ag AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(DISTINCT doc_b) AS BIGINT) AS n_removed
+        |  FROM pj GROUP BY 1),
+        |rd AS (SELECT DISTINCT pct, doc_b FROM pj),
+        |tr AS (SELECT rd.pct, CAST(sum(tk.tk) AS BIGINT) AS tokens_removed
+        |  FROM rd JOIN tk ON tk.doc_id = rd.doc_b GROUP BY 1)
+        |SELECT CAST(ag.pct AS BIGINT) AS pct, n_pairs, n_removed,
+        |  tokens_removed
+        |FROM ag JOIN tr ON ag.pct = tr.pct ORDER BY pct""".stripMargin)),
+
+    // ---- 328. consistent-ring resize move matrix — what q213's ring
+    //          actually buys: adding a 9th shard to the 8-shard ring must
+    //          move only the keys whose arc the new shard's vnodes claim
+    //          (≈ 1/9, spread across donors), where a mod-N router would
+    //          move 8/9 of everything. Both assignments ride ONE key
+    //          scan: the two rings (16 vnodes each — 128/144 rows of
+    //          bounded CONFIG, computed driver-side like q213) broadcast
+    //          as one routing table tagged by ring id; per key, argmin
+    //          successor per ring via min(struct(pt, shard)) — null-
+    //          skipping min over a conditional struct, no second shuffle,
+    //          no doc_id self-join. Output = the 8×9 (from, to) matrix. ----
+    QDef("q328_ring_resize",
+      (s, dir) => {
+        import s.implicits._
+        def mkRouting(nShards: Int, rid: Long): Seq[(Long, Long, Long, Long)] = {
+          val ringDf = s.range(0, nShards).toDF("sh")
+            .crossJoin(broadcast(s.range(0, 16).toDF("vn")))
+            .select($"sh", TF.hash60(concat(lit("ring:s"), $"sh",
+              lit(":v"), $"vn")).as("pt"))
+          val ring = ringDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sortBy(_._2) // ≤144 rows: bounded config, not data
+          val W = 1L << 52
+          val minPt = ring.head
+          (0 until 256).flatMap { b =>
+            val inBucket = ring.filter(p => p._2 >> 52 == b)
+              .map(p => (rid, b.toLong, p._2, p._1))
+            val succ = ring.find(_._2 > (b + 1) * W - 1)
+              .map(p => (rid, b.toLong, p._2, p._1))
+              .getOrElse((rid, b.toLong, minPt._2 + (1L << 60), minPt._1))
+            inBucket :+ succ
+          }
+        }
+        val routing = (mkRouting(8, 8L) ++ mkRouting(9, 9L))
+          .toDF("rid", "bucket", "pt", "sh")
+        Tables.documents(s, dir)
+          .select($"doc_id", TF.hash60(concat(lit("key:"),
+            $"doc_id".cast("string"))).as("kh"))
+          .withColumn("bucket", expr("kh div 4503599627370496"))
+          .join(broadcast(routing), "bucket")
+          .filter($"pt" > $"kh")
+          .groupBy($"doc_id")
+          .agg(min(when($"rid" === 8L, struct($"pt", $"sh"))).as("a8"),
+            min(when($"rid" === 9L, struct($"pt", $"sh"))).as("a9"))
+          .groupBy($"a8.sh".as("from_shard"), $"a9.sh".as("to_shard"))
+          .agg(count(lit(1)).as("n_keys"))
+          .select($"from_shard", $"to_shard", $"n_keys",
+            when($"from_shard" =!= $"to_shard", 1L).otherwise(0L)
+              .as("moved"))
+          .orderBy($"from_shard", $"to_shard")
+      },
+      Some("""WITH ring8 AS (SELECT s.sh,
+        |    ('0x' || substring(md5('ring:s' || CAST(s.sh AS VARCHAR)
+        |      || ':v' || CAST(v.vn AS VARCHAR)), 1, 15))::BIGINT AS pt
+        |  FROM generate_series(0, 7) AS s(sh),
+        |       generate_series(0, 15) AS v(vn)),
+        |ring9 AS (SELECT s.sh,
+        |    ('0x' || substring(md5('ring:s' || CAST(s.sh AS VARCHAR)
+        |      || ':v' || CAST(v.vn AS VARCHAR)), 1, 15))::BIGINT AS pt
+        |  FROM generate_series(0, 8) AS s(sh),
+        |       generate_series(0, 15) AS v(vn)),
+        |w8 AS (SELECT arg_min(sh, pt) AS wsh FROM ring8),
+        |w9 AS (SELECT arg_min(sh, pt) AS wsh FROM ring9),
+        |k AS (SELECT doc_id,
+        |    ('0x' || substring(md5('key:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS kh FROM documents),
+        |c8 AS (SELECT k.doc_id, arg_min(r.sh, r.pt) AS csh
+        |       FROM k JOIN ring8 r ON r.pt > k.kh GROUP BY 1),
+        |c9 AS (SELECT k.doc_id, arg_min(r.sh, r.pt) AS csh
+        |       FROM k JOIN ring9 r ON r.pt > k.kh GROUP BY 1),
+        |a8 AS (SELECT k.doc_id, COALESCE(c.csh, w.wsh) AS from_shard
+        |       FROM k LEFT JOIN c8 c ON k.doc_id = c.doc_id, w8 w),
+        |a9 AS (SELECT k.doc_id, COALESCE(c.csh, w.wsh) AS to_shard
+        |       FROM k LEFT JOIN c9 c ON k.doc_id = c.doc_id, w9 w)
+        |SELECT from_shard, to_shard, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(CASE WHEN from_shard <> to_shard THEN 1 ELSE 0 END
+        |    AS BIGINT) AS moved
+        |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- 329. absorbing-chain expected steps — q321's sibling question:
+    //          not "will this journey convert" but "how many events away
+    //          is the purchase", as the 6-round-truncated expectation
+    //          E_k(s) = ⌊Σ_t P[s,t]·(1e6 + E_{k-1}(t))⌋/1e6 in exact
+    //          µstep integers ('purchase' absorbs at 0; dst states with
+    //          no outgoing mass absorb at 0 too — the pinned truncation
+    //          contract). Distributed work = the q321 bigram collapse
+    //          (one user-key window + one combinable agg); the recurrence
+    //          runs executor-side over the localCheckpointed |types|²
+    //          matrix (≤ 25 rows at ANY corpus size) in a single
+    //          flatMapGroups kernel, and the oracle replays it as six
+    //          unrolled CTEs — exact Long arithmetic on both engines. ----
+    QDef("q329_expected_steps",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val bi = Tables.events(s, dir)
+          .select($"user_id", $"ts_us", $"event_id", $"event_type")
+          .withColumn("nxt", lead($"event_type", 1).over(w))
+          .filter($"nxt".isNotNull)
+          .groupBy($"event_type".as("src"), $"nxt".as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy($"src")
+        val t = bi.withColumn("tot", sum($"c").over(wSrc))
+          .select($"src", $"dst",
+            expr("(c * 1000000) div tot").as("p_ppm"))
+          .coalesce(1).localCheckpoint()
+        t.as[(String, String, Long)]
+          .groupByKey(_ => 0)
+          .flatMapGroups { (_: Int, it: Iterator[(String, String, Long)]) =>
+            val edges = it.toArray
+            val states = edges.iterator.map(_._1)
+              .filter(_ != "purchase").toArray.distinct
+            var r = states.map(_ -> 0L).toMap
+            (1 to 6).foreach { _ =>
+              r = states.map { st =>
+                val acc = edges.collect { case (`st`, dst, p) =>
+                  p * (1000000L + r.getOrElse(dst, 0L)) }.sum / 1000000L
+                st -> acc
+              }.toMap
+            }
+            states.sorted.iterator.map(st => (st, r(st)))
+          }
+          .toDF("state", "esteps_u")
+          .orderBy($"state")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    event_type FROM events),
+        |b AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id) AS dst
+        |  FROM e),
+        |bi AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+        |  FROM b WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, dst,
+        |    CAST((c * 1000000) // (CAST(sum(c) OVER (PARTITION BY src)
+        |      AS BIGINT)) AS BIGINT) AS p_ppm
+        |  FROM bi),
+        |states AS (SELECT DISTINCT src AS state FROM t
+        |  WHERE src <> 'purchase'),
+        |r0 AS (SELECT state, CAST(0 AS BIGINT) AS mu FROM states),
+        |r1 AS (SELECT s.state, CAST(COALESCE((SELECT
+        |      sum(t.p_ppm * (1000000 + COALESCE(r.mu, 0)))
+        |    FROM t LEFT JOIN r0 r ON r.state = t.dst
+        |    WHERE t.src = s.state), 0) // 1000000 AS BIGINT) AS mu
+        |  FROM states s),
+        |r2 AS (SELECT s.state, CAST(COALESCE((SELECT
+        |      sum(t.p_ppm * (1000000 + COALESCE(r.mu, 0)))
+        |    FROM t LEFT JOIN r1 r ON r.state = t.dst
+        |    WHERE t.src = s.state), 0) // 1000000 AS BIGINT) AS mu
+        |  FROM states s),
+        |r3 AS (SELECT s.state, CAST(COALESCE((SELECT
+        |      sum(t.p_ppm * (1000000 + COALESCE(r.mu, 0)))
+        |    FROM t LEFT JOIN r2 r ON r.state = t.dst
+        |    WHERE t.src = s.state), 0) // 1000000 AS BIGINT) AS mu
+        |  FROM states s),
+        |r4 AS (SELECT s.state, CAST(COALESCE((SELECT
+        |      sum(t.p_ppm * (1000000 + COALESCE(r.mu, 0)))
+        |    FROM t LEFT JOIN r3 r ON r.state = t.dst
+        |    WHERE t.src = s.state), 0) // 1000000 AS BIGINT) AS mu
+        |  FROM states s),
+        |r5 AS (SELECT s.state, CAST(COALESCE((SELECT
+        |      sum(t.p_ppm * (1000000 + COALESCE(r.mu, 0)))
+        |    FROM t LEFT JOIN r4 r ON r.state = t.dst
+        |    WHERE t.src = s.state), 0) // 1000000 AS BIGINT) AS mu
+        |  FROM states s),
+        |r6 AS (SELECT s.state, CAST(COALESCE((SELECT
+        |      sum(t.p_ppm * (1000000 + COALESCE(r.mu, 0)))
+        |    FROM t LEFT JOIN r5 r ON r.state = t.dst
+        |    WHERE t.src = s.state), 0) // 1000000 AS BIGINT) AS mu
+        |  FROM states s)
+        |SELECT state, mu AS esteps_u FROM r6 ORDER BY state""".stripMargin)),
+
+    // ---- 330. duplicate-cluster size distribution — the "is the corpus
+    //          one mega-cluster or a long tail of pairs" audit run before
+    //          committing to a dedup strategy (mega-clusters make the
+    //          keep-one rule cheap; a pair tail makes near-dup pairing
+    //          the cost). Cluster = q36's normalized fingerprint (sorted
+    //          distinct tokens); sizes collapse by fingerprint (one
+    //          combinable agg), then a bounded CASE ladder buckets the
+    //          |clusters|-row aggregate — integer-only (no log2: a CASE
+    //          ladder replays exactly; a transcendental wouldn't). ----
+    QDef("q330_dup_cluster_size",
+      (s, dir) => {
+        import s.implicits._
+        val cl = Tables.documents(s, dir)
+          .select(md5(array_join(array_sort(array_distinct(
+            TF.tokens($"text"))), " ")).as("fp"),
+            TF.tokenCount($"text").cast("long").as("tk"))
+          .groupBy($"fp")
+          .agg(count(lit(1)).as("sz"), sum($"tk").as("tokens"))
+        cl.groupBy(when($"sz" === 1, "1: unique")
+            .when($"sz" === 2, "2: pair")
+            .when($"sz" <= 4, "3: 3-4")
+            .when($"sz" <= 8, "4: 5-8")
+            .when($"sz" <= 16, "5: 9-16")
+            .otherwise("6: 17+").as("bucket"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum($"sz").as("n_docs"),
+            sum($"tokens").as("tokens"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+        |      AS fp,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+        |  FROM documents),
+        |cl AS (SELECT fp, count(*) AS sz, sum(tk) AS tokens
+        |  FROM f GROUP BY 1),
+        |b AS (SELECT CASE WHEN sz = 1 THEN '1: unique'
+        |    WHEN sz = 2 THEN '2: pair'
+        |    WHEN sz <= 4 THEN '3: 3-4'
+        |    WHEN sz <= 8 THEN '4: 5-8'
+        |    WHEN sz <= 16 THEN '5: 9-16'
+        |    ELSE '6: 17+' END AS bucket, sz, tokens FROM cl)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- 331. decontamination n-gram-length sensitivity — how many
+    //          held-out docs (doc_id % 20 = 0) would be flagged as
+    //          contaminated at shingle widths 3 / 5 / 8: the operating
+    //          curve behind q70's fixed-width check (too-short shingles
+    //          over-flag boilerplate; too-long ones miss paraphrase
+    //          overlap — WMDP/GPT-3-style decontamination reports exactly
+    //          this sweep). Three corpus passes BY DESIGN (shingle sets
+    //          differ per width; the curve is the deliverable — same
+    //          contract as q324's three funnel windows); each pass is the
+    //          q70 shape: distinct train-shingle hashes (combinable),
+    //          left join from test shingles (per-key fan ≤ 1 — the train
+    //          side is distinct), per-doc max, one global agg. ----
+    QDef("q331_decontam_curve",
+      (s, dir) => {
+        import s.implicits._
+        val par = s.sparkContext.defaultParallelism
+        val docs = Tables.documents(s, dir).repartition(par)
+        def flaggedAt(n: Int): DataFrame = {
+          val sh = docs.select($"doc_id",
+            explode(graft.functions.HashExpressions
+              .hash60Array(TF.shingles($"text", n))).as("h"))
+          val train = sh.filter($"doc_id" % 20 =!= 0).select($"h")
+            .distinct().withColumn("hit", lit(1L))
+          sh.filter($"doc_id" % 20 === 0)
+            .join(train, Seq("h"), "left")
+            .groupBy($"doc_id")
+            .agg(max(coalesce($"hit", lit(0L))).as("f"))
+            .agg(count(lit(1)).as("n_test"), sum($"f").as("n_flagged"))
+            .select(lit(n.toLong).as("n"), $"n_test", $"n_flagged")
+        }
+        Seq(3, 5, 8).map(flaggedAt).reduce(_ unionByName _)
+          .select($"n", $"n_test", $"n_flagged",
+            expr("(n_flagged * 1000000) div n_test").as("flagged_ppm"))
+          .orderBy($"n")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh3 AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e3 AS (SELECT doc_id, unnest(s) AS shingle FROM sh3),
+        |f3 AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(f) AS BIGINT) AS n_flagged FROM (
+        |  SELECT t.doc_id, max(CASE WHEN tr.shingle IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS f
+        |  FROM e3 t LEFT JOIN (SELECT DISTINCT shingle FROM e3
+        |      WHERE doc_id % 20 <> 0) tr ON tr.shingle = t.shingle
+        |  WHERE t.doc_id % 20 = 0 GROUP BY 1)),
+        |sh5 AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+        |    THEN list_distinct([array_to_string(toks[i:i+4], ' ')
+        |      for i in range(1, len(toks)-3)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e5 AS (SELECT doc_id, unnest(s) AS shingle FROM sh5),
+        |f5 AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(f) AS BIGINT) AS n_flagged FROM (
+        |  SELECT t.doc_id, max(CASE WHEN tr.shingle IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS f
+        |  FROM e5 t LEFT JOIN (SELECT DISTINCT shingle FROM e5
+        |      WHERE doc_id % 20 <> 0) tr ON tr.shingle = t.shingle
+        |  WHERE t.doc_id % 20 = 0 GROUP BY 1)),
+        |sh8 AS (SELECT doc_id, CASE WHEN len(toks) >= 8
+        |    THEN list_distinct([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks)-6)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e8 AS (SELECT doc_id, unnest(s) AS shingle FROM sh8),
+        |f8 AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(f) AS BIGINT) AS n_flagged FROM (
+        |  SELECT t.doc_id, max(CASE WHEN tr.shingle IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS f
+        |  FROM e8 t LEFT JOIN (SELECT DISTINCT shingle FROM e8
+        |      WHERE doc_id % 20 <> 0) tr ON tr.shingle = t.shingle
+        |  WHERE t.doc_id % 20 = 0 GROUP BY 1)),
+        |u AS (SELECT CAST(3 AS BIGINT) AS n, n_test, n_flagged FROM f3
+        |  UNION ALL SELECT 5, n_test, n_flagged FROM f5
+        |  UNION ALL SELECT 8, n_test, n_flagged FROM f8)
+        |SELECT n, n_test, n_flagged,
+        |  CAST((n_flagged * 1000000) // n_test AS BIGINT) AS flagged_ppm
+        |FROM u ORDER BY n""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -787,7 +787,27 @@ object ScaleProbe {
       // size; q324 is q205's two window passes per disjoint user,
       // with the three windows as columns.
       "q322_pvm_bridge", "q323_duplicate_transactions",
-      "q324_funnel_window_curve")
+      "q324_funnel_window_curve",
+      // round-8 batch. q325/q329 ride disjoint user keys (per-user
+      // counts / bigram collapse; cap spine and |types|² recurrence run
+      // on collapsed grids); q326's shared replica text keeps the
+      // (source, shingle) grid constant — growth measures the shingle
+      // hash + distinct collapse; q328 pushes 10× disjoint doc keys
+      // through the same ≤144-row broadcast routing; q330's clusters
+      // deepen 10× (shared text), measuring the fingerprint collapse;
+      // q331's split is replica-invariant (the 1e7 id shift is ≡ 0
+      // mod 20), so the flag grid is constant under 10× shingle rows.
+      "q325_contribution_cap", "q326_source_leak_matrix",
+      "q328_ring_resize", "q329_expected_steps", "q330_dup_cluster_size",
+      "q331_decontam_curve")
+    // q327_dedup_threshold_curve is excluded for the q219/q176 reason:
+    // the replica turns every doc into 10 exact copies with distinct ids,
+    // so the UNcollapsed pair generator (deliberately q32's shape, to
+    // share its oracle) gains C(10,2) jaccard-1.0 pairs per original doc
+    // — an R² exact-dup artifact a production pipeline removes with the
+    // collapse-first pass (Dedup.collapseByContent) before near-dup
+    // pairing. Its scale witness is the pair-machinery probe (dup probe /
+    // PlanSpec) plus the explode-over-pairs spine being trivially linear.
     // q219_fifo_matching is excluded for the q176 reason transposed to
     // partkey: the replica leaves l_partkey unshifted, so each part's lot
     // history DEEPENS 10× and the per-part ins×outs overlap join would
