@@ -16737,7 +16737,120 @@ object Queries {
         |  UNION ALL SELECT 8, n_test, n_flagged FROM f8)
         |SELECT n, n_test, n_flagged,
         |  CAST((n_flagged * 1000000) // n_test AS BIGINT) AS flagged_ppm
-        |FROM u ORDER BY n""".stripMargin))
+        |FROM u ORDER BY n""".stripMargin)),
+
+    // ---- 332. NN-descent refinement round — the graph-build primitive
+    //          behind NN-descent/HNSW-style ANN indexes (Dong et al.
+    //          2011), distributed: seed each vector's top-5 from a CHEAP
+    //          deterministic blocking (sorted-neighborhood over (label,
+    //          vec_id) rank, ±12 — the q163 device, linear by
+    //          construction), then one refinement round: candidates =
+    //          neighbors-of-neighbors ∪ seeds, re-rank by exact cosine.
+    //          Every stage has CONSTANT per-vertex fan (≤24 seed
+    //          candidates, ≤5·5+5 refinement candidates), so the whole
+    //          build is linear in |V| with two bounded-fan rank windows
+    //          — the property that makes NN-descent the scale path where
+    //          brute top-k (q35/q49) is the audit path. Verdict metric =
+    //          worst-of-top-5 cosine per vector in exact µcos (round-6
+    //          cosine × 1e6 through DECIMAL — integer sums thereafter;
+    //          sign-split floor div, the q322 convention), plus the
+    //          fraction of vectors the round improved. ----
+    QDef("q332_nn_descent",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select($"vec_id", $"label", VF.toDouble($"embedding").as("v"))
+        val w = Window.partitionBy($"label").orderBy($"vec_id")
+        val rk = v.withColumn("r", row_number().over(w))
+        val off = rk
+          .withColumn("d", explode(lit(
+            ((-12 to -1) ++ (1 to 12)).map(_.toLong).toArray)))
+          .select($"label", ($"r" + $"d").as("rn"),
+            $"vec_id".as("qa"), $"v".as("va"))
+        val c0 = off.join(rk.select($"label", $"r".as("rn"),
+            $"vec_id".as("cb"), $"v".as("vb")), Seq("label", "rn"))
+          .select($"qa", $"cb", round(graft.functions.HashExpressions
+            .cosineSim($"va", $"vb"), 6).as("cos"))
+        val wq = Window.partitionBy($"qa").orderBy($"cos".desc, $"cb")
+        val n0 = c0.withColumn("rn", row_number().over(wq))
+          .filter($"rn" <= 5).select($"qa", $"cb", $"cos")
+          .localCheckpoint()
+        val nn = n0.select($"qa", $"cb".as("mid"))
+          .join(n0.select($"qa".as("mid"), $"cb".as("cc")), "mid")
+          .filter($"qa" =!= $"cc")
+          .select($"qa", $"cc".as("cb"))
+          .unionByName(n0.select($"qa", $"cb"))
+          .distinct()
+        val vv = v.select($"vec_id", $"v")
+        val c1 = nn
+          .join(vv.select($"vec_id".as("qa"), $"v".as("va")), "qa")
+          .join(vv.select($"vec_id".as("cb"), $"v".as("vb")), "cb")
+          .select($"qa", $"cb", round(graft.functions.HashExpressions
+            .cosineSim($"va", $"vb"), 6).as("cos"))
+        val n1 = c1.withColumn("rn", row_number().over(wq))
+          .filter($"rn" <= 5).select($"qa", $"cb", $"cos")
+        def worstU(n: DataFrame, out: String): DataFrame = n
+          .groupBy($"qa")
+          .agg((min($"cos").cast(DecimalType(18, 6)) * 1000000)
+            .cast("long").as(out))
+        worstU(n0, "k0u").join(worstU(n1, "k1u"), "qa")
+          .join(v.select($"vec_id".as("qa"), $"label"), "qa")
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum($"k0u").as("s0"), sum($"k1u").as("s1"),
+            sum(when($"k1u" > $"k0u", 1L).otherwise(0L)).as("imp"))
+          .select($"label", $"n_vecs",
+            expr("CASE WHEN s0 >= 0 THEN s0 div n_vecs " +
+              "ELSE -((-s0) div n_vecs) END").as("seed_worst_ucos"),
+            expr("CASE WHEN s1 >= 0 THEN s1 div n_vecs " +
+              "ELSE -((-s1) div n_vecs) END").as("round1_worst_ucos"),
+            expr("(imp * 1000000) div n_vecs").as("improved_ppm"))
+          .orderBy($"label")
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |rk AS (SELECT vec_id, label, v,
+        |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+        |  FROM v),
+        |off AS (SELECT rk.label, rk.r + d.d AS rn, rk.vec_id AS qa,
+        |    rk.v AS va
+        |  FROM rk, (SELECT unnest([-12,-11,-10,-9,-8,-7,-6,-5,-4,-3,-2,
+        |    -1,1,2,3,4,5,6,7,8,9,10,11,12]) AS d) d),
+        |c0 AS (SELECT o.qa, b.vec_id AS cb,
+        |    round(list_cosine_similarity(o.va, b.v), 6) AS cos
+        |  FROM off o JOIN rk b ON b.label = o.label AND b.r = o.rn),
+        |n0 AS (SELECT qa, cb, cos FROM (SELECT c0.*, row_number() OVER
+        |    (PARTITION BY qa ORDER BY cos DESC, cb) AS rn FROM c0)
+        |  WHERE rn <= 5),
+        |nn AS (SELECT DISTINCT qa, cb FROM (
+        |  SELECT a.qa AS qa, b.cb AS cb FROM n0 a JOIN n0 b
+        |    ON b.qa = a.cb WHERE a.qa <> b.cb
+        |  UNION ALL SELECT qa, cb FROM n0)),
+        |c1 AS (SELECT nn.qa, nn.cb,
+        |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |  FROM nn JOIN v x ON x.vec_id = nn.qa
+        |    JOIN v y ON y.vec_id = nn.cb),
+        |n1 AS (SELECT qa, cb, cos FROM (SELECT c1.*, row_number() OVER
+        |    (PARTITION BY qa ORDER BY cos DESC, cb) AS rn FROM c1)
+        |  WHERE rn <= 5),
+        |k0 AS (SELECT qa, CAST(CAST(min(cos) AS DECIMAL(18,6)) * 1000000
+        |    AS BIGINT) AS k0u FROM n0 GROUP BY 1),
+        |k1 AS (SELECT qa, CAST(CAST(min(cos) AS DECIMAL(18,6)) * 1000000
+        |    AS BIGINT) AS k1u FROM n1 GROUP BY 1),
+        |g AS (SELECT v.label, k0.k0u, k1.k1u FROM k0
+        |  JOIN k1 USING (qa) JOIN v ON v.vec_id = k0.qa)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(CASE WHEN sum(k0u) >= 0 THEN sum(k0u) // count(*)
+        |    ELSE -((-sum(k0u)) // count(*)) END AS BIGINT)
+        |    AS seed_worst_ucos,
+        |  CAST(CASE WHEN sum(k1u) >= 0 THEN sum(k1u) // count(*)
+        |    ELSE -((-sum(k1u)) // count(*)) END AS BIGINT)
+        |    AS round1_worst_ucos,
+        |  CAST((sum(CASE WHEN k1u > k0u THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS improved_ppm
+        |FROM g GROUP BY label ORDER BY label""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -799,7 +799,14 @@ object ScaleProbe {
       // mod 20), so the flag grid is constant under 10× shingle rows.
       "q325_contribution_cap", "q326_source_leak_matrix",
       "q328_ring_resize", "q329_expected_steps", "q330_dup_cluster_size",
-      "q331_decontam_curve")
+      "q331_decontam_curve",
+      // q332: embeddings replicate with shifted vec_id and identical
+      // vectors — each label's rank order interleaves 10 contiguous
+      // replica bands, the ±12 seed window stays within-band except at
+      // band edges, and the neighbors-of-neighbors fan is constant per
+      // vertex; growth measures the two bounded-fan rank windows + the
+      // linear cosine passes over 10× rows.
+      "q332_nn_descent")
     // q327_dedup_threshold_curve is excluded for the q219/q176 reason:
     // the replica turns every doc into 10 exact copies with distinct ids,
     // so the UNcollapsed pair generator (deliberately q32's shape, to
