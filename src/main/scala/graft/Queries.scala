@@ -16850,7 +16850,147 @@ object Queries {
         |    AS round1_worst_ucos,
         |  CAST((sum(CASE WHEN k1u > k0u THEN 1 ELSE 0 END) * 1000000)
         |    // count(*) AS BIGINT) AS improved_ppm
-        |FROM g GROUP BY label ORDER BY label""".stripMargin))
+        |FROM g GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- 333. quality-filter threshold curve — the retention sweep run
+    //          before fixing a quality cutoff (the q37 score): docs and
+    //          TOKENS surviving each candidate threshold (token retention
+    //          is the number that matters for a training budget; doc
+    //          retention alone hides that filters preferentially kill
+    //          long/short docs). One corpus pass computes the per-doc
+    //          score; the 5-threshold spine explodes those |docs| scored
+    //          rows — the q325/q327 curve discipline. Null-quality docs
+    //          (no tokens) fail every threshold on both engines (NULL ≥ t
+    //          is not true in either). ----
+    QDef("q333_quality_filter_curve",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.documents(s, dir)
+          .select(TF.tokens($"text").as("toks"))
+          .select(size($"toks").cast("long").as("n_tok"),
+            TF.typeTokenRatioOf($"toks").as("ttr"))
+          .withColumn("quality", round($"ttr" *
+            least(lit(1.0), $"n_tok".cast("double") / 50.0), 6))
+        q.withColumn("pct", explode(lit(Array(10L, 30L, 50L, 70L, 90L))))
+          .groupBy($"pct")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"quality" >= $"pct" / lit(100.0), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum($"n_tok").as("tokens_total"),
+            sum(when($"quality" >= $"pct" / lit(100.0), $"n_tok")
+              .otherwise(0L)).as("tokens_kept"))
+          .select($"pct", $"n_docs", $"n_kept", $"tokens_total",
+            $"tokens_kept",
+            expr("(n_kept * 1000000) div n_docs").as("kept_doc_ppm"),
+            expr("CASE WHEN tokens_total > 0 THEN (tokens_kept * 1000000)" +
+              " div tokens_total ELSE 0 END").as("kept_tok_ppm"))
+          .orderBy($"pct")
+      },
+      Some("""WITH d AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+        |    round(CASE WHEN len(toks) > 0
+        |      THEN round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END
+        |      * least(1.0, len(toks) * 1.0 / 50.0), 6) AS quality
+        |  FROM d),
+        |x AS (SELECT n_tok, quality, unnest([10, 30, 50, 70, 90]) AS pct
+        |  FROM q)
+        |SELECT CAST(pct AS BIGINT) AS pct,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN quality >= pct / 100.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN quality >= pct / 100.0 THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept,
+        |  CAST((sum(CASE WHEN quality >= pct / 100.0 THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS kept_doc_ppm,
+        |  CAST(CASE WHEN sum(n_tok) > 0 THEN
+        |    (sum(CASE WHEN quality >= pct / 100.0 THEN n_tok ELSE 0 END)
+        |      * 1000000) // sum(n_tok) ELSE 0 END AS BIGINT)
+        |    AS kept_tok_ppm
+        |FROM x GROUP BY pct ORDER BY pct""".stripMargin)),
+
+    // ---- 334. blocking-width operating curve — q212's scorecard swept
+    //          over the knob an ER practitioner actually turns: the
+    //          prefix-block width (2/4/8/12 chars) trading reduction
+    //          ratio against pair completeness. Same load-bearing shape:
+    //          candidate counts from block SIZES (Σ s(s−1)/2, combinable
+    //          — the pair space of a too-loose scheme must never be
+    //          materialized to learn it's too loose), only the small
+    //          edit-distance-1 truth set joins block keys; RR widens to
+    //          DECIMAL(38,0) before n·(n−1). The width spine is a 4-way
+    //          union of the |sample|-row keyed frame (the q212/q197
+    //          labeled-frame device — per-branch joins on a literal
+    //          label would constant-fold into nested loops). ----
+    QDef("q334_blocking_width_curve",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+          .select($"c_custkey".as("id"), $"c_name".as("nm"))
+        // the deletion-neighborhood ground truth is the query's cost
+        // center and is consumed twice (the n_true scalar + the found
+        // join) — pin it so the second consumer doesn't replay the
+        // neighborhood join (q212 pays the replay once; here the truth
+        // would otherwise build once per curve consumer)
+        val truth = graft.ops.FuzzyJoin.editDistance1Pairs(c, "id", "nm")
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+          .localCheckpoint()
+        val n = c.count()
+        val nTrue = truth.count()
+        val denom = ((BigInt(n) * (BigInt(n) - 1)) max BigInt(1)).toString
+        val nTrueSafe = math.max(nTrue, 1L)
+        val keyed = Seq(2, 4, 8, 12).map { wd =>
+          c.select($"id", substring($"nm", 1, wd).as("bk"),
+            lit(wd.toLong).as("w"))
+        }.reduce(_ unionByName _)
+        val cand = keyed.groupBy($"w", $"bk")
+          .agg(count(lit(1)).cast(d38).as("bs"))
+          .groupBy($"w").agg(sum($"bs" * ($"bs" - 1)).as("c2"))
+        val ka = keyed.select($"w", $"id".as("a"), $"bk".as("bka"))
+        val kb = keyed.select($"w", $"id".as("b"), $"bk".as("bkb"))
+        val found = truth.join(ka, "a").join(kb, Seq("b", "w"))
+          .filter($"bka" === $"bkb")
+          .groupBy($"w").agg(count(lit(1)).as("n_found"))
+        cand.join(found, Seq("w"), "left")
+          .select($"w",
+            expr("cast(c2 div 2 as bigint)").as("n_cand"),
+            lit(nTrue).as("n_true"),
+            coalesce($"n_found", lit(0L)).as("n_found"),
+            (lit(1000000L) - expr(
+              s"(c2 * 1000000) div cast('$denom' as decimal(38,0))"))
+              .as("rr_ppm"),
+            expr(s"(coalesce(n_found, 0) * 1000000) div $nTrueSafe")
+              .as("pc_ppm"))
+          .orderBy($"w")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |  WHERE c_custkey % 10 < 2),
+        |tp AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+        |      ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 1),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             (SELECT count(*) FROM tp) AS n_true FROM c),
+        |k AS (SELECT id, w.w, substring(nm, 1, w.w) AS bk
+        |  FROM c, (SELECT unnest([2, 4, 8, 12]) AS w) w),
+        |cd AS (SELECT w, CAST(sum(s * (s - 1) // 2) AS HUGEINT) AS n_cand
+        |       FROM (SELECT w, bk, CAST(count(*) AS HUGEINT) AS s FROM k
+        |             GROUP BY w, bk) GROUP BY w),
+        |fd AS (SELECT a.w, CAST(count(*) AS BIGINT) AS n_found FROM tp
+        |       JOIN k a ON tp.a = a.id JOIN k b ON tp.b = b.id
+        |         AND b.w = a.w
+        |       WHERE a.bk = b.bk GROUP BY 1)
+        |SELECT CAST(cd.w AS BIGINT) AS w,
+        |  CAST(cd.n_cand AS BIGINT) AS n_cand,
+        |  CAST(n.n_true AS BIGINT) AS n_true,
+        |  COALESCE(fd.n_found, 0) AS n_found,
+        |  CAST(1000000 - (cd.n_cand * 1000000)
+        |    // (n.n * (n.n - 1) // 2) AS BIGINT) AS rr_ppm,
+        |  CAST((COALESCE(fd.n_found, 0) * 1000000) // n.n_true AS BIGINT)
+        |    AS pc_ppm
+        |FROM cd LEFT JOIN fd ON fd.w = cd.w, n ORDER BY w""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -806,7 +806,17 @@ object ScaleProbe {
       // band edges, and the neighbors-of-neighbors fan is constant per
       // vertex; growth measures the two bounded-fan rank windows + the
       // linear cosine passes over 10× rows.
-      "q332_nn_descent")
+      "q332_nn_descent",
+      // q333: shared replica text keeps the score distribution constant;
+      // growth is the tokenize+score pass + the spine over 10× scored
+      // rows. q334: replica customer names share PREFIXES (the replica
+      // suffix is at the END), so prefix blocks legitimately densify 10×
+      // — candidate counts stay combinable Σs(s−1)/2 from block sizes
+      // (never materialized), truth pairs stay within-replica (names ≥ 2
+      // edits apart across replicas), and the found join is linear in
+      // the 10× truth set: the probe measures exactly the degradation a
+      // prefix scheme suffers on a 10× denser universe.
+      "q333_quality_filter_curve", "q334_blocking_width_curve")
     // q327_dedup_threshold_curve is excluded for the q219/q176 reason:
     // the replica turns every doc into 10 exact copies with distinct ids,
     // so the UNcollapsed pair generator (deliberately q32's shape, to
