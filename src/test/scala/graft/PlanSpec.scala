@@ -85,6 +85,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q325 cap curve scans events ONCE (spine explodes the collapsed aggregate)") {
+    // the 6-cap sweep must ride the per-user collapse, not re-scan the
+    // fact table per cap — the explode spine sits ABOVE the first agg
+    val p = plan("q325_contribution_cap")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 events scan, got $scans:\n${p.take(3000)}")
+  }
+
+  test("q327 threshold curve's RETURNED plan scans documents once (pair machinery pinned)") {
+    // the expensive pair generation ran eagerly into the localCheckpoint;
+    // the curve plan must read that checkpoint plus ONE corpus scan for
+    // the token counts — a second documents scan means the pair subtree
+    // leaked back into the lazy plan
+    val p = plan("q327_dedup_threshold_curve")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 documents scan, got $scans")
+    assert(p.contains("ExistingRDD"), p.take(2000))
+  }
+
+  test("q328 ring resize is one scan + one broadcast routing join") {
+    val p = plan("q328_ring_resize")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 documents scan, got $scans")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q90 MAD output plan scans documents ONCE (medianAbsDev pre-computed, broadcast back)") {
     // The med/mad stats are computed eagerly inside Quantiles.medianAbsDev
     // (its own single persisted scan); the RETURNED plan must be one
