@@ -16990,7 +16990,163 @@ object Queries {
         |    // (n.n * (n.n - 1) // 2) AS BIGINT) AS rr_ppm,
         |  CAST((COALESCE(fd.n_found, 0) * 1000000) // n.n_true AS BIGINT)
         |    AS pc_ppm
-        |FROM cd LEFT JOIN fd ON fd.w = cd.w, n ORDER BY w""".stripMargin))
+        |FROM cd LEFT JOIN fd ON fd.w = cd.w, n ORDER BY w""".stripMargin)),
+
+    // ---- 335. dedup transitivity audit — is the near-dup CLOSURE
+    //          over-merging? Pairwise Jaccard ≥ t is not transitive, so
+    //          collapsing connected components (q57/q61, the standard
+    //          practice) can chain A~B~C into one group even when A and C
+    //          share nothing. This audit measures exactly that risk: per
+    //          component, nodes n vs observed pair edges m — a CLIQUE
+    //          (m = n(n−1)/2: every member really matches every other)
+    //          is a safe merge, anything less was chained through
+    //          intermediaries. Reported by component-size ladder (the
+    //          q330 bucket device). Component sizes are dedup-cluster
+    //          sized (bounded in practice), so n(n−1)/2 stays in Long;
+    //          edges-per-component is one pairs⋈comps equi-join +
+    //          combinable count. ----
+    QDef("q335_transitivity_audit",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = MinHashLSH.exactNearDuplicates(Tables.documents(s, dir),
+            idCol = "doc_id", textCol = "text", w = 3, threshold = 0.5,
+            maxDf = 256)
+          .localCheckpoint() // consumed by CC AND the edge count below
+        val comps = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+        val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("n"))
+        val edges = pairs
+          .join(comps.select($"v".as("doc_a"), $"comp"), "doc_a")
+          .groupBy($"comp").agg(count(lit(1)).as("m"))
+        sizes.join(edges, "comp")
+          .withColumn("clique", ($"m" * 2 === $"n" * ($"n" - 1)))
+          .groupBy(when($"n" === 2, "1: pairs")
+            .when($"n" <= 4, "2: 3-4")
+            .when($"n" <= 8, "3: 5-8")
+            .otherwise("4: 9+").as("bucket"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(when($"clique", 1L).otherwise(0L)).as("n_clique"),
+            sum(when($"clique", 0L).otherwise(1L)).as("n_chained"))
+          .select($"bucket", $"n_components", $"n_clique", $"n_chained",
+            expr("(n_chained * 1000000) div n_components")
+              .as("chained_ppm"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, len(toks)-1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s FROM tok),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cnt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT doc_a, doc_b FROM cnt
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+        |sym AS (SELECT doc_a AS sv, doc_b AS d FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |verts AS (SELECT DISTINCT sv AS v FROM sym),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT sym.sv, reach.m FROM sym JOIN reach ON sym.d = reach.v),
+        |comps AS (SELECT v, min(m) AS comp FROM reach GROUP BY v),
+        |szs AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+        |  FROM comps GROUP BY 1),
+        |ec AS (SELECT c.comp, CAST(count(*) AS BIGINT) AS m
+        |  FROM edges JOIN comps c ON c.v = edges.doc_a GROUP BY 1),
+        |g AS (SELECT CASE WHEN n = 2 THEN '1: pairs'
+        |    WHEN n <= 4 THEN '2: 3-4'
+        |    WHEN n <= 8 THEN '3: 5-8'
+        |    ELSE '4: 9+' END AS bucket,
+        |    CASE WHEN m = n * (n - 1) // 2 THEN 1 ELSE 0 END AS clique
+        |  FROM szs JOIN ec USING (comp))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(clique) AS BIGINT) AS n_clique,
+        |  CAST(sum(1 - clique) AS BIGINT) AS n_chained,
+        |  CAST((sum(1 - clique) * 1000000) // count(*) AS BIGINT)
+        |    AS chained_ppm
+        |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- 336. leakage-aware train/eval split — the splitting rule a
+    //          decontaminated benchmark actually needs: hash the DUP
+    //          CLUSTER (q36 fingerprint → min-id canonical), not the
+    //          document, so exact duplicates can never straddle the
+    //          split. Audited against the naive doc-hash split on the
+    //          same 80/20 hash rule: leaked pairs = Σ n_train·n_eval per
+    //          fingerprint (counted from GROUP SIZES — the q212 rule:
+    //          the pair space is never materialized), zero by
+    //          construction for the cluster-aware scheme. Both schemes
+    //          ride ONE labeled frame (the q212/q334 union device); the
+    //          cluster id is one fp-collapse + an fp-equi join back. ----
+    QDef("q336_leak_aware_split",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id",
+            md5(array_join(array_sort(array_distinct(TF.tokens($"text"))),
+              " ")).as("fp"),
+            TF.tokenCount($"text").cast("long").as("tk"))
+        val canon = d.groupBy($"fp").agg(min($"doc_id").as("cid"))
+        val dc = d.join(canon, "fp")
+        val keyed = dc.select($"fp", $"tk", lit("1: naive").as("scheme"),
+            (TF.hash60(concat(lit("split:"), $"doc_id".cast("string")))
+              % 10 < 8).as("is_train"))
+          .unionByName(dc.select($"fp", $"tk",
+            lit("2: cluster").as("scheme"),
+            (TF.hash60(concat(lit("split:"), $"cid".cast("string")))
+              % 10 < 8).as("is_train")))
+        val sizes = keyed.groupBy($"scheme")
+          .agg(sum(when($"is_train", 1L).otherwise(0L)).as("n_train"),
+            sum(when($"is_train", 0L).otherwise(1L)).as("n_eval"),
+            sum(when($"is_train", $"tk").otherwise(0L)).as("train_tokens"),
+            sum(when(!$"is_train", $"tk").otherwise(0L)).as("eval_tokens"))
+        val leak = keyed.groupBy($"scheme", $"fp")
+          .agg(sum(when($"is_train", 1L).otherwise(0L)).as("nt"),
+            sum(when($"is_train", 0L).otherwise(1L)).as("ne"))
+          .groupBy($"scheme").agg(sum($"nt" * $"ne").as("leaked_pairs"))
+        sizes.join(leak, "scheme")
+          .select($"scheme", $"n_train", $"n_eval", $"train_tokens",
+            $"eval_tokens", $"leaked_pairs")
+          .orderBy($"scheme")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+        |      AS fp,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS tk
+        |  FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS cid FROM d GROUP BY 1),
+        |dc AS (SELECT d.doc_id, d.fp, d.tk, canon.cid
+        |  FROM d JOIN canon ON canon.fp = d.fp),
+        |keyed AS (SELECT fp, tk, '1: naive' AS scheme,
+        |    ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10 < 8 AS is_train FROM dc
+        |  UNION ALL SELECT fp, tk, '2: cluster',
+        |    ('0x' || substring(md5('split:' || CAST(cid AS VARCHAR)),
+        |      1, 15))::BIGINT % 10 < 8 FROM dc),
+        |sizes AS (SELECT scheme,
+        |    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_eval,
+        |    CAST(sum(CASE WHEN is_train THEN tk ELSE 0 END) AS BIGINT)
+        |      AS train_tokens,
+        |    CAST(sum(CASE WHEN is_train THEN 0 ELSE tk END) AS BIGINT)
+        |      AS eval_tokens
+        |  FROM keyed GROUP BY 1),
+        |leak AS (SELECT scheme, CAST(sum(nt * ne) AS BIGINT)
+        |      AS leaked_pairs
+        |  FROM (SELECT scheme, fp,
+        |      sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS nt,
+        |      sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS ne
+        |    FROM keyed GROUP BY 1, 2) GROUP BY 1)
+        |SELECT sizes.scheme, n_train, n_eval, train_tokens, eval_tokens,
+        |  leaked_pairs
+        |FROM sizes JOIN leak ON leak.scheme = sizes.scheme
+        |ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -816,7 +816,16 @@ object ScaleProbe {
       // edits apart across replicas), and the found join is linear in
       // the 10× truth set: the probe measures exactly the degradation a
       // prefix scheme suffers on a 10× denser universe.
-      "q333_quality_filter_curve", "q334_blocking_width_curve")
+      "q333_quality_filter_curve", "q334_blocking_width_curve",
+      // q336: shared replica text deepens every fingerprint cluster 10×;
+      // the leak metric stays a combinable Σ nt·ne over (scheme, fp)
+      // group sizes, so growth measures the fp collapse + the labeled-
+      // frame union.
+      "q336_leak_aware_split")
+    // q335_transitivity_audit is excluded with q327 (below): both consume
+    // the deliberately-UNcollapsed q32-shape pair generator, which the
+    // shared-text replica turns into a C(10,2)-per-doc exact-dup R²
+    // artifact.
     // q327_dedup_threshold_curve is excluded for the q219/q176 reason:
     // the replica turns every doc into 10 exact copies with distinct ids,
     // so the UNcollapsed pair generator (deliberately q32's shape, to
