@@ -16330,11 +16330,16 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val par = s.sparkContext.defaultParallelism
+        // pin the distinct (source, shingle) grid: it feeds THREE
+        // consumers (both self-join sides + the per-source sizes) — left
+        // lazy, each one re-runs the tokenize+hash corpus scan (measured
+        // 4 documents scans in the plan; one is the honest cost)
         val ss = Tables.documents(s, dir)
           .repartition(par)
           .select($"source", explode(graft.functions.HashExpressions
             .hash60Array(TF.shingles($"text", 8))).as("h"))
           .distinct()
+          .localCheckpoint()
         val perSrc = ss.groupBy($"source").agg(count(lit(1)).as("n"))
         ss.as("a").join(ss.as("b"),
             $"a.h" === $"b.h" && $"a.source" < $"b.source")
@@ -16675,13 +16680,26 @@ object Queries {
         import s.implicits._
         val par = s.sparkContext.defaultParallelism
         val docs = Tables.documents(s, dir).repartition(par)
+        // ALL THREE widths' shingle hashes from ONE tokenize+hash corpus
+        // scan (tagged double-explode), pinned: each width consumes the
+        // incidence twice (train distinct + test join) — left lazy that
+        // was 6 corpus scans; the q128 incidence-checkpoint device.
+        // Measured trade at sf0.1 (same-load A/B, min-of-3): pinned 3.07 s
+        // vs lazy 2.52 s — the eager materialization costs ~20% locally,
+        // but 6 full-corpus tokenize passes is the wrong side of the trade
+        // the moment `documents` stops fitting in page cache.
+        val sh = docs.select($"doc_id", explode(array(
+            Seq(3, 5, 8).map(n => struct(lit(n.toLong).as("n"),
+              graft.functions.HashExpressions
+                .hash60Array(TF.shingles($"text", n)).as("hs"))): _*))
+            .as("x"))
+          .select($"doc_id", $"x.n".as("n"), explode($"x.hs").as("h"))
+          .localCheckpoint()
         def flaggedAt(n: Int): DataFrame = {
-          val sh = docs.select($"doc_id",
-            explode(graft.functions.HashExpressions
-              .hash60Array(TF.shingles($"text", n))).as("h"))
-          val train = sh.filter($"doc_id" % 20 =!= 0).select($"h")
+          val shn = sh.filter($"n" === n.toLong)
+          val train = shn.filter($"doc_id" % 20 =!= 0).select($"h")
             .distinct().withColumn("hit", lit(1L))
-          sh.filter($"doc_id" % 20 === 0)
+          shn.filter($"doc_id" % 20 === 0)
             .join(train, Seq("h"), "left")
             .groupBy($"doc_id")
             .agg(max(coalesce($"hit", lit(0L))).as("f"))
@@ -17083,11 +17101,16 @@ object Queries {
     QDef("q336_leak_aware_split",
       (s, dir) => {
         import s.implicits._
+        // pin the (doc, fingerprint, tokens) frame: the canon collapse,
+        // its join-back, and the two union branches each re-derived the
+        // tokenize+sort+md5 scan when left lazy (measured 8 documents
+        // scans in the plan; the fingerprint pass is the honest ONE)
         val d = Tables.documents(s, dir)
           .select($"doc_id",
             md5(array_join(array_sort(array_distinct(TF.tokens($"text"))),
               " ")).as("fp"),
             TF.tokenCount($"text").cast("long").as("tk"))
+          .localCheckpoint()
         val canon = d.groupBy($"fp").agg(min($"doc_id").as("cid"))
         val dc = d.join(canon, "fp")
         val keyed = dc.select($"fp", $"tk", lit("1: naive").as("scheme"),
