@@ -26,7 +26,7 @@ object DegenFixtures {
   val expectedEmptySeedFailures: Set[String] = Set(
     "q35_knn_cosine", "q48_ivf_knn", "q54_ivf_trained", "q66_cell_knn_join",
     "q96_hybrid_rrf", "q104_ivf_recall", "q116_textrank", "q177_pq_recall",
-    "q178_weighted_pagerank", "q180_hits")
+    "q178_weighted_pagerank", "q180_hits", "q341_knn_graph_connectivity")
 
   private def write(spark: SparkSession, dir: String, name: String,
                     schema: org.apache.spark.sql.types.StructType,

@@ -17169,7 +17169,443 @@ object Queries {
         |SELECT sizes.scheme, n_train, n_eval, train_tokens, eval_tokens,
         |  leaked_pairs
         |FROM sizes JOIN leak ON leak.scheme = sizes.scheme
-        |ORDER BY 1""".stripMargin))
+        |ORDER BY 1""".stripMargin)),
+
+    // ---- 337. packing-policy operating curve — the budget question
+    //          BEFORE q64 packs anything: across context lengths
+    //          (128/512/2048) and the two packing disciplines, how many
+    //          training sequences does the corpus yield and what fraction
+    //          of the compute is padding or truncation loss?
+    //          `1: pad_per_doc` = one sequence per document, padded to L,
+    //          truncated at L (the naive fine-tuning layout);
+    //          `2: split_pack` = q64's concatenate-and-split stream
+    //          (padding only in the final partial sequence, zero
+    //          truncation). Everything is ONE combinable aggregate over
+    //          the token-count frame fanned out by the literal L spine
+    //          (the q333 explode device — no join, no second scan); the
+    //          schemes then derive from the same 3-row aggregate via a
+    //          labeled union (q212 device). ppm quotients widen to
+    //          DECIMAL(38,0) before ·1e6 — docs·L is safe in Long to
+    //          ~4.5e15 docs but the ppm numerator is not (q164 lesson). ----
+    QDef("q337_packing_policy_curve",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.documents(s, dir)
+          .select(TF.tokenCount($"text").cast("long").as("ntok"))
+          .withColumn("seq_len", explode(lit(Array(128L, 512L, 2048L))))
+          .groupBy($"seq_len")
+          .agg(count(lit(1)).as("docs"),
+            coalesce(sum($"ntok"), lit(0L)).as("tot"),
+            coalesce(sum(least($"ntok", $"seq_len")), lit(0L)).as("kept"))
+        val pad = g.select(lit("1: pad_per_doc").as("scheme"), $"seq_len",
+          $"docs".as("n_seqs"),
+          ($"docs" * $"seq_len" - $"kept").as("pad_tokens"),
+          ($"tot" - $"kept").as("trunc_tokens"),
+          ($"docs" * $"seq_len").as("cap"), $"tot")
+        val split = g.select(lit("2: split_pack").as("scheme"), $"seq_len",
+          expr("(tot + seq_len - 1) div seq_len").as("n_seqs"),
+          (expr("(tot + seq_len - 1) div seq_len") * $"seq_len" - $"tot")
+            .as("pad_tokens"),
+          lit(0L).as("trunc_tokens"),
+          (expr("(tot + seq_len - 1) div seq_len") * $"seq_len").as("cap"),
+          $"tot")
+        pad.unionByName(split)
+          .select($"scheme", $"seq_len", $"n_seqs", $"pad_tokens",
+            $"trunc_tokens",
+            expr("cast((cast(pad_tokens as decimal(38,0)) * 1000000)" +
+              " div greatest(cap, 1) as bigint)").as("pad_ppm"),
+            expr("cast((cast(trunc_tokens as decimal(38,0)) * 1000000)" +
+              " div greatest(tot, 1) as bigint)").as("trunc_ppm"))
+          .orderBy($"scheme", $"seq_len")
+      },
+      Some("""WITH t AS (SELECT
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS ntok,
+        |    unnest([128, 512, 2048]) AS seq_len
+        |  FROM documents),
+        |g AS (SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        |    CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(coalesce(sum(ntok), 0) AS BIGINT) AS tot,
+        |    CAST(coalesce(sum(least(ntok, seq_len)), 0) AS BIGINT) AS kept
+        |  FROM t GROUP BY 1),
+        |u AS (SELECT '1: pad_per_doc' AS scheme, seq_len, docs AS n_seqs,
+        |    docs * seq_len - kept AS pad_tokens,
+        |    tot - kept AS trunc_tokens, docs * seq_len AS cap, tot FROM g
+        |  UNION ALL SELECT '2: split_pack', seq_len,
+        |    (tot + seq_len - 1) // seq_len,
+        |    ((tot + seq_len - 1) // seq_len) * seq_len - tot, 0,
+        |    ((tot + seq_len - 1) // seq_len) * seq_len, tot FROM g)
+        |SELECT scheme, seq_len, CAST(n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(pad_tokens AS BIGINT) AS pad_tokens,
+        |  CAST(trunc_tokens AS BIGINT) AS trunc_tokens,
+        |  CAST((CAST(pad_tokens AS HUGEINT) * 1000000)
+        |    // greatest(cap, 1) AS BIGINT) AS pad_ppm,
+        |  CAST((CAST(trunc_tokens AS HUGEINT) * 1000000)
+        |    // greatest(tot, 1) AS BIGINT) AS trunc_ppm
+        |FROM u ORDER BY scheme, seq_len""".stripMargin)),
+
+    // ---- 338. duplicated-span extent — the memorization-risk ladder
+    //          q75's span dedup does NOT report: q75 strips 8-token spans
+    //          seen in ≥2 docs; THIS measures how LONG the duplicated
+    //          stretches are before stripping. Per doc, the maximal run
+    //          of CONSECUTIVE duplicated positions over the positional
+    //          (non-distinct) 8-gram lattice — a run of r positions is a
+    //          verbatim shared passage of r+7 tokens, the quantity
+    //          memorization studies bucket by. Shape: shingle df is one
+    //          combinable hash agg on the 60-bit hash (never the string);
+    //          the join-back is ONE shuffle; runs are per-doc
+    //          gaps-and-islands windows (state bounded by doc length,
+    //          never corpus); the ladder is a 4-row output. ----
+    QDef("q338_dup_span_extent",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val t = TF.tokens($"text")
+        val pos = docs.select($"doc_id", posexplode(
+            when(size(t) >= 8, transform(sequence(lit(0), size(t) - 8),
+              i => TF.hash60(array_join(slice(t, i + 1, lit(8)), " "))))
+              .otherwise(array().cast("array<long>")))
+            .as(Seq("pos", "h")))
+          // duplicated lattice feeds the df agg AND the join-back — left
+          // lazy each consumer re-tokenizes the corpus (q331 lesson)
+          .localCheckpoint()
+        val dup = pos.groupBy($"h")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2).select($"h")
+        val runs = pos.join(dup, "h")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"pos")))
+          .groupBy($"doc_id", ($"pos" - $"rn").as("island"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy($"doc_id").agg(max($"run").as("mr"))
+        docs.select($"doc_id").join(runs, Seq("doc_id"), "left")
+          .select(coalesce($"mr", lit(0L)).as("max_run"))
+          .groupBy(when($"max_run" === 0, "0: none")
+            .when($"max_run" <= 3, "1: 1-3")
+            .when($"max_run" <= 15, "2: 4-15")
+            .otherwise("3: 16+").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"max_run").as("dup_positions"))
+          .select($"bucket", $"n_docs", $"dup_positions",
+            expr("(n_docs * 1000000)" +
+              " div greatest(sum(n_docs) over (), 1)").as("docs_ppm"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pos AS (SELECT doc_id, i AS pos,
+        |    ('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')),
+        |      1, 15))::BIGINT AS h
+        |  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM pos GROUP BY h) WHERE nd >= 2),
+        |fl AS (SELECT doc_id, pos, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM pos JOIN dup USING (h)),
+        |runs AS (SELECT doc_id, max(run) AS mr FROM (
+        |    SELECT doc_id, count(*) AS run FROM fl
+        |    GROUP BY doc_id, pos - rn) GROUP BY doc_id),
+        |m AS (SELECT coalesce(r.mr, 0) AS max_run
+        |  FROM documents d LEFT JOIN runs r ON r.doc_id = d.doc_id)
+        |SELECT CASE WHEN max_run = 0 THEN '0: none'
+        |    WHEN max_run <= 3 THEN '1: 1-3'
+        |    WHEN max_run <= 15 THEN '2: 4-15'
+        |    ELSE '3: 16+' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(max_run) AS BIGINT) AS dup_positions,
+        |  CAST((count(*) * 1000000)
+        |    // greatest(sum(count(*)) OVER (), 1) AS BIGINT) AS docs_ppm
+        |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- 339. TF-IDF weighted cosine near-dup — the similarity class
+    //          BETWEEN q32's unweighted set Jaccard and q40's dense
+    //          embedding cosine: sparse lexical vectors where rare terms
+    //          dominate (two docs sharing boilerplate stopwords are NOT
+    //          near-dups; two sharing a rare name + numbers are). All
+    //          arithmetic is integer so the oracle replays exactly:
+    //          weight = tf · min(N div df, 1000) — the idf CLIP is load-
+    //          bearing twice over (it is standard idf damping AND it
+    //          bounds w by doc-local quantities, so norms/dots stay in
+    //          Long at any corpus size); the cosine² test widens to
+    //          DECIMAL before squaring (dot² · 1e6 ≤ 1e33 « 1e38).
+    //          The term space is the hashed 4-gram shingle lattice, NOT
+    //          unigrams — this corpus (like any post-BPE token stream)
+    //          has a tiny unigram vocabulary where every token is a
+    //          stopword by df; 4-grams restore the Zipf tail that makes
+    //          idf meaningful. Candidates come only from pairs sharing a
+    //          MID-RARE shingle (2 ≤ df ≤ 64) — the q57 maxDf device: a
+    //          0.5-cosine pair without one shares only boilerplate and
+    //          cannot pass the weighted threshold; the join fan-out is
+    //          df-bounded. Both the shingle tf frame and the weighted
+    //          frame are pinned (5 consumers between them). EXACT dups
+    //          collapse to a canonical BEFORE the pairwise stage (the
+    //          q36/q57 house rule) — measured the naive form at 14× wall
+    //          on the 10× exact-replica probe (every clique of R copies
+    //          costs C(R,2) full-lattice dot products); collapsed, the
+    //          quadratic stage sees only unique texts. ----
+    QDef("q339_tfidf_cosine_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docsAll = Tables.documents(s, dir)
+        val canon = docsAll.groupBy(md5($"text").as("fpx"))
+          .agg(min($"doc_id").as("doc_id"))
+        val docs = canon.join(docsAll, "doc_id")
+          .select($"doc_id", $"text")
+        val t = TF.tokens($"text")
+        val tf = docs.select($"doc_id", explode(
+            when(size(t) >= 4, transform(sequence(lit(0), size(t) - 4),
+              i => TF.hash60(array_join(slice(t, i + 1, lit(4)), " "))))
+              .otherwise(array().cast("array<long>"))).as("h"))
+          .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val nDocs = math.max(docs.count(), 1L) // bounded driver scalar
+        val dft = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+        val w = tf.join(dft, "h")
+          .select($"doc_id", $"h", $"df",
+            ($"tf" * least(expr(s"$nDocs div df"), lit(1000L))).as("w"))
+          .localCheckpoint()
+        val nrm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+        val rare = w.filter($"df" >= 2 && $"df" <= 64)
+          .select($"doc_id", $"h")
+        val cand = rare.as("x").join(rare.as("y"), "h")
+          .filter($"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+        cand
+          .join(w.select($"doc_id".as("a"), $"h", $"w".as("wa")), Seq("a"))
+          .join(w.select($"doc_id".as("b"), $"h", $"w".as("wb")),
+            Seq("b", "h"))
+          .groupBy($"a", $"b").agg(sum($"wa" * $"wb").as("dot"))
+          .join(nrm.select($"doc_id".as("a"), $"n2".as("na")), "a")
+          .join(nrm.select($"doc_id".as("b"), $"n2".as("nb")), "b")
+          .select($"a".as("doc_a"), $"b".as("doc_b"),
+            expr("cast((cast(dot as decimal(18,0)) * cast(dot as" +
+              " decimal(18,0)) * 1000000) div greatest(cast(na as" +
+              " decimal(18,0)) * cast(nb as decimal(18,0)), 1) as bigint)")
+              .as("cos2_ppm"))
+          .filter($"cos2_ppm" >= 250000L)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH canon AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text)),
+        |uniq AS (SELECT d.doc_id, d.text
+        |  FROM documents d JOIN canon USING (doc_id)),
+        |tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM uniq),
+        |tf AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |      ('0x' || substring(md5(array_to_string(toks[i:i+3], ' ')),
+        |        1, 15))::BIGINT AS h
+        |    FROM tok, unnest(generate_series(1, len(toks) - 3)) AS t(i)
+        |    WHERE len(toks) >= 4)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT greatest(count(*), 1) AS nd FROM uniq),
+        |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |w AS (SELECT doc_id, tf.h, df.df,
+        |    tf.tf * least(n.nd // df.df, 1000) AS w
+        |  FROM tf JOIN df ON df.h = tf.h, n),
+        |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        |  FROM w GROUP BY 1),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM w x JOIN w y ON y.h = x.h AND x.doc_id < y.doc_id
+        |  WHERE x.df BETWEEN 2 AND 64),
+        |dot AS (SELECT c.a, c.b, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+        |  FROM cand c JOIN w wa ON wa.doc_id = c.a
+        |  JOIN w wb ON wb.doc_id = c.b AND wb.h = wa.h
+        |  GROUP BY 1, 2)
+        |SELECT a AS doc_a, b AS doc_b,
+        |  CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+        |    // greatest(CAST(na.n2 AS HUGEINT) * nb.n2, 1) AS BIGINT)
+        |    AS cos2_ppm
+        |FROM dot JOIN nrm na ON na.doc_id = a
+        |JOIN nrm nb ON nb.doc_id = b
+        |WHERE (CAST(dot AS HUGEINT) * dot * 1000000)
+        |    // greatest(CAST(na.n2 AS HUGEINT) * nb.n2, 1) >= 250000
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- 340. WAND / MaxScore pruning audit — would upper-bound
+    //          pruning be SAFE and how much would it skip? The scale
+    //          lever behind every production top-k retrieval engine
+    //          (Broder et al. 2003): per term, ub(t) = max over docs of
+    //          its contribution (a combinable term-dim max); a candidate
+    //          whose Σ ub over its matched query terms is below the
+    //          k-th true score can be skipped without scoring. Since
+    //          ub_d ≥ score_d always, the true top-k is provably never
+    //          skipped — topk_intact pins that invariant as data. The
+    //          scorer is the q339 rational tf·idf-clip (zero
+    //          transcendentals — q77's BM25 stays the only log-scoring
+    //          retrieval query) over the hashed 4-gram shingle lattice
+    //          (unigrams are all stopwords in this corpus — q339 note);
+    //          queries = every 100th doc, query terms = its mid-rare
+    //          shingles (2 ≤ df ≤ 64 — the posting-list-bounded join
+    //          device); candidates per query are df-bounded so the
+    //          ranking window partitions stay O(64·|terms|). ----
+    QDef("q340_wand_pruning",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val t = TF.tokens($"text")
+        val tf = docs.select($"doc_id", explode(
+            when(size(t) >= 4, transform(sequence(lit(0), size(t) - 4),
+              i => TF.hash60(array_join(slice(t, i + 1, lit(4)), " "))))
+              .otherwise(array().cast("array<long>"))).as("h"))
+          .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val nDocs = math.max(docs.count(), 1L)
+        val dft = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+        val c = tf.join(dft, "h")
+          .select($"doc_id", $"h", $"df",
+            ($"tf" * least(expr(s"$nDocs div df"), lit(1000L))).as("c"))
+          .localCheckpoint()
+        val ub = c.groupBy($"h").agg(max($"c").as("ub"))
+        val qt = c.filter($"doc_id" % 100 === 0 &&
+            $"df" >= 2 && $"df" <= 64)
+          .select($"doc_id".as("q"), $"h")
+        val post = qt
+          .join(c.select($"doc_id".as("d"), $"h", $"c"), "h")
+          .join(ub, "h")
+          .groupBy($"q", $"d")
+          .agg(sum($"c").as("score"), sum($"ub").as("ubd"))
+        val rk = post.withColumn("rn", row_number().over(
+          Window.partitionBy($"q").orderBy($"score".desc, $"d")))
+        val th = rk.filter($"rn" === 10).select($"q", $"score".as("th"))
+        val nt = qt.groupBy($"q").agg(countDistinct($"h").as("n_terms"))
+        rk.join(th, Seq("q"), "left")
+          .select($"q", $"rn",
+            coalesce($"th", lit(0L)).as("th"),
+            when($"ubd" < coalesce($"th", lit(0L)), 1L).otherwise(0L)
+              .as("skip"))
+          .groupBy($"q", $"th")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum($"skip").as("n_skippable"),
+            (lit(1L) - max(when($"rn" <= 10 && $"skip" === 1L, 1L)
+              .otherwise(0L))).as("topk_intact"))
+          .join(nt, "q")
+          .select($"q".as("query_doc"), $"n_terms", $"n_candidates",
+            $"th".as("kth_score"), $"n_skippable",
+            expr("(n_skippable * 1000000) div n_candidates")
+              .as("skip_ppm"),
+            $"topk_intact")
+          .orderBy($"query_doc")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |      ('0x' || substring(md5(array_to_string(toks[i:i+3], ' ')),
+        |        1, 15))::BIGINT AS h
+        |    FROM tok, unnest(generate_series(1, len(toks) - 3)) AS t(i)
+        |    WHERE len(toks) >= 4)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT greatest(count(*), 1) AS nd FROM documents),
+        |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |c AS (SELECT doc_id, tf.h, df.df,
+        |    tf.tf * least(n.nd // df.df, 1000) AS c
+        |  FROM tf JOIN df ON df.h = tf.h, n),
+        |ub AS (SELECT h, max(c) AS ub FROM c GROUP BY 1),
+        |qt AS (SELECT doc_id AS q, h FROM c
+        |  WHERE doc_id % 100 = 0 AND df BETWEEN 2 AND 64),
+        |post AS (SELECT qt.q, c.doc_id AS d,
+        |    CAST(sum(c.c) AS BIGINT) AS score,
+        |    CAST(sum(ub.ub) AS BIGINT) AS ubd
+        |  FROM qt JOIN c ON c.h = qt.h JOIN ub ON ub.h = qt.h
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY q
+        |    ORDER BY score DESC, d) AS rn FROM post),
+        |th AS (SELECT q, score AS th FROM rk WHERE rn = 10),
+        |nt AS (SELECT q, CAST(count(DISTINCT h) AS BIGINT) AS n_terms
+        |  FROM qt GROUP BY 1),
+        |lab AS (SELECT rk.q, rk.rn, coalesce(th.th, 0) AS th,
+        |    CASE WHEN rk.ubd < coalesce(th.th, 0) THEN 1 ELSE 0 END
+        |      AS skip
+        |  FROM rk LEFT JOIN th ON th.q = rk.q)
+        |SELECT lab.q AS query_doc, nt.n_terms,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(lab.th AS BIGINT) AS kth_score,
+        |  CAST(sum(skip) AS BIGINT) AS n_skippable,
+        |  CAST((sum(skip) * 1000000) // count(*) AS BIGINT) AS skip_ppm,
+        |  CAST(1 - max(CASE WHEN rn <= 10 AND skip = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS topk_intact
+        |FROM lab JOIN nt ON nt.q = lab.q
+        |GROUP BY 1, 2, 4 ORDER BY query_doc""".stripMargin)),
+
+    // ---- 341. kNN-graph connectivity audit — the structural health
+    //          check an ANN index build needs beside recall (q104/q186):
+    //          graph-traversal ANN (HNSW/NSG — and q332's NN-descent,
+    //          whose convergence this gates) can only reach what is
+    //          CONNECTED, so a kNN graph that splinters into components
+    //          strands every query that enters the wrong island. The
+    //          AUDIT (symmetrize → CC → size ladder) is the operator and
+    //          is linear: edges ≤ k·|V| by construction, CC state is
+    //          |V|-bounded (the q57 engine). The EDGE LIST here comes
+    //          from the cell-partitioned brute join (q66's provably-
+    //          exact nProbe=kCells shape — query side a DataFrame end
+    //          to end) so the oracle can replay it as window SQL; that
+    //          build is O(|V|²/cells) and is the test harness, not the
+    //          scale path — at corpus scale the same audit consumes
+    //          q332's NN-descent edges or an IVF-bounded
+    //          (nProbe < kCells) graph unchanged. ----
+    QDef("q341_knn_graph_connectivity",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val edges = Knn.cellTopKJoin(emb, emb,
+            qIdCol = "vec_id", qVecCol = "embedding",
+            cIdCol = "vec_id", cVecCol = "embedding",
+            k = 4, kCells = 4, nProbe = 4, iters = 2)
+          .filter($"query_id" =!= $"vec_id")
+          .select(least($"query_id", $"vec_id").as("a"),
+            greatest($"query_id", $"vec_id").as("b"))
+          .distinct()
+        val comps = graft.ops.ConnectedComponents.run(edges, "a", "b")
+        comps.groupBy($"comp").agg(count(lit(1)).as("n"))
+          .groupBy(when($"n" <= 8, "1: 2-8")
+            .when($"n" <= 64, "2: 9-64")
+            .when($"n" <= 512, "3: 65-512")
+            .otherwise("4: 513+").as("bucket"))
+          .agg(count(lit(1)).as("n_components"),
+            sum($"n").as("n_vertices"))
+          .select($"bucket", $"n_components", $"n_vertices",
+            expr("(n_vertices * 1000000)" +
+              " div greatest(sum(n_vertices) over (), 1)")
+              .as("vertex_ppm"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH RECURSIVE q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, vec_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id) AS rn FROM s),
+        |edges AS (SELECT DISTINCT least(query_id, vec_id) AS a,
+        |    greatest(query_id, vec_id) AS b
+        |  FROM r WHERE rn <= 4 AND query_id <> vec_id),
+        |sym AS (SELECT a AS sv, b AS d FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |verts AS (SELECT DISTINCT sv AS v FROM sym),
+        |reach(v, m) AS (SELECT v, v FROM verts
+        |  UNION SELECT sym.sv, reach.m FROM sym
+        |    JOIN reach ON sym.d = reach.v),
+        |comps AS (SELECT v, min(m) AS comp FROM reach GROUP BY v),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+        |  FROM comps GROUP BY 1)
+        |SELECT CASE WHEN n <= 8 THEN '1: 2-8'
+        |    WHEN n <= 64 THEN '2: 9-64'
+        |    WHEN n <= 512 THEN '3: 65-512'
+        |    ELSE '4: 513+' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(n) AS BIGINT) AS n_vertices,
+        |  CAST((sum(n) * 1000000)
+        |    // greatest(sum(sum(n)) OVER (), 1) AS BIGINT) AS vertex_ppm
+        |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
