@@ -17605,7 +17605,142 @@ object Queries {
         |  CAST(sum(n) AS BIGINT) AS n_vertices,
         |  CAST((sum(n) * 1000000)
         |    // greatest(sum(sum(n)) OVER (), 1) AS BIGINT) AS vertex_ppm
-        |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin))
+        |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- 342. t-closeness audit — the third rung of the release-
+    //          privacy ladder (q211 gives k-anonymity and l-diversity;
+    //          Li et al. 2007 adds: a group can be k-large and l-diverse
+    //          yet still LEAK if its sensitive-attribute DISTRIBUTION
+    //          diverges from the corpus — e.g. a QI group that is 95%
+    //          one source when the corpus is 20%). Per QI group
+    //          (lang, length-centile), total-variation distance to the
+    //          global source distribution in exact ppm integers. The
+    //          load-bearing identity: absent sources contribute
+    //          Σ_absent p(s) = 1e6 − Σ_present p(s), so TV needs NO
+    //          group×source grid (the cross join a naive form would
+    //          build and PlanSpec would reject) — only the observed
+    //          (group, source) counts, one combinable agg, and the
+    //          |sources|-row broadcast global. ----
+    QDef("q342_t_closeness",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"lang", expr("n_chars div 100").as("len_bucket"),
+            $"source")
+        val gs = d.groupBy($"lang", $"len_bucket", $"source")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds group sizes, the global dim, the TV agg
+        val g = gs.groupBy($"lang", $"len_bucket")
+          .agg(sum($"c").as("k_size"))
+        val tot = math.max(
+          gs.agg(coalesce(sum($"c"), lit(0L))).head().getLong(0), 1L)
+        val glob = gs.groupBy($"source").agg(sum($"c").as("cs"))
+          .select($"source", expr(s"(cs * 1000000) div $tot").as("p"))
+        gs.join(g, Seq("lang", "len_bucket"))
+          .join(broadcast(glob), "source")
+          .select($"lang", $"len_bucket", $"k_size",
+            abs(expr("(c * 1000000) div k_size") - $"p").as("ad"), $"p")
+          .groupBy($"lang", $"len_bucket", $"k_size")
+          .agg(expr("(sum(ad) + 1000000 - sum(p)) div 2").as("tv_ppm"))
+          .select($"lang", $"len_bucket", $"k_size", $"tv_ppm",
+            when($"tv_ppm" > 500000L, 1L).otherwise(0L).as("at_risk_t"))
+          .orderBy($"lang", $"len_bucket")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars // 100 AS len_bucket, source
+        |  FROM documents),
+        |gs AS (SELECT lang, len_bucket, source,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS k_size
+        |  FROM gs GROUP BY 1, 2),
+        |n AS (SELECT greatest(CAST(coalesce(sum(c), 0) AS BIGINT), 1)
+        |    AS tot FROM gs),
+        |gl AS (SELECT source, (CAST(sum(c) AS BIGINT) * 1000000) // n.tot
+        |    AS p FROM gs, n GROUP BY source, n.tot)
+        |SELECT gs.lang, gs.len_bucket, g.k_size,
+        |  CAST((sum(abs((gs.c * 1000000) // g.k_size - gl.p))
+        |    + 1000000 - sum(gl.p)) // 2 AS BIGINT) AS tv_ppm,
+        |  CAST(CASE WHEN (sum(abs((gs.c * 1000000) // g.k_size - gl.p))
+        |    + 1000000 - sum(gl.p)) // 2 > 500000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS at_risk_t
+        |FROM gs JOIN g ON g.lang = gs.lang AND g.len_bucket = gs.len_bucket
+        |JOIN gl ON gl.source = gs.source
+        |GROUP BY 1, 2, 3 ORDER BY gs.lang, gs.len_bucket""".stripMargin)),
+
+    // ---- 343. curation-grid operating surface — the 2-knob interaction
+    //          q333 (quality cutoff) and q327 (dedup) each sweep alone:
+    //          token retention under quality-threshold × {raw, exact-
+    //          deduped} TOGETHER, because the knobs interact (duplicates
+    //          cluster in low-quality boilerplate, so dedup-then-filter
+    //          removes fewer extra tokens than the marginals suggest —
+    //          this grid is the evidence). ONE scoring pass builds the
+    //          (ntok, quality, is_canon) frame (pinned: the cutoff spine
+    //          and both scheme branches consume it); exact-dup canonical
+    //          = the q339/q336 md5-collapse; the 2×3 grid is a labeled
+    //          union over the threshold explode — all combinable aggs. ----
+    QDef("q343_curation_grid",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val base = docs
+          .select($"doc_id", md5($"text").as("fpx"),
+            TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"fpx",
+            size($"toks").cast("long").as("ntok"),
+            (TF.typeTokenRatioOf($"toks") *
+              least(lit(1.0), size($"toks").cast("double") / 50.0))
+              .as("quality"))
+        val canon = base.groupBy($"fpx").agg(min($"doc_id").as("cid"))
+        val scored = base.join(canon, "fpx")
+          .select($"ntok", $"quality", ($"doc_id" === $"cid").as("is_canon"))
+          .localCheckpoint()
+        val keyed = scored.select($"ntok", $"quality", lit(true).as("kept"),
+            lit("1: raw").as("scheme"))
+          .unionByName(scored.select($"ntok", $"quality",
+            $"is_canon".as("kept"), lit("2: dedup").as("scheme")))
+          .withColumn("pct", explode(lit(Array(30L, 50L, 70L))))
+        keyed.groupBy($"scheme", $"pct")
+          .agg(coalesce(sum(when($"kept" &&
+              $"quality" >= $"pct" / lit(100.0), 1L).otherwise(0L)), lit(0L))
+              .as("n_docs_kept"),
+            coalesce(sum(when($"kept" &&
+              $"quality" >= $"pct" / lit(100.0), $"ntok").otherwise(0L)),
+              lit(0L)).as("tokens_kept"),
+            coalesce(sum($"ntok"), lit(0L)).as("tokens_total"))
+          .select($"scheme", $"pct", $"n_docs_kept", $"tokens_kept",
+            expr("(tokens_kept * 1000000) div greatest(tokens_total, 1)")
+              .as("kept_tok_ppm"))
+          .orderBy($"scheme", $"pct")
+      },
+      Some("""WITH base AS (SELECT doc_id, md5(text) AS fpx,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS ntok,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) > 0
+        |      THEN round(len(list_distinct(list_filter(string_split(text,
+        |        ' '), x -> x <> ''))) * 1.0 /
+        |        len(list_filter(string_split(text, ' '), x -> x <> '')), 6)
+        |        * least(1.0, len(list_filter(string_split(text, ' '),
+        |          x -> x <> '')) * 1.0 / 50.0)
+        |      END AS quality
+        |  FROM documents),
+        |canon AS (SELECT fpx, min(doc_id) AS cid FROM base GROUP BY 1),
+        |scored AS (SELECT ntok, quality, base.doc_id = canon.cid AS is_canon
+        |  FROM base JOIN canon ON canon.fpx = base.fpx),
+        |keyed AS (SELECT ntok, quality, true AS kept, '1: raw' AS scheme,
+        |    unnest([30, 50, 70]) AS pct FROM scored
+        |  UNION ALL SELECT ntok, quality, is_canon, '2: dedup',
+        |    unnest([30, 50, 70]) FROM scored)
+        |SELECT scheme, CAST(pct AS BIGINT) AS pct,
+        |  CAST(coalesce(sum(CASE WHEN kept AND quality >= pct / 100.0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_kept,
+        |  CAST(coalesce(sum(CASE WHEN kept AND quality >= pct / 100.0
+        |    THEN ntok ELSE 0 END), 0) AS BIGINT) AS tokens_kept,
+        |  CAST((coalesce(sum(CASE WHEN kept AND quality >= pct / 100.0
+        |    THEN ntok ELSE 0 END), 0) * 1000000)
+        |    // greatest(coalesce(sum(ntok), 0), 1) AS BIGINT)
+        |    AS kept_tok_ppm
+        |FROM keyed GROUP BY 1, 2 ORDER BY scheme, pct""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
