@@ -2251,13 +2251,13 @@ object Queries {
         // not the per-exploded-row md5→hex→conv chain — measured 2.8→0.7 s
         val bench = docs.filter($"doc_id" < 20)
           .select(explode(graft.functions.HashExpressions
-            .hash60Array(TF.shingles($"text", 5))).as("__h")).distinct()
+            .shingleHash60Array(TF.tokens($"text"), 5)).as("__h")).distinct()
         // single-split fixture: fan the per-doc shingle+hash work across
         // cores before the heavy expressions (SCALING.md small-input rule)
         val corpus = docs.filter($"doc_id" >= 20)
           .repartition(s.sparkContext.defaultParallelism)
           .select($"doc_id", explode(graft.functions.HashExpressions
-            .hash60Array(TF.shingles($"text", 5))).as("__h"))
+            .shingleHash60Array(TF.tokens($"text"), 5)).as("__h"))
         // shingles are distinct per doc and the bench side is distinct, so
         // joined rows are unique per (doc, shingle): plain count = distinct
         // hit count, no Expand pass
@@ -7795,7 +7795,7 @@ object Queries {
           .filter($"doc_id" < 100)
           .select($"doc_id", $"lang",
             graft.functions.HashExpressions
-              .hash60Array(TF.shingles($"text", 3)).as("hs"))
+              .shingleHash60Array(TF.tokens($"text"), 3).as("hs"))
           .select($"doc_id", $"lang", $"hs", size($"hs").as("n"),
             graft.functions.HashExpressions.minhashSignature(
               $"hs", k, graft.ops.MinHashLSH.A.take(k),
@@ -8084,7 +8084,7 @@ object Queries {
             .select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
           .select($"doc_id", $"lang", $"source", $"embedding",
             graft.functions.HashExpressions
-              .hash60Array(TF.shingles($"text", 3)).as("hs"))
+              .shingleHash60Array(TF.tokens($"text"), 3).as("hs"))
         val q = base.filter($"doc_id" < 5)
         val c = base.filter($"doc_id" >= 5 && $"doc_id" < 200)
         q.as("q").join(c.as("c"), $"q.lang" === $"c.lang")
@@ -9937,7 +9937,7 @@ object Queries {
           .select($"doc_id",
             graft.functions.HashExpressions.minhashSignature(
               graft.functions.HashExpressions
-                .hash60Array(TF.shingles($"text", 3)),
+                .shingleHash60Array(TF.tokens($"text"), 3),
               k, graft.ops.MinHashLSH.A.take(k),
               graft.ops.MinHashLSH.B.take(k)).as("sig"))
         val cfgs = array(
@@ -16337,7 +16337,7 @@ object Queries {
         val ss = Tables.documents(s, dir)
           .repartition(par)
           .select($"source", explode(graft.functions.HashExpressions
-            .hash60Array(TF.shingles($"text", 8))).as("h"))
+            .shingleHash60Array(TF.tokens($"text"), 8)).as("h"))
           .distinct()
           .localCheckpoint()
         val perSrc = ss.groupBy($"source").agg(count(lit(1)).as("n"))
@@ -16691,7 +16691,7 @@ object Queries {
         val sh = docs.select($"doc_id", explode(array(
             Seq(3, 5, 8).map(n => struct(lit(n.toLong).as("n"),
               graft.functions.HashExpressions
-                .hash60Array(TF.shingles($"text", n)).as("hs"))): _*))
+                .shingleHash60Array(TF.tokens($"text"), n).as("hs"))): _*))
             .as("x"))
           .select($"doc_id", $"x.n".as("n"), explode($"x.hs").as("h"))
           .localCheckpoint()
@@ -17262,9 +17262,7 @@ object Queries {
         val docs = Tables.documents(s, dir)
         val t = TF.tokens($"text")
         val pos = docs.select($"doc_id", posexplode(
-            when(size(t) >= 8, transform(sequence(lit(0), size(t) - 8),
-              i => TF.hash60(array_join(slice(t, i + 1, lit(8)), " "))))
-              .otherwise(array().cast("array<long>")))
+            graft.functions.HashExpressions.positionalShingleHash60(t, 8))
             .as(Seq("pos", "h")))
           // duplicated lattice feeds the df agg AND the join-back — left
           // lazy each consumer re-tokenizes the corpus (q331 lesson)
@@ -17355,9 +17353,7 @@ object Queries {
           .select($"doc_id", $"text")
         val t = TF.tokens($"text")
         val tf = docs.select($"doc_id", explode(
-            when(size(t) >= 4, transform(sequence(lit(0), size(t) - 4),
-              i => TF.hash60(array_join(slice(t, i + 1, lit(4)), " "))))
-              .otherwise(array().cast("array<long>"))).as("h"))
+            graft.functions.HashExpressions.positionalShingleHash60(t, 4)).as("h"))
           .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
           .localCheckpoint()
         val nDocs = math.max(docs.count(), 1L) // bounded driver scalar
@@ -17449,9 +17445,7 @@ object Queries {
         val docs = Tables.documents(s, dir)
         val t = TF.tokens($"text")
         val tf = docs.select($"doc_id", explode(
-            when(size(t) >= 4, transform(sequence(lit(0), size(t) - 4),
-              i => TF.hash60(array_join(slice(t, i + 1, lit(4)), " "))))
-              .otherwise(array().cast("array<long>"))).as("h"))
+            graft.functions.HashExpressions.positionalShingleHash60(t, 4)).as("h"))
           .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
           .localCheckpoint()
         val nDocs = math.max(docs.count(), 1L)

@@ -98,6 +98,83 @@ object HashExpressions {
     override def prettyName: String = "hash60_array"
   }
 
+  /** array<string> tokens → array<long>: fused w-token shingling + 60-bit
+    * hashing in ONE compiled pass — the hot corpus-scan kernel behind every
+    * shingle query. The HOF composite it replaces
+    * (`hash60Array(TF.shingles(t, w))` or
+    * `transform(sequence(...), i => hash60(array_join(slice(t,i,w))))`)
+    * pays, per position: an interpreted lambda dispatch, a `slice` array
+    * copy, an `array_join` string build, and (in the `TF.hash60` form) an
+    * md5 → hex-substring → `conv` string round-trip; plus an
+    * `array_distinct` pass over the shingle strings. Here each window is
+    * joined into a reused builder and digested directly.
+    *
+    * Two modes, each bit-identical to its composite (unit-pinned):
+    *  - `positional = false` (the `TF.shingles` contract): DISTINCT
+    *    shingle strings (collisions keep both hashes, like the composite),
+    *    SORTED output (the [[Hash60Array]] contract its consumers —
+    *    [[SortedIntersectCount]], MinHash — rely on); `< w` tokens → one
+    *    whole-doc shingle; null tokens → `[null]` (what
+    *    `array(array_join(null))` produces — the row survives to a null
+    *    hash exactly as before).
+    *  - `positional = true` (the q338 lattice contract): one hash per
+    *    window position, UNSORTED and with repeats; `< w` or null → empty
+    *    (the `otherwise(array())` branch).
+    */
+  case class ShingleHash60Array(child: Expression, w: Int, positional: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1, s"shingle width must be >= 1: $w")
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = !positional)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) {
+        if (positional) new GenericArrayData(Array.empty[Any])
+        else new GenericArrayData(Array[Any](null))
+      } else nullSafeEval(v)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val md = MessageDigest.getInstance("MD5")
+      def windowString(start: Int, len: Int): String = {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < len) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(start + j).toString)
+          j += 1
+        }
+        sb.toString
+      }
+      def h(s: String): Long =
+        hash60Bytes(md, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (positional) {
+        if (n < w) return new GenericArrayData(Array.empty[Any])
+        val out = new Array[Long](n - w + 1)
+        var i = 0
+        while (i <= n - w) { out(i) = h(windowString(i, w)); i += 1 }
+        new GenericArrayData(out)
+      } else if (n < w) {
+        new GenericArrayData(Array[Any](h(windowString(0, n))))
+      } else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= n - w) { seen.add(windowString(i, w)); i += 1 }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = h(it.next()); k += 1 }
+        java.util.Arrays.sort(out)
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHash60Array =
+      copy(child = c)
+    override def prettyName: String = "shingle_hash60_array"
+  }
+
   /** |a ∩ b| for two SORTED long arrays — one linear merge, no per-row hash
     * set (what `array_intersect` builds internally).
     */
@@ -125,6 +202,20 @@ object HashExpressions {
 
   def hash60Array(units: Column): Column =
     GraftExprColumn.column(Hash60Array(GraftExprColumn.expression(units)))
+
+  /** Fused `hash60Array(TF.shingles(tokens, w))` — sorted distinct-string
+    * shingle hashes with the whole-doc fallback below `w`.
+    */
+  def shingleHash60Array(tokens: Column, w: Int): Column =
+    GraftExprColumn.column(ShingleHash60Array(
+      GraftExprColumn.expression(tokens), w, positional = false))
+
+  /** Fused positional (non-distinct, unsorted) shingle hashes — the
+    * q338 duplicated-span lattice contract; `< w` tokens → empty.
+    */
+  def positionalShingleHash60(tokens: Column, w: Int): Column =
+    GraftExprColumn.column(ShingleHash60Array(
+      GraftExprColumn.expression(tokens), w, positional = true))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftExprColumn.column(SortedIntersectCount(

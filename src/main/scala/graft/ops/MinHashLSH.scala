@@ -119,7 +119,7 @@ object MinHashLSH {
     // md5 pass (the scan-side hot spot) runs once per branch.
     val hashed = persistOnce(df.repartition(par).select(col(idCol).as("__id"),
         graft.functions.HashExpressions
-          .hash60Array(TF.shingles(col(textCol), w)).as("__th"))
+          .shingleHash60Array(TF.tokens(col(textCol)), w).as("__th"))
       .select(col("__id"), col("__th")))
     val e = hashed.select(col("__id"), explode(col("__th")).as("__h"))
     // df per shingle is a light count agg (map-side partials); the kept-
@@ -235,13 +235,15 @@ object MinHashLSH {
     // Documents often arrive as few small files (one parquet split) — fan
     // the per-document hashing out across all cores before the heavy work.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.repartition(par).select(col(idCol).as("__id"),
-      TF.shingles(col(textCol), w).as("__sh"))
-    // Hash each shingle ONCE (compiled md5 → sorted 60-bit set); the same
-    // array feeds the k-permutation signature AND the exact verification
-    // merge below. Bit-identical to the HOF reference — pinned by spec.
-    val hashed = sh.select(col("__id"), size(col("__sh")).as("__n"),
-      graft.functions.HashExpressions.hash60Array(col("__sh")).as("__th"))
+    // Fused shingle+hash ONCE (compiled tokenize-window-md5 → sorted
+    // 60-bit set; one hash per distinct shingle string, so size(__th) IS
+    // the shingle-set size); the same array feeds the k-permutation
+    // signature AND the exact verification merge below. Bit-identical to
+    // the HOF reference — pinned by spec.
+    val hashed = df.repartition(par).select(col(idCol).as("__id"),
+        graft.functions.HashExpressions
+          .shingleHash60Array(TF.tokens(col(textCol)), w).as("__th"))
+      .select(col("__id"), size(col("__th")).as("__n"), col("__th"))
     // The banded self-join + the two verification joins would otherwise
     // re-evaluate the hashing subtree once per reference — cache it (a few
     // KB per document; at cluster scale this is the natural materialization

@@ -42,9 +42,9 @@ object SignatureStore {
                  w: Int = 3, k: Int = 64): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     df.repartition(par)
-      .select(col(idCol).as("doc_id"), TF.shingles(col(textCol), w).as("__sh"))
-      .select(col("doc_id"), size(col("__sh")).as("n"),
-        HE.hash60Array(col("__sh")).as("th"))
+      .select(col(idCol).as("doc_id"),
+        HE.shingleHash60Array(TF.tokens(col(textCol)), w).as("th"))
+      .select(col("doc_id"), size(col("th")).as("n"), col("th"))
       .withColumn("sig", HE.minhashSignature(col("th"), k,
         MinHashLSH.A.take(k), MinHashLSH.B.take(k)))
   }

@@ -41,7 +41,7 @@ object CurationStream {
           least(lit(1.0), size(col("__toks")).cast("double") / 50.0), 6))
     val hits = scored
       .select(col(idCol), explode(
-        HashExpressions.hash60Array(TF.shingles(col(textCol), 5))).as("__h"))
+        HashExpressions.shingleHash60Array(TF.tokens(col(textCol)), 5)).as("__h"))
       .join(broadcast(benchShingleHashes), "__h")
       .select(col(idCol)).distinct()
       .withColumn("contaminated", lit(true))

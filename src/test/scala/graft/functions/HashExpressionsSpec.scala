@@ -66,4 +66,33 @@ class HashExpressionsSpec extends AnyFunSuite {
       assert(r.getLong(1) === r.getLong(0) % HashExpressions.P)
     }
   }
+
+  test("ShingleHash60Array (set mode) == hash60Array(TF.shingles) incl. edges") {
+    // corpus rows + the hostile edge fixtures: null text, empty, spaces,
+    // exactly w, below w, repeated shingles, unicode
+    val edge = Seq("", " ", "a", "a b", "a b c", "a b c d",
+      "x y x y x y x y", "ü ß 語 ü ß 語", null)
+      .toDF("text")
+    for (w <- Seq(3, 8)) {
+      val both = docs.select($"text").unionByName(edge).select(
+        HashExpressions.shingleHash60Array(TF.tokens($"text"), w).as("fast"),
+        HashExpressions.hash60Array(TF.shingles($"text", w)).as("ref"))
+      assert(both.filter(not($"fast" <=> $"ref")).isEmpty, s"w=$w")
+    }
+  }
+
+  test("ShingleHash60Array (positional mode) == the inline transform lattice") {
+    val edge = Seq("", "a b c", "a b c d", "x y x y x y", null).toDF("text")
+    for (w <- Seq(4, 8)) {
+      val t = TF.tokens($"text")
+      val ref = when(size(t) >= w, transform(sequence(lit(0), size(t) - w),
+          i => TF.hash60(array_join(slice(t, i + 1, lit(w)), " "))))
+        .otherwise(array().cast("array<long>"))
+      val both = docs.select($"text").unionByName(edge).select(
+        HashExpressions.positionalShingleHash60(TF.tokens($"text"), w)
+          .as("fast"),
+        ref.as("ref"))
+      assert(both.filter(not($"fast" <=> $"ref")).isEmpty, s"w=$w")
+    }
+  }
 }
