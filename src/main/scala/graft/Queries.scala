@@ -6385,9 +6385,13 @@ object Queries {
     QDef("q167_ppjoin",
       (s, dir) => {
         import s.implicits._
+        // pin the canon+shingle frame (e + both verification sides) and,
+        // below, the df-ordered lists (the prefix self-join replays its
+        // subtree twice) — 6 plan scans of documents left lazy
         val docs = Tables.documents(s, dir)
           .groupBy($"lang", $"text").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id", $"lang", TF.shingles($"text", 3).as("tset"))
+          .localCheckpoint()
         val e = docs.select($"doc_id", $"lang", explode($"tset").as("token"))
         val df = e.groupBy($"token").agg(count(lit(1)).as("df"))
         val ordered = e.join(df, "token")
@@ -6395,6 +6399,7 @@ object Queries {
           .agg(sort_array(collect_list(struct($"df", $"token"))).as("ord"))
           .select($"doc_id", $"lang",
             transform($"ord", s => s.getField("token")).as("ord"))
+          .localCheckpoint()
         val pfx = ordered.select($"doc_id", $"lang",
           explode(slice($"ord", lit(1), expr("size(ord) div 2 + 1")))
             .as("token"))
@@ -6708,12 +6713,17 @@ object Queries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"lang", $"text")
+        // pin both funnel stages: s1 feeds s2 AND its survivor count, s2
+        // feeds s3 AND its count — each lazy replay re-runs the upstream
+        // stage chain (5 plan scans of documents — round-8 scan audit)
         val s1 = docs.groupBy($"lang", $"text")
           .agg(min($"doc_id").as("doc_id"))
+          .localCheckpoint()
         val s2 = s1.groupBy($"lang",
             md5(array_join(array_sort(array_distinct(TF.tokens($"text"))),
               " ")).as("fp"))
           .agg(min($"doc_id").as("doc_id"))
+          .localCheckpoint()
         val s3 = s2.select($"lang", $"doc_id")
           .join(docs.select($"doc_id", TF.tokens($"text").as("toks")),
             "doc_id")
@@ -8145,7 +8155,11 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
+        // pin the deletion-neighborhood edges: consumed by the degree agg
+        // AND the 3-way wedge enumeration (20 plan scans left lazy —
+        // round-8 scan audit)
         val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+          .localCheckpoint()
         val e = edges
           .select(least($"id_a", $"id_b").as("a"),
             greatest($"id_a", $"id_b").as("b"))
@@ -8564,10 +8578,14 @@ object Queries {
         import s.implicits._
         val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
         val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        // pin the edge set: the symmetrized adjacency (union), the wedge
+        // self-join and the known-edge anti-join each replay the
+        // deletion-neighborhood subtree left lazy (18 plan scans)
         val e = edges
           .select(least($"id_a", $"id_b").as("a"),
             greatest($"id_a", $"id_b").as("b"))
           .filter($"a" =!= $"b").distinct()
+          .localCheckpoint()
         val adj = e.select($"a".as("z"), $"b".as("n"))
           .unionByName(e.select($"b".as("z"), $"a".as("n")))
         val deg = adj.groupBy($"z").agg(count(lit(1)).as("deg"))
@@ -8770,10 +8788,14 @@ object Queries {
         val d38 = DecimalType(38, 0)
         val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
           .select($"c_custkey".as("id"), $"c_name".as("nm"))
+        // pin the truth set: the nTrue scalar and the found join would
+        // otherwise each replay the deletion-neighborhood join (8 plan
+        // scans of customer left lazy — round-8 scan audit)
         val truth = graft.ops.FuzzyJoin.editDistance1Pairs(c, "id", "nm")
           .select(least($"id_a", $"id_b").as("a"),
             greatest($"id_a", $"id_b").as("b"))
           .filter($"a" =!= $"b").distinct()
+          .localCheckpoint()
         // two bounded driver scalars (universe size, truth size — the
         // PageRank-n precedent); n·(n−1) exact in BigInt, carried as a
         // decimal literal so the ppm quotient never touches doubles
@@ -8793,6 +8815,7 @@ object Queries {
             lit("length").as("scheme"))
           .unionByName(c.select($"id", substring($"nm", 1, 8).as("bk"),
             lit("prefix8").as("scheme")))
+          .localCheckpoint() // cand + ka + kb consumers (scan audit)
         val cand = keyed.groupBy($"scheme", $"bk")
           .agg(count(lit(1)).cast(d38).as("bs"))
           .groupBy($"scheme").agg(sum($"bs" * ($"bs" - 1)).as("c2"))
@@ -9286,13 +9309,20 @@ object Queries {
         import s.implicits._
         val c = Tables.customer(s, dir).filter($"c_custkey" % 10 < 2)
         val edges = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+        // pin BOTH edge generations: the wedge enumeration self-joins its
+        // input three ways and the second round nests the first — left
+        // lazy, the deletion-neighborhood subtree replicates 180× in the
+        // plan (scan audit, round 8); pinned, each round reads a
+        // checkpoint
         val e0 = edges
           .select(least($"id_a", $"id_b").as("a"),
             greatest($"id_a", $"id_b").as("b"))
           .filter($"a" =!= $"b").distinct()
+          .localCheckpoint()
         val s1 = graft.ops.Triangles.perEdgeSupport(e0, "a", "b")
         val e1 = e0.join(s1.filter($"support" >= 2), Seq("a", "b"),
           "left_semi")
+          .localCheckpoint()
         graft.ops.Triangles.perEdgeSupport(e1, "a", "b")
           .filter($"support" >= 2)
           .orderBy($"a", $"b")
@@ -10268,10 +10298,13 @@ object Queries {
           .select($"lang", explode(TF.tokens($"text")).as("t"))
           .groupBy($"lang", $"t").agg(count(lit(1)).as("c"))
         val tot = tok.groupBy($"lang").agg(sum($"c").as("tot"))
+        // pin the per-lang profile: nrm + both dot self-join sides each
+        // replay the corpus token agg left lazy (8 plan scans)
         val prof = tok.join(broadcast(tot), "lang")
           .select($"lang", $"t",
             expr("(c * 1000000) div tot").cast("long").as("p"))
           .filter($"p" > 0)
+          .localCheckpoint()
         val nrm = prof.groupBy($"lang")
           .agg(sum($"p".cast(d38) * $"p").as("n2"))
         val dot = prof.as("a")
@@ -11073,10 +11106,15 @@ object Queries {
           .groupBy($"event_type".as("src"), $"nxt".as("dst"))
           .agg(count(lit(1)).as("c"))
         val rowTot = big.groupBy($"src").agg(sum($"c").as("tot"))
+        // pin the |types|² grid AND the types dim: the 4-round power
+        // iteration otherwise replays the events window per round
+        // (10 plan scans of events — round-8 scan audit; q321 lesson)
         val p = big.join(broadcast(rowTot), "src")
           .select($"src", $"dst",
             expr("(c * 1000000) div tot").cast("long").as("p_ppm"))
+          .localCheckpoint()
         val types = e.select($"event_type".as("t")).distinct()
+          .localCheckpoint()
         val nTypes = types.count()   // bounded driver scalar (|types|)
         // empty events → 0 types → `types` is already empty; dodge the
         // division so the query returns an empty frame instead of throwing
@@ -14865,8 +14903,11 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val d38 = DecimalType(38, 0)
+        // pin the keyed frame: the two eager scalars and each sumPairs
+        // branch re-scan + re-md5 the corpus left lazy (4 plan scans)
         val docs = Tables.documents(s, dir)
           .select(md5($"text").as("tkey"), $"lang", $"source")
+          .localCheckpoint()
         def sumPairs(keyCols: Seq[Column]) =
           docs.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
             .agg(sum(expr(
@@ -14972,10 +15013,14 @@ object Queries {
         import s.implicits._
         val ev = Tables.events(s, dir)
           .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        // pin the two per-user milestone frames: tv feeds tp, blocked AND
+        // the final join (tp: blocked + final) — left lazy each consumer
+        // re-aggregates events (7 plan scans — round-8 scan audit)
         val tv = ev.filter($"event_type" === "view")
           .groupBy($"user_id")
           .agg(min(struct($"ts_us", $"event_id")).as("v"))
           .select($"user_id", $"v.ts_us".as("vts"), $"v.event_id".as("vid"))
+          .localCheckpoint()
         val tp = ev.filter($"event_type" === "purchase")
           .join(tv, Seq("user_id"))
           .filter($"ts_us" > $"vts" ||
@@ -14983,6 +15028,7 @@ object Queries {
           .groupBy($"user_id")
           .agg(min(struct($"ts_us", $"event_id")).as("p"))
           .select($"user_id", $"p.ts_us".as("pts"), $"p.event_id".as("pid"))
+          .localCheckpoint()
         val blocked = ev.filter($"event_type" === "error")
           .join(tv, Seq("user_id")).join(tp, Seq("user_id"))
           .filter(($"ts_us" > $"vts" ||
@@ -15233,9 +15279,13 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val d38 = DecimalType(38, 0)
+        // pin the positional token lattice: unigram counts, the total
+        // scalar, and BOTH skip-gram join sides re-tokenize left lazy
+        // (4 plan scans)
         val toks = Tables.documents(s, dir)
           .select($"doc_id", posexplode(filter(split($"text", " "),
             t => t =!= "")).as(Seq("pos", "tok")))
+          .localCheckpoint()
         val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c1"))
         val totRow = toks.agg(count(lit(1))).head
         val nTok = if (totRow.isNullAt(0)) 1L
@@ -16961,10 +17011,12 @@ object Queries {
         val nTrue = truth.count()
         val denom = ((BigInt(n) * (BigInt(n) - 1)) max BigInt(1)).toString
         val nTrueSafe = math.max(nTrue, 1L)
+        // pin the width-labeled key frame: cand + ka + kb each replay the
+        // 4-way union of the sample scan left lazy (12 plan scans)
         val keyed = Seq(2, 4, 8, 12).map { wd =>
           c.select($"id", substring($"nm", 1, wd).as("bk"),
             lit(wd.toLong).as("w"))
-        }.reduce(_ unionByName _)
+        }.reduce(_ unionByName _).localCheckpoint()
         val cand = keyed.groupBy($"w", $"bk")
           .agg(count(lit(1)).cast(d38).as("bs"))
           .groupBy($"w").agg(sum($"bs" * ($"bs" - 1)).as("c2"))

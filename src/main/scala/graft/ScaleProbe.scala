@@ -56,6 +56,7 @@ object ScaleProbe {
       case "fam7" => fam7Probe(spark, sfDir, time(_)); spark.stop(); return
       case "fam8" => fam8Probe(spark, sfDir, time(_)); spark.stop(); return
       case "degen" => degenProbe(spark); spark.stop(); return
+      case "scans" => scanAudit(spark, sfDir); spark.stop(); return
       case _ => ()
     }
 
@@ -464,6 +465,44 @@ object ScaleProbe {
     * runs and honors SPARK_GRAFT_DEGEN_EMPTY=1 for the zero-row
     * variant).
     */
+  /** Scan-count audit over every declared query's physical plan: count
+    * parquet scans per base table and flag any query reading the same
+    * table more than `SPARK_GRAFT_SCAN_MAX` (default 2) times — the
+    * repeated-corpus-scan class the q326/q331/q336 round-8 fixes closed
+    * (a lazy frame consumed by N branches re-runs its whole subtree N
+    * times; at 100 TB each extra scan is a full corpus pass). Pinned
+    * (localCheckpoint) subtrees execute once during the BUILD and then
+    * vanish from the final plan, so what this audit counts is exactly
+    * the residual per-action scan cost. Scalar-collecting builders run
+    * their bounded driver aggregates at the probe SF — use sf0.001.
+    */
+  private def scanAudit(spark: SparkSession, sfDir: String): Unit = {
+    val tables = Seq("documents", "embeddings", "lineitem", "orders",
+      "customer", "supplier", "part", "nation", "region", "events")
+    val maxOk = sys.env.getOrElse("SPARK_GRAFT_SCAN_MAX", "2").toInt
+    var flagged = 0
+    Queries.all.foreach { q =>
+      try {
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val counts = tables.map(t =>
+          t -> s"$t\\.parquet".r.findAllIn(plan).length)
+          .filter(_._2 > 0)
+        val bad = counts.filter(_._2 > maxOk)
+        if (bad.nonEmpty) {
+          flagged += 1
+          println(s"""FLAG ${q.name}: ${bad.map { case (t, c) => s"$t=$c" }
+            .mkString(",")} (all: ${counts.map { case (t, c) => s"$t=$c" }
+            .mkString(",")})""")
+        }
+      } catch {
+        case e: Exception =>
+          println(s"ERR ${q.name}: ${e.getClass.getSimpleName}")
+      }
+    }
+    println(s"""{"metric":"scan_audit","queries":${Queries.all.size},""" +
+      s""""flagged":$flagged,"max_ok":$maxOk,"sf":"$sfDir"}""")
+  }
+
   private def degenProbe(spark: SparkSession): Unit = {
     val dir = "/dev/shm/graft_degen"
     if (sys.env.get("SPARK_GRAFT_DEGEN_EMPTY").contains("1"))
