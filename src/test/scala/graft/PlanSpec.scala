@@ -208,4 +208,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("the round-8 scan-audit pins hold: no repeated-subtree regression") {
+    // Each of these had its shared derivation replicated 4-180x in the
+    // plan before the localCheckpoint pins (q220 k-truss: 180 customer
+    // scans; measured 5.78 -> 3.27 s at sf0.1). The pins truncate the
+    // lineage, so the residual plan must scan the flagged table at most
+    // twice — a regression here means a pin was dropped or a new lazy
+    // consumer was added upstream of it. Full audit + triage of the
+    // deliberately-unpinned flags: SCALING.md "Scan-count audit".
+    val pins = Seq(
+      "q167_ppjoin" -> "documents", "q174_curation_funnel" -> "documents",
+      "q201_clustering_coefficient" -> "customer",
+      "q208_link_prediction" -> "customer",
+      "q212_blocking_quality" -> "customer", "q220_ktruss" -> "customer",
+      "q236_lang_cosine" -> "documents",
+      "q249_markov_stationary" -> "events",
+      "q308_fellegi_sunter" -> "documents",
+      "q309_funnel_exclusion" -> "events",
+      "q313_skipgram_pairs" -> "documents",
+      "q334_blocking_width_curve" -> "customer")
+    pins.foreach { case (name, table) =>
+      val p = plan(name)
+      val scans = s"$table\\.parquet".r.findAllIn(p).length
+      assert(scans <= 2, s"$name: $scans $table scans (pin regressed?)")
+    }
+  }
 }
