@@ -3,8 +3,10 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftExprColumn
 import org.apache.spark.sql.types._
@@ -16,8 +18,13 @@ import org.apache.spark.sql.types._
   * k × `array_min(transform(...))` costs k·|units| boxed lambda calls per
   * row (≈128M for 5k docs × k=64 × 400 shingles). These expressions do the
   * same arithmetic in one compiled JVM pass per row; `CodegenFallback` is
-  * fine because per-row work (k·|units| primitive ops) dwarfs the one boxed
-  * call. Semantics are bit-identical to the HOF versions (same md5-based
+  * fine for the cool paths because per-row work (k·|units| primitive ops)
+  * dwarfs the one boxed call, while the hot-path trio — [[CosineSim]] and
+  * [[PqAssign]] (join conditions evaluated Θ(n²/blocks) times) and
+  * [[ShingleHash60Array]] (the corpus-scan kernel) — carry real `doGenCode`
+  * so they stay inside whole-stage codegen without the fallback's
+  * UnsafeRow materialization. Semantics are bit-identical to the HOF
+  * versions (same md5-based
   * 60-bit hash, same mod-P permutations), so the DuckDB oracle SQL is
   * unchanged — unit tests pin the equivalence.
   */
@@ -114,61 +121,48 @@ object HashExpressions {
     *    shingle strings (collisions keep both hashes, like the composite),
     *    SORTED output (the [[Hash60Array]] contract its consumers —
     *    [[SortedIntersectCount]], MinHash — rely on); `< w` tokens → one
-    *    whole-doc shingle; null tokens → `[null]` (what
+    *    whole-doc shingle; a null token ARRAY → `[null]` (what
     *    `array(array_join(null))` produces — the row survives to a null
-    *    hash exactly as before).
+    *    hash exactly as before); null ELEMENTS are skipped the way
+    *    `array_join` skips them.
     *  - `positional = true` (the q338 lattice contract): one hash per
     *    window position, UNSORTED and with repeats; `< w` or null → empty
     *    (the `otherwise(array())` branch).
     */
   case class ShingleHash60Array(child: Expression, w: Int, positional: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(w >= 1, s"shingle width must be >= 1: $w")
     override def dataType: DataType =
       ArrayType(LongType, containsNull = !positional)
     override def nullable: Boolean = false
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      if (v == null) {
-        if (positional) new GenericArrayData(Array.empty[Any])
-        else new GenericArrayData(Array[Any](null))
-      } else nullSafeEval(v)
+      if (v == null) ShingleKernel.nullInput(positional)
+      else ShingleKernel.run(v.asInstanceOf[ArrayData], w, positional)
     }
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val md = MessageDigest.getInstance("MD5")
-      def windowString(start: Int, len: Int): String = {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < len) {
-          if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(start + j).toString)
-          j += 1
-        }
-        sb.toString
-      }
-      def h(s: String): Long =
-        hash60Bytes(md, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (positional) {
-        if (n < w) return new GenericArrayData(Array.empty[Any])
-        val out = new Array[Long](n - w + 1)
-        var i = 0
-        while (i <= n - w) { out(i) = h(windowString(i, w)); i += 1 }
-        new GenericArrayData(out)
-      } else if (n < w) {
-        new GenericArrayData(Array[Any](h(windowString(0, n))))
-      } else {
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i <= n - w) { seen.add(windowString(i, w)); i += 1 }
-        val out = new Array[Long](seen.size)
-        val it = seen.iterator()
-        var k = 0
-        while (it.hasNext) { out(k) = h(it.next()); k += 1 }
-        java.util.Arrays.sort(out)
-        new GenericArrayData(out)
-      }
+    /** Real codegen (no CodegenFallback): the fused loop lives in
+      * [[ShingleKernel.run]] — one already-JIT-compiled method both eval
+      * modes share, so interpreted/codegen bit-identity holds by
+      * construction. What codegen buys over the fallback is staying inside
+      * whole-stage codegen: CodegenFallback forces the surrounding stage to
+      * materialize `ctx.INPUT_ROW` as a full UnsafeRow and pays a boxed
+      * `Expression.eval(row)` dispatch per row; here the generated Java
+      * evaluates the child in place and makes one direct (inlineable,
+      * megamorphism-free) call on the kernel reference.
+      */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val kernel = ctx.addReferenceObj("shingleKernel", ShingleKernel,
+        "graft.functions.ShingleKernel$")
+      val javaType = CodeGenerator.javaType(dataType)
+      ev.copy(
+        code = code"""
+          |${childGen.code}
+          |$javaType ${ev.value} = ${childGen.isNull}
+          |  ? $kernel.nullInput($positional)
+          |  : $kernel.run(${childGen.value}, $w, $positional);
+        """.stripMargin,
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): ShingleHash60Array =
       copy(child = c)
@@ -506,4 +500,71 @@ object HashExpressions {
   def simhashFingerprint(units: Column): Column =
     GraftExprColumn.column(
       SimHashFingerprint(GraftExprColumn.expression(units)))
+}
+
+/** The fused shingle+hash loop behind [[HashExpressions.ShingleHash60Array]],
+  * as a top-level object so the generated Java (which receives it via
+  * `addReferenceObj`) and the interpreted `eval` call the SAME compiled
+  * method — bit-identity between eval modes is structural, and the
+  * scalacheck property in HashExpressionsSpec pins it anyway.
+  */
+object ShingleKernel {
+
+  // One MD5 instance per executor thread: `getInstance` per ROW (what the
+  // old CodegenFallback body did) costs a provider lookup + allocation on
+  // every document of a corpus scan.
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Null ARRAY input. Set mode → `[null]` — what the composite's
+    * `array(array_join(null))` yields, so the row survives to a null hash;
+    * positional mode → empty (the `otherwise(array())` branch).
+    */
+  def nullInput(positional: Boolean): ArrayData =
+    if (positional) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(Array[Any](null))
+
+  def run(arr: ArrayData, w: Int, positional: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val md = mdLocal.get()
+    // Null ELEMENTS are skipped exactly as array_join skips them (no token,
+    // no separator) — the composite tolerated null tokens; the fused form
+    // must too, not NPE (all current call sites feed TF.tokens, which is
+    // null-free, but the kernel is a public helper).
+    def windowString(start: Int, len: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var appended = false
+      var j = 0
+      while (j < len) {
+        if (!arr.isNullAt(start + j)) {
+          if (appended) sb.append(' ')
+          sb.append(arr.getUTF8String(start + j).toString)
+          appended = true
+        }
+        j += 1
+      }
+      sb.toString
+    }
+    def h(s: String): Long =
+      HashExpressions.hash60Bytes(md, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (positional) {
+      if (n < w) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Long](n - w + 1)
+      var i = 0
+      while (i <= n - w) { out(i) = h(windowString(i, w)); i += 1 }
+      new GenericArrayData(out)
+    } else if (n < w) {
+      new GenericArrayData(Array[Any](h(windowString(0, n))))
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= n - w) { seen.add(windowString(i, w)); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = h(it.next()); k += 1 }
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+  }
 }

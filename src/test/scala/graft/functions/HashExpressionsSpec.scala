@@ -95,4 +95,95 @@ class HashExpressionsSpec extends AnyFunSuite {
       assert(both.filter(not($"fast" <=> $"ref")).isEmpty, s"w=$w")
     }
   }
+
+  // ----- fused-kernel equivalence over RAW token arrays (nulls included) ----
+  // TF.tokens never emits null/empty elements, but the kernel is a public
+  // helper: it must mirror array_join's null-skipping (ADVICE round-8) and
+  // be bit-identical between the interpreted eval and the generated Java.
+
+  /** Set-mode HOF composite over a token-ARRAY column (TF.shingles inlined
+    * past the tokenizer) — the semantics contract the kernel must match.
+    */
+  private def setModeRef(t: org.apache.spark.sql.Column, w: Int) =
+    array_sort(transform(
+      when(size(t) >= w,
+        array_distinct(transform(sequence(lit(0), size(t) - w), i =>
+          array_join(slice(t, i + 1, lit(w)), " "))))
+        .otherwise(array(array_join(t, " "))),
+      TF.hash60 _))
+
+  private def posModeRef(t: org.apache.spark.sql.Column, w: Int) =
+    when(size(t) >= w, transform(sequence(lit(0), size(t) - w), i =>
+      TF.hash60(array_join(slice(t, i + 1, lit(w)), " "))))
+      .otherwise(array().cast("array<long>"))
+
+  test("ShingleHash60Array skips null elements like array_join (no NPE)") {
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("a", null, "b", "c"),          // null mid-window
+      Seq(null, null),                   // all-null, below w
+      Seq(null, "a", null),              // null at both edges
+      Seq("a", "", "b"),                 // empty-string token (NOT skipped)
+      null                               // null array
+    )
+    val df = rows.toDF("t")
+    for (w <- Seq(2, 3)) {
+      val both = df.select(
+        HashExpressions.shingleHash60Array($"t", w).as("fast"),
+        setModeRef($"t", w).as("ref"),
+        HashExpressions.positionalShingleHash60($"t", w).as("fastp"),
+        posModeRef($"t", w).as("refp"))
+      assert(both.filter(not($"fast" <=> $"ref") or not($"fastp" <=> $"refp"))
+        .isEmpty, s"w=$w")
+    }
+  }
+
+  test("property: kernel ≡ composite AND interpreted ≡ codegen on random arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+
+    val token: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "dup", "ü語"),
+      1 -> Gen.const(null: String),
+      1 -> Gen.const(""))
+    val arrGen: Gen[Seq[String]] = Gen.frequency(
+      1 -> Gen.const(null: Seq[String]),
+      9 -> Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, token).map(_.toSeq)))
+    val samples: Seq[Seq[String]] =
+      (0 until 200).map(i => arrGen.pureApply(Gen.Parameters.default, Seed(9000L + i)))
+
+    // (a) interpreted eval ≡ generated-code eval, per sample, both modes
+    val inType = ArrayType(StringType, containsNull = true)
+    val conv = CatalystTypeConverters.createToCatalystConverter(inType)
+    def elems(a: ArrayData): Seq[Option[Long]] =
+      (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) None else Some(a.getLong(i)))
+    for (w <- Seq(1, 3, 8); positional <- Seq(false, true)) {
+      val expr = HashExpressions.ShingleHash60Array(
+        BoundReference(0, inType, nullable = true), w, positional)
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      samples.foreach { s =>
+        val row = InternalRow(conv(s))
+        val interp = elems(expr.eval(row).asInstanceOf[ArrayData])
+        val gen = elems(proj(row).getArray(0))
+        assert(interp === gen, s"w=$w positional=$positional input=$s")
+      }
+    }
+
+    // (b) kernel ≡ HOF composite, whole sample set in one DataFrame pass
+    val df = samples.toDF("t")
+    for (w <- Seq(1, 3, 8)) {
+      val both = df.select(
+        HashExpressions.shingleHash60Array($"t", w).as("fast"),
+        setModeRef($"t", w).as("ref"),
+        HashExpressions.positionalShingleHash60($"t", w).as("fastp"),
+        posModeRef($"t", w).as("refp"))
+      assert(both.filter(not($"fast" <=> $"ref") or not($"fastp" <=> $"refp"))
+        .isEmpty, s"w=$w")
+    }
+  }
 }
