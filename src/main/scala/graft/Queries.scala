@@ -16829,35 +16829,10 @@ object Queries {
         val v = Tables.embeddings(s, dir)
           .filter($"embedding".isNotNull)
           .select($"vec_id", $"label", VF.toDouble($"embedding").as("v"))
-        val w = Window.partitionBy($"label").orderBy($"vec_id")
-        val rk = v.withColumn("r", row_number().over(w))
-        val off = rk
-          .withColumn("d", explode(lit(
-            ((-12 to -1) ++ (1 to 12)).map(_.toLong).toArray)))
-          .select($"label", ($"r" + $"d").as("rn"),
-            $"vec_id".as("qa"), $"v".as("va"))
-        val c0 = off.join(rk.select($"label", $"r".as("rn"),
-            $"vec_id".as("cb"), $"v".as("vb")), Seq("label", "rn"))
-          .select($"qa", $"cb", round(graft.functions.HashExpressions
-            .cosineSim($"va", $"vb"), 6).as("cos"))
-        val wq = Window.partitionBy($"qa").orderBy($"cos".desc, $"cb")
-        val n0 = c0.withColumn("rn", row_number().over(wq))
-          .filter($"rn" <= 5).select($"qa", $"cb", $"cos")
-          .localCheckpoint()
-        val nn = n0.select($"qa", $"cb".as("mid"))
-          .join(n0.select($"qa".as("mid"), $"cb".as("cc")), "mid")
-          .filter($"qa" =!= $"cc")
-          .select($"qa", $"cc".as("cb"))
-          .unionByName(n0.select($"qa", $"cb"))
-          .distinct()
-        val vv = v.select($"vec_id", $"v")
-        val c1 = nn
-          .join(vv.select($"vec_id".as("qa"), $"v".as("va")), "qa")
-          .join(vv.select($"vec_id".as("cb"), $"v".as("vb")), "cb")
-          .select($"qa", $"cb", round(graft.functions.HashExpressions
-            .cosineSim($"va", $"vb"), 6).as("cos"))
-        val n1 = c1.withColumn("rn", row_number().over(wq))
-          .filter($"rn" <= 5).select($"qa", $"cb", $"cos")
+        // the seed/refine stages live in ops.NnDescent — the SAME edge
+        // path q344's connectivity audit certifies
+        val n0 = graft.ops.NnDescent.seed(v, window = 12, k = 5)
+        val n1 = graft.ops.NnDescent.refine(v, n0, k = 5)
         def worstU(n: DataFrame, out: String): DataFrame = n
           .groupBy($"qa")
           .agg((min($"cos").cast(DecimalType(18, 6)) * 1000000)
@@ -17786,7 +17761,94 @@ object Queries {
         |    THEN ntok ELSE 0 END), 0) * 1000000)
         |    // greatest(coalesce(sum(ntok), 0), 1) AS BIGINT)
         |    AS kept_tok_ppm
-        |FROM keyed GROUP BY 1, 2 ORDER BY scheme, pct""".stripMargin))
+        |FROM keyed GROUP BY 1, 2 ORDER BY scheme, pct""".stripMargin)),
+
+    // ---- 344. kNN-graph connectivity over the PRODUCTION edge path —
+    //          q341 proves the symmetrize→CC→size-ladder audit but builds
+    //          its edges with the brute cell join (the oracle harness,
+    //          O(|V|²/cells)); its QDef *documents* that at scale the same
+    //          audit consumes NN-descent edges. This query PROVES that
+    //          composition: the edge list is q332's NN-descent round-1
+    //          graph (ops.NnDescent — sorted-neighborhood seed + one
+    //          bounded neighbor-of-neighbor refinement, linear in |V|),
+    //          so every stage from vectors to the component ladder is the
+    //          100 TB shape: constant per-vertex fan, edges ≤ k·|V|,
+    //          |V|-bounded CC state. The ladder itself is q341's
+    //          (audits must be comparable across edge sources — seeing
+    //          the NN-descent graph splinter where the exact graph
+    //          doesn't is precisely the signal). ----
+    QDef("q344_nn_graph_connectivity_scale",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.embeddings(s, dir)
+          .filter($"embedding".isNotNull)
+          .select($"vec_id", $"label", VF.toDouble($"embedding").as("v"))
+        val n1 = graft.ops.NnDescent.refine(v,
+          graft.ops.NnDescent.seed(v, window = 12, k = 5), k = 5)
+        val edges = n1
+          .select(least($"qa", $"cb").as("a"), greatest($"qa", $"cb").as("b"))
+          .distinct()
+        val comps = graft.ops.ConnectedComponents.run(edges, "a", "b")
+        comps.groupBy($"comp").agg(count(lit(1)).as("n"))
+          .groupBy(when($"n" <= 8, "1: 2-8")
+            .when($"n" <= 64, "2: 9-64")
+            .when($"n" <= 512, "3: 65-512")
+            .otherwise("4: 513+").as("bucket"))
+          .agg(count(lit(1)).as("n_components"),
+            sum($"n").as("n_vertices"))
+          .select($"bucket", $"n_components", $"n_vertices",
+            expr("(n_vertices * 1000000)" +
+              " div greatest(sum(n_vertices) over (), 1)")
+              .as("vertex_ppm"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH RECURSIVE v AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |rk AS (SELECT vec_id, label, v,
+        |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS r
+        |  FROM v),
+        |off AS (SELECT rk.label, rk.r + d.d AS rn, rk.vec_id AS qa,
+        |    rk.v AS va
+        |  FROM rk, (SELECT unnest([-12,-11,-10,-9,-8,-7,-6,-5,-4,-3,-2,
+        |    -1,1,2,3,4,5,6,7,8,9,10,11,12]) AS d) d),
+        |c0 AS (SELECT o.qa, b.vec_id AS cb,
+        |    round(list_cosine_similarity(o.va, b.v), 6) AS cos
+        |  FROM off o JOIN rk b ON b.label = o.label AND b.r = o.rn),
+        |n0 AS (SELECT qa, cb, cos FROM (SELECT c0.*, row_number() OVER
+        |    (PARTITION BY qa ORDER BY cos DESC, cb) AS rn FROM c0)
+        |  WHERE rn <= 5),
+        |nn AS (SELECT DISTINCT qa, cb FROM (
+        |  SELECT a.qa AS qa, b.cb AS cb FROM n0 a JOIN n0 b
+        |    ON b.qa = a.cb WHERE a.qa <> b.cb
+        |  UNION ALL SELECT qa, cb FROM n0)),
+        |c1 AS (SELECT nn.qa, nn.cb,
+        |    round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |  FROM nn JOIN v x ON x.vec_id = nn.qa
+        |    JOIN v y ON y.vec_id = nn.cb),
+        |n1 AS (SELECT qa, cb, cos FROM (SELECT c1.*, row_number() OVER
+        |    (PARTITION BY qa ORDER BY cos DESC, cb) AS rn FROM c1)
+        |  WHERE rn <= 5),
+        |edges AS (SELECT DISTINCT least(qa, cb) AS a,
+        |    greatest(qa, cb) AS b FROM n1),
+        |sym AS (SELECT a AS sv, b AS dv FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |verts AS (SELECT DISTINCT sv AS vx FROM sym),
+        |reach(vx, m) AS (SELECT vx, vx FROM verts
+        |  UNION SELECT sym.sv, reach.m FROM sym
+        |    JOIN reach ON sym.dv = reach.vx),
+        |comps AS (SELECT vx, min(m) AS comp FROM reach GROUP BY vx),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+        |  FROM comps GROUP BY 1)
+        |SELECT CASE WHEN n <= 8 THEN '1: 2-8'
+        |    WHEN n <= 64 THEN '2: 9-64'
+        |    WHEN n <= 512 THEN '3: 65-512'
+        |    ELSE '4: 513+' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(n) AS BIGINT) AS n_vertices,
+        |  CAST((sum(n) * 1000000)
+        |    // greatest(sum(sum(n)) OVER (), 1) AS BIGINT) AS vertex_ppm
+        |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
