@@ -77,7 +77,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    // Mechanical contention flag: 1-min loadavg at START above ~2 means
+    // another tenant owned cores while this record ran (this VM's driver
+    // windows have measured 3-17x tails on sub-second queries under load),
+    // so downstream tooling can filter records without reading the
+    // calibration prose in BENCH_LOCAL.md.
+    val contended =
+      try loadStart.stripPrefix("[").split(",").head.toDouble > 2.0
+      catch { case _: Throwable => false }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended}"""
     println(line)
     // Also land the record in a file: the driver's stdout tail-capture has
     // truncated the one-line JSON two rounds running (BENCH_r03/r04

@@ -8858,16 +8858,16 @@ object Queries {
         |       WHERE a.bk = b.bk)
         |SELECT 'length' AS scheme, CAST(cl.n_cand AS BIGINT) AS n_cand,
         |  CAST(n.n_true AS BIGINT) AS n_true, fl.n_found,
-        |  CAST(1000000 - (cl.n_cand * 1000000) // (n.n * (n.n - 1) // 2)
+        |  CAST(1000000 - (cl.n_cand * 1000000) // greatest(n.n * (n.n - 1) // 2, 1)
         |    AS BIGINT) AS rr_ppm,
-        |  (fl.n_found * 1000000) // n.n_true AS pc_ppm
+        |  (fl.n_found * 1000000) // greatest(n.n_true, 1) AS pc_ppm
         |FROM cl, fl, n
         |UNION ALL
         |SELECT 'prefix8', CAST(cp.n_cand AS BIGINT), CAST(n.n_true AS BIGINT),
         |  fp.n_found,
-        |  CAST(1000000 - (cp.n_cand * 1000000) // (n.n * (n.n - 1) // 2)
+        |  CAST(1000000 - (cp.n_cand * 1000000) // greatest(n.n * (n.n - 1) // 2, 1)
         |    AS BIGINT),
-        |  (fp.n_found * 1000000) // n.n_true
+        |  (fp.n_found * 1000000) // greatest(n.n_true, 1)
         |FROM cp, fp, n
         |ORDER BY scheme""".stripMargin)),
 
@@ -8889,22 +8889,10 @@ object Queries {
     QDef("q213_consistent_ring",
       (s, dir) => {
         import s.implicits._
-        val ringDf = s.range(0, 8).toDF("sh")
-          .crossJoin(broadcast(s.range(0, 16).toDF("vn")))
-          .select($"sh", TF.hash60(concat(lit("ring:s"), $"sh",
-            lit(":v"), $"vn")).as("pt"))
-        val ring = ringDf.collect().map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(_._2) // 128 rows: bounded config, not data
-        val W = 1L << 52 // 2^60 ring / 256 buckets
-        val minPt = ring.head
-        val routing = (0 until 256).flatMap { b =>
-          val inBucket = ring.filter(p => p._2 >> 52 == b)
-            .map(p => (b.toLong, p._2, p._1))
-          val succ = ring.find(_._2 > (b + 1) * W - 1)
-            .map(p => (b.toLong, p._2, p._1))
-            .getOrElse((b.toLong, minPt._2 + (1L << 60), minPt._1))
-          inBucket :+ succ
-        }.toDF("bucket", "pt", "sh")
+        // ring + 256-bucket successor table live in ops.ConsistentRing
+        // (shared with q328's resize matrix; 128 rows of bounded config)
+        val routing = graft.ops.ConsistentRing.routingTable(s, nShards = 8)
+          .toDF("bucket", "pt", "sh")
         val keys = Tables.documents(s, dir)
           .select($"doc_id", TF.hash60(concat(lit("key:"),
             $"doc_id".cast("string"))).as("kh"))
@@ -16508,24 +16496,11 @@ object Queries {
     QDef("q328_ring_resize",
       (s, dir) => {
         import s.implicits._
-        def mkRouting(nShards: Int, rid: Long): Seq[(Long, Long, Long, Long)] = {
-          val ringDf = s.range(0, nShards).toDF("sh")
-            .crossJoin(broadcast(s.range(0, 16).toDF("vn")))
-            .select($"sh", TF.hash60(concat(lit("ring:s"), $"sh",
-              lit(":v"), $"vn")).as("pt"))
-          val ring = ringDf.collect().map(r => (r.getLong(0), r.getLong(1)))
-            .sortBy(_._2) // ≤144 rows: bounded config, not data
-          val W = 1L << 52
-          val minPt = ring.head
-          (0 until 256).flatMap { b =>
-            val inBucket = ring.filter(p => p._2 >> 52 == b)
-              .map(p => (rid, b.toLong, p._2, p._1))
-            val succ = ring.find(_._2 > (b + 1) * W - 1)
-              .map(p => (rid, b.toLong, p._2, p._1))
-              .getOrElse((rid, b.toLong, minPt._2 + (1L << 60), minPt._1))
-            inBucket :+ succ
-          }
-        }
+        // both rings' routing tables from ops.ConsistentRing (the q213
+        // builder), tagged by ring id — ≤ 144+256 rows of bounded config
+        def mkRouting(nShards: Int, rid: Long): Seq[(Long, Long, Long, Long)] =
+          graft.ops.ConsistentRing.routingTable(s, nShards)
+            .map { case (b, pt, sh) => (rid, b, pt, sh) }
         val routing = (mkRouting(8, 8L) ++ mkRouting(9, 9L))
           .toDF("rid", "bucket", "pt", "sh")
         Tables.documents(s, dir)
@@ -17032,8 +17007,8 @@ object Queries {
         |  CAST(n.n_true AS BIGINT) AS n_true,
         |  COALESCE(fd.n_found, 0) AS n_found,
         |  CAST(1000000 - (cd.n_cand * 1000000)
-        |    // (n.n * (n.n - 1) // 2) AS BIGINT) AS rr_ppm,
-        |  CAST((COALESCE(fd.n_found, 0) * 1000000) // n.n_true AS BIGINT)
+        |    // greatest(n.n * (n.n - 1) // 2, 1) AS BIGINT) AS rr_ppm,
+        |  CAST((COALESCE(fd.n_found, 0) * 1000000) // greatest(n.n_true, 1) AS BIGINT)
         |    AS pc_ppm
         |FROM cd LEFT JOIN fd ON fd.w = cd.w, n ORDER BY w""".stripMargin)),
 
@@ -17310,8 +17285,8 @@ object Queries {
             .when($"max_run" <= 15, "2: 4-15")
             .otherwise("3: 16+").as("bucket"))
           .agg(count(lit(1)).as("n_docs"),
-            sum($"max_run").as("dup_positions"))
-          .select($"bucket", $"n_docs", $"dup_positions",
+            sum($"max_run").as("sum_max_run"))
+          .select($"bucket", $"n_docs", $"sum_max_run",
             expr("(n_docs * 1000000)" +
               " div greatest(sum(n_docs) over (), 1)").as("docs_ppm"))
           .orderBy($"bucket")
@@ -17339,7 +17314,7 @@ object Queries {
         |    WHEN max_run <= 15 THEN '2: 4-15'
         |    ELSE '3: 16+' END AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(max_run) AS BIGINT) AS dup_positions,
+        |  CAST(sum(max_run) AS BIGINT) AS sum_max_run,
         |  CAST((count(*) * 1000000)
         |    // greatest(sum(count(*)) OVER (), 1) AS BIGINT) AS docs_ppm
         |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin)),

@@ -57,6 +57,7 @@ object ScaleProbe {
       case "fam8" => fam8Probe(spark, sfDir, time(_)); spark.stop(); return
       case "degen" => degenProbe(spark); spark.stop(); return
       case "scans" => scanAudit(spark, sfDir); spark.stop(); return
+      case "scansrt" => runtimeScanAudit(spark, sfDir); spark.stop(); return
       case _ => ()
     }
 
@@ -500,6 +501,44 @@ object ScaleProbe {
       }
     }
     println(s"""{"metric":"scan_audit","queries":${Queries.all.size},""" +
+      s""""flagged":$flagged,"max_ok":$maxOk,"sf":"$sfDir"}""")
+  }
+
+  /** MEASURED scan-count audit (`scansrt`): every query is fully
+    * materialized through the noop sink and [[ScanAudit]] counts the
+    * parquet scans that actually EXECUTED — caches count their build once,
+    * reused exchanges/subqueries count nothing, zero-file scans count
+    * nothing. This replaces the plan-TEXT triage the round-8 audit needed
+    * (persist-backed lineage prints but doesn't re-read). Same flag rule:
+    * any table read more than SPARK_GRAFT_SCAN_MAX (default 2) times per
+    * materialization is a repeated-corpus-pass suspect.
+    */
+  private def runtimeScanAudit(spark: SparkSession, sfDir: String): Unit = {
+    val maxOk = sys.env.getOrElse("SPARK_GRAFT_SCAN_MAX", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_SCAN_ONLY").map(_.split(',').toSet)
+    var flagged = 0
+    Queries.all.foreach { q =>
+      if (only.forall(_.contains(q.name))) {
+        try {
+          val counts = ScanAudit.measuredScans(spark)(q.fn(spark, sfDir))
+          val bad = counts.filter(_._2 > maxOk)
+          if (sys.env.get("SPARK_GRAFT_SCAN_VERBOSE").contains("1"))
+            println(s"""SCANS ${q.name}: ${counts.toSeq.sortBy(-_._2)
+              .map { case (t, c) => s"$t=$c" }.mkString(",")}""")
+          if (bad.nonEmpty) {
+            flagged += 1
+            println(s"""FLAG ${q.name}: ${bad.map { case (t, c) => s"$t=$c" }
+              .mkString(",")} (all: ${counts.toSeq.sortBy(-_._2)
+              .map { case (t, c) => s"$t=$c" }.mkString(",")})""")
+          }
+          spark.sharedState.cacheManager.clearCache()
+        } catch {
+          case e: Exception =>
+            println(s"ERR ${q.name}: ${e.getClass.getSimpleName}")
+        }
+      }
+    }
+    println(s"""{"metric":"runtime_scan_audit","queries":${Queries.all.size},""" +
       s""""flagged":$flagged,"max_ok":$maxOk,"sf":"$sfDir"}""")
   }
 

@@ -61,7 +61,11 @@ object CapStream {
         sum(col("cnt")).as("rows_total"))
       .select(col("cap"), col("n_users"), col("n_clipped"),
         col("rows_kept"),
-        expr("(rows_kept * 1000000) div rows_total").as("kept_ppm"))
+        // greatest(): updates() can't emit a zero-total snapshot, but
+        // curve is a public helper over ANY counts frame (house q337/q343
+        // degenerate-input convention)
+        expr("(rows_kept * 1000000) div greatest(rows_total, 1)")
+          .as("kept_ppm"))
       .orderBy(col("cap"))
   }
 }
