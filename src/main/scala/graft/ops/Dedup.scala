@@ -84,7 +84,13 @@ object Dedup {
   def collapseByContent(
       df: DataFrame, contentCols: Seq[String], idCol: String): (DataFrame, DataFrame) = {
     val fp = md5(to_json(struct(contentCols.map(col): _*)))
+    // pin the (id, fingerprint) frame — 40 bytes/doc: canon, membership,
+    // and the canonical-row semi-join each re-scanned the source corpus
+    // when this was left lazy (round-9 measured scan audit: q61's grouping
+    // pipeline read documents 4×, now 2 — this pin and the canonical-text
+    // fetch)
     val withFp = df.select(col(idCol).as("member_id"), fp.as("__fp"))
+      .localCheckpoint()
     val canon = withFp.groupBy(col("__fp"))
       .agg(min(col("member_id")).as("canonical_id"))
     val membership = withFp.join(canon, "__fp")

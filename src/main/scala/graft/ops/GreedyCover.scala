@@ -39,6 +39,12 @@ object GreedyCover {
     val ex = base
       .select(col("__g"), col("__id"), explode(col("__ts")).as("__t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The eligible-item list must come from `base`, not `ex` (zero-token
+    // items have no explode rows but stay pickable) — pinned ONCE: deriving
+    // it lazily re-scanned the source corpus in every round's argmax
+    // (round-9 measured scan audit: k=4 cost 9 corpus scans; now 2 — this
+    // pin and the `ex` cache build).
+    val ids = base.select(col("__g"), col("__id")).localCheckpoint(true)
     try {
       var covered = ex.select(col("__g"), col("__t")).limit(0)
         .localCheckpoint(true)
@@ -52,7 +58,7 @@ object GreedyCover {
           .join(covered, Seq("__g", "__t"), "left_anti")
           .groupBy(col("__g"), col("__id")).agg(count(lit(1)).as("__gain"))
         // fully-covered items produce no gain row but stay eligible
-        val all = unpicked(base.select(col("__g"), col("__id")))
+        val all = unpicked(ids)
           .join(gains, Seq("__g", "__id"), "left")
           .withColumn("__gain", coalesce(col("__gain"), lit(0L)))
         val pick = all.groupBy(col("__g"))
@@ -62,8 +68,13 @@ object GreedyCover {
             col("__w.__gain").as("__gain"), lit(step).as("step"))
         picked = (if (picked == null) pick else picked.unionByName(pick))
           .localCheckpoint(true)
+        // read this round's pick back from the CHECKPOINT: the lazy `pick`
+        // frame re-runs the whole argmax derivation when the covered-set
+        // update below materializes (the second of the two per-round
+        // replays the measured audit caught)
+        val pickNow = picked.filter(col("step") === lit(step))
         covered = covered.unionByName(
-            ex.join(pick.select(col("__g"), col("__id")),
+            ex.join(pickNow.select(col("__g"), col("__id")),
               Seq("__g", "__id"))
               .select(col("__g"), col("__t")))
           .distinct().localCheckpoint(true)
