@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftExprColumn
@@ -17,20 +17,28 @@ import org.apache.spark.sql.types._
   * evaluated INTERPRETED per element — a MinHash signature as
   * k × `array_min(transform(...))` costs k·|units| boxed lambda calls per
   * row (≈128M for 5k docs × k=64 × 400 shingles). These expressions do the
-  * same arithmetic in one compiled JVM pass per row; `CodegenFallback` is
-  * fine for the cool paths because per-row work (k·|units| primitive ops)
-  * dwarfs the one boxed call, while the hot-path trio — [[CosineSim]] and
-  * [[PqAssign]] (join conditions evaluated Θ(n²/blocks) times) and
-  * [[ShingleHash60Array]] (the corpus-scan kernel) — carry real `doGenCode`
-  * so they stay inside whole-stage codegen without the fallback's
-  * UnsafeRow materialization. Semantics are bit-identical to the HOF
-  * versions (same md5-based
+  * same arithmetic in one compiled JVM pass per row. Every expression here
+  * carries real `doGenCode` (round 9 — none is `CodegenFallback`, which
+  * forces the host stage to materialize `ctx.INPUT_ROW` as an UnsafeRow
+  * and pays a boxed `eval(row)` dispatch per row): the pair-hot join
+  * conditions ([[CosineSim]], [[PqAssign]], [[SortedIntersectCount]])
+  * inline their loops into the generated predicate, and the corpus-scan
+  * kernels generate one direct call to the SAME compiled `compute` method
+  * their interpreted path runs — bit-identity between eval modes by
+  * construction. Semantics are bit-identical to the HOF versions (same
+  * md5-based
   * 60-bit hash, same mod-P permutations), so the DuckDB oracle SQL is
   * unchanged — unit tests pin the equivalence.
   */
 object HashExpressions {
 
   val P: Long = 2147483647L
+
+  /** One MD5 per executor thread — `getInstance` per ROW costs a provider
+    * lookup + allocation on every document of a corpus scan.
+    */
+  private[functions] val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** hash60(s) = first 15 hex chars of md5(s) as a long =
     * (big-endian first-8-bytes >>> 4) masked to 60 bits.
@@ -51,15 +59,14 @@ object HashExpressions {
     * Empty input → array of P (no unit ever hashes to P since P > max mod).
     */
   case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[Long])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private lazy val preHashed = child.dataType match {
       case ArrayType(LongType, _) => true
       case _ => false
     }
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val md = if (preHashed) null else MessageDigest.getInstance("MD5")
+    def compute(arr: ArrayData): ArrayData = {
+      val md = if (preHashed) null else mdLocal.get()
       val mins = Array.fill(k)(P)
       var i = 0
       val n = arr.numElements()
@@ -77,6 +84,17 @@ object HashExpressions {
       }
       new GenericArrayData(mins)
     }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    /** Real codegen, the [[ShingleHash60Array]] device: the generated Java
+      * calls the SAME compiled `compute` both eval modes share — what it
+      * buys over CodegenFallback is staying inside whole-stage codegen
+      * (no forced INPUT_ROW materialization, no boxed eval dispatch).
+      */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhashSig", this,
+        classOf[MinHashSignature].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
     override def prettyName: String = "minhash_signature"
   }
@@ -86,11 +104,10 @@ object HashExpressions {
     * set-intersection verification.
     */
   case class Hash60Array(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val md = MessageDigest.getInstance("MD5")
+    def compute(arr: ArrayData): ArrayData = {
+      val md = mdLocal.get()
       val n = arr.numElements()
       val out = new Array[Long](n)
       var i = 0
@@ -100,6 +117,12 @@ object HashExpressions {
       }
       java.util.Arrays.sort(out)
       new GenericArrayData(out)
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("hash60Arr", this,
+        classOf[Hash60Array].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): Hash60Array = copy(child = c)
     override def prettyName: String = "hash60_array"
@@ -173,8 +196,7 @@ object HashExpressions {
     * set (what `array_intersect` builds internally).
     */
   case class SortedIntersectCount(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -189,6 +211,32 @@ object HashExpressions {
       }
       java.lang.Integer.valueOf(c)
     }
+    /** Real codegen with the loop INLINED (the [[CosineSim]] precedent,
+      * and for the same reason: this merge is evaluated per candidate
+      * PAIR inside verify joins — Θ(pairs) sites where even one call
+      * dispatch per pair is visible).
+      */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+          |int $i = 0; int $j = 0; int $c = 0;
+          |int $na = $a.numElements(); int $nb = $b.numElements();
+          |while ($i < $na && $j < $nb) {
+          |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+          |  if ($x == $y) { $c++; $i++; $j++; }
+          |  else if ($x < $y) $i++;
+          |  else $j++;
+          |}
+          |${ev.value} = $c;
+        """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
       copy(left = l, right = r)
     override def prettyName: String = "sorted_intersect_count"
@@ -219,11 +267,10 @@ object HashExpressions {
     * (set semantics, matching `array_distinct` + per-bit sign counting).
     */
   case class SimHashFingerprint(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val md = MessageDigest.getInstance("MD5")
+    def compute(arr: ArrayData): Long = {
+      val md = mdLocal.get()
       val seen = new java.util.HashSet[Long]()
       val counts = new Array[Int](60)
       var i = 0
@@ -242,7 +289,13 @@ object HashExpressions {
       var fp = 0L
       var j = 0
       while (j < 60) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
-      java.lang.Long.valueOf(fp)
+      fp
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhashFp", this,
+        classOf[SimHashFingerprint].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): SimHashFingerprint = copy(child = c)
     override def prettyName: String = "simhash_fingerprint"
@@ -327,7 +380,7 @@ object HashExpressions {
     * estimates the angle — the LSH family for cosine similarity.
     */
   case class SrpSignature(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(nPlanes <= 60, "signature packs into 60 bits")
     override def dataType: DataType = LongType
     private def planeComponent(j: Int, d: Int): Double = {
@@ -338,8 +391,7 @@ object HashExpressions {
       z = z ^ (z >>> 31)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
+    def compute(a: ArrayData): Long = {
       val n = a.numElements()
       var sig = 0L
       var j = 0
@@ -350,7 +402,13 @@ object HashExpressions {
         if (dot > 0) sig |= (1L << j)
         j += 1
       }
-      java.lang.Long.valueOf(sig)
+      sig
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("srpSig", this,
+        classOf[SrpSignature].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): SrpSignature = copy(child = c)
     override def prettyName: String = "srp_signature"
@@ -362,14 +420,13 @@ object HashExpressions {
     * pair order is (smaller, larger).
     */
   case class OrderedPairs(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(
       StructType(Seq(
         StructField("doc_a", LongType, nullable = false),
         StructField("doc_b", LongType, nullable = false))),
       containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val out = new Array[Any](n * (n - 1) / 2)
       var k = 0
@@ -378,13 +435,19 @@ object HashExpressions {
         val a = arr.getLong(i)
         var j = i + 1
         while (j < n) {
-          out(k) = org.apache.spark.sql.catalyst.InternalRow(a, arr.getLong(j))
+          out(k) = InternalRow(a, arr.getLong(j))
           k += 1
           j += 1
         }
         i += 1
       }
       new GenericArrayData(out)
+    }
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("orderedPairs", this,
+        classOf[OrderedPairs].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
     }
     override protected def withNewChildInternal(c: Expression): OrderedPairs = copy(child = c)
     override def prettyName: String = "ordered_pairs"
@@ -510,11 +573,7 @@ object HashExpressions {
   */
 object ShingleKernel {
 
-  // One MD5 instance per executor thread: `getInstance` per ROW (what the
-  // old CodegenFallback body did) costs a provider lookup + allocation on
-  // every document of a corpus scan.
-  private val mdLocal: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private def mdLocal = HashExpressions.mdLocal
 
   /** Null ARRAY input. Set mode → `[null]` — what the composite's
     * `array(array_join(null))` yields, so the row survives to a null hash;
