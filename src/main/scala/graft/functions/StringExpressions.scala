@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.GraftExprColumn
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,9 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why custom: Spark ships `levenshtein` but nothing transposition-aware,
   * and entity-resolution blocking ("small rign" vs "small ring") wants
-  * adjacent-swap = 1 edit, not 2. One compiled JVM pass per row
-  * (`CodegenFallback` is fine — per-row work is the O(n·m) table, which
-  * dwarfs the one boxed call, the HashExpressions argument).
+  * adjacent-swap = 1 edit, not 2. One compiled JVM pass per row, with real
+  * `doGenCode` (the HashExpressions round-9 device — the generated Java
+  * calls the same compiled `compute`, so the host stage never drops out of
+  * whole-stage codegen; [[DamerauLevenshtein]] especially sits in fuzzy
+  * VERIFY JOIN conditions, evaluated per candidate pair).
   */
 object StringExpressions {
 
@@ -26,12 +28,17 @@ object StringExpressions {
     * strings (names, titles) after blocking, not documents.
     */
   case class DamerauLevenshtein(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[UTF8String].toString
-      val b = r.asInstanceOf[UTF8String].toString
-      java.lang.Integer.valueOf(distance(a, b))
+    def compute(l: UTF8String, r: UTF8String): Int =
+      distance(l.toString, r.toString)
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Integer.valueOf(
+        compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("damerau", this,
+        classOf[DamerauLevenshtein].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): DamerauLevenshtein = copy(left = l, right = r)
@@ -145,14 +152,19 @@ object StringExpressions {
     * one Aho–Corasick pass (patterns fixed at plan time).
     */
   case class MultiPatternHits(child: Expression, patterns: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "need a non-empty pattern set with non-empty patterns")
     override def dataType: DataType = IntegerType
     @transient private lazy val ac = new AhoCorasick(patterns)
+    def compute(s: UTF8String): Int = ac.distinctHits(s.toString)
     override def nullSafeEval(v: Any): Any =
-      java.lang.Integer.valueOf(
-        ac.distinctHits(v.asInstanceOf[UTF8String].toString))
+      java.lang.Integer.valueOf(compute(v.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("multiPattern", this,
+        classOf[MultiPatternHits].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
     override protected def withNewChildInternal(c: Expression): MultiPatternHits =
       copy(child = c)
     override def prettyName: String = "multi_pattern_hits"
