@@ -6485,14 +6485,21 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val t = Tables.documents(s, dir).select(TF.tokens($"text").as("toks"))
-        val bgd = t.filter(size($"toks") > 1)
+        // count DIRECTED bigrams first (one corpus pass, vocab²-bounded
+        // result), then symmetrize the counts — the occurrence-level union
+        // form re-scanned the corpus once per union leg (round-9 audit);
+        // cnt(a,b) + cnt(b,a) is the same total by algebra
+        val cntDir = t.filter(size($"toks") > 1)
           .select(explode(zip_with(
             slice($"toks", lit(1), size($"toks") - 1),
             slice($"toks", lit(2), size($"toks") - 1),
             (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
           .select($"bg.a", $"bg.b").filter($"a" =!= $"b")
-        val edges = bgd.unionByName(bgd.select($"b".as("a"), $"a".as("b")))
           .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val edges = cntDir
+          .unionByName(cntDir.select($"b".as("a"), $"a".as("b"), $"cnt"))
+          .groupBy($"a", $"b").agg(sum($"cnt").as("cnt"))
           .select($"a", $"b", expr("1000000 div cnt + 1").as("w"))
         val src = t.select(explode($"toks").as("token"))
           .groupBy($"token").agg(count(lit(1)).as("cnt"))

@@ -31,27 +31,33 @@ object LabelProp {
   def communities(edges: DataFrame, aCol: String, bCol: String,
                   rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds=$rounds must be >= 0")
+    // persist the edge projection once — the per-round join otherwise
+    // re-runs the caller's edge derivation `rounds`+1 times (the round-9
+    // measured scan audit's Bfs finding; same fix)
     val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
-    var labels = e.select(col("__a").as("__v"))
-      .union(e.select(col("__b")))
-      .distinct()
-      .withColumn("__lab", col("__v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val nbr = e.join(labels, col("__a") === col("__v"))
-        .select(col("__b").as("__v"), col("__lab"))
-        .groupBy("__v", "__lab").agg(count(lit(1)).as("__c"))
-      val mx = nbr.groupBy("__v").agg(max(col("__c")).as("__mx"))
-      val adopted = nbr.join(mx, Seq("__v"))
-        .filter(col("__c") === col("__mx"))
-        .groupBy("__v").agg(min(col("__lab")).as("__new"))
-      // a vertex with no in-neighbors keeps its label (only possible on
-      // directed input; a symmetrized graph always adopts)
-      labels = labels.join(adopted, Seq("__v"), "left")
-        .select(col("__v"),
-          coalesce(col("__new"), col("__lab")).as("__lab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = e.select(col("__a").as("__v"))
+        .union(e.select(col("__b")))
+        .distinct()
+        .withColumn("__lab", col("__v"))
         .localCheckpoint(true)
-    }
-    labels.select(col("__v").as("v"), col("__lab").as("label"))
+      for (_ <- 1 to rounds) {
+        val nbr = e.join(labels, col("__a") === col("__v"))
+          .select(col("__b").as("__v"), col("__lab"))
+          .groupBy("__v", "__lab").agg(count(lit(1)).as("__c"))
+        val mx = nbr.groupBy("__v").agg(max(col("__c")).as("__mx"))
+        val adopted = nbr.join(mx, Seq("__v"))
+          .filter(col("__c") === col("__mx"))
+          .groupBy("__v").agg(min(col("__lab")).as("__new"))
+        // a vertex with no in-neighbors keeps its label (only possible on
+        // directed input; a symmetrized graph always adopts)
+        labels = labels.join(adopted, Seq("__v"), "left")
+          .select(col("__v"),
+            coalesce(col("__new"), col("__lab")).as("__lab"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("__v").as("v"), col("__lab").as("label"))
+    } finally e.unpersist(blocking = false)
   }
 }

@@ -33,9 +33,9 @@ object MultiBfs {
     // materialize the edge list ONCE: every round joins against it, and an
     // expensive upstream derivation (a fuzzy join, an LSH bucket pass)
     // would otherwise re-execute per round — measured 18 s → 2 s on the
-    // q204 fuzzy graph at sf0.1 (the [[Bfs]]/[[LabelProp]] inputs are
-    // cheap token explodes, so they skip this; a labeled multi-source
-    // expansion runs 3× more joins over the same edges).
+    // q204 fuzzy graph at sf0.1. ([[Bfs]]/[[LabelProp]] now persist their
+    // edges too: the round-9 runtime scan audit measured their re-scan
+    // count rising with graph diameter.)
     val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .localCheckpoint(true)
     var dist = sources.select(col(vCol).as("__s")).distinct()

@@ -28,8 +28,13 @@ class RuntimeScanSpec extends AnyFunSuite {
     ("q339_tfidf_cosine_neardup", "documents", 2), // was 4: no-join-back collapse
     ("q174_curation_funnel", "documents", 1),     // was 3: single-pass funnel
     ("q125_keyness", "documents", 2),             // was 4: vocab-agg pins
-    ("q134_lpa_communities", "documents", 1),     // was 4: bigram edge pin
     ("q74_cms_counts", "lineitem", 2),            // was 4: exact-agg pin
+    // the one SCALE-DEPENDENT finding: Bfs/LabelProp re-derived their lazy
+    // edge frame once per round, so q124's corpus scans ROSE with graph
+    // diameter (3 at sf0.001 -> 5 at sf0.01); the ops now persist edges
+    ("q124_khop_bfs", "documents", 1),
+    ("q134_lpa_communities", "documents", 1),
+    ("q168_shortest_path", "documents", 2),       // was 3: symmetrize counts, not occurrences
     ("q36_norm_dedup", "documents", 1),
     // the round-8 pinned set, runtime-confirmed (pin builds included)
     ("q220_ktruss", "customer", 2),
