@@ -6309,11 +6309,25 @@ object Queries {
             .otherwise(array().cast("array<string>")).as("grams"))
           .select($"doc_id", $"lang",
             transform($"grams", g => TF.hash60(g)).as("hs"))
-        val base = d0.select($"doc_id", $"lang", size($"hs").as("m"))
+        // docAgg's m is pure gram-count ARITHMETIC off the token count —
+        // the first cut derived it as size(hs), which re-ran the whole
+        // gram+md5 build a second time just to count rows (the shuffle
+        // audit's q166 flag: the base pass costs tokenize only, not hash).
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", size(TF.tokens($"text")).as("ntok"))
+          .select($"doc_id", $"lang",
+            when($"ntok" >= k, $"ntok" - (k - 1))
+              .when($"ntok" >= 1, lit(1)).otherwise(lit(0)).as("m"))
         val wSel = Window.partitionBy($"doc_id").orderBy($"pos")
           .rowsBetween(Window.currentRow, w - 1)
         val wDoc = Window.partitionBy($"doc_id")
-        val sels = d0
+        // ONE distinct over (doc, sp, fh) serves both roll-ups: sp → fh is
+        // functional within a doc (fh is the hash AT the selected
+        // position), so this distinct has exactly selAgg's (doc, sp)
+        // cardinality with fh riding along — and the ~n_grams/w-row result
+        // is pinned so the n_sel and fingerprint aggregates don't each
+        // replay the tokenize→gram→md5→window selection chain.
+        val pinned = d0
           .select($"doc_id", $"lang", posexplode($"hs").as(Seq("p0", "h")))
           .select($"doc_id", $"lang", ($"p0" + 1).as("pos"), $"h")
           .withColumn("sel", max(struct((-$"h").as("nh"), $"pos".as("p")))
@@ -6324,11 +6338,13 @@ object Queries {
           .filter($"pos" <= greatest(lit(1), $"m" - (w - 1)))
           .select($"doc_id", $"lang", $"sel.p".as("sp"),
             (-$"sel.nh").as("fh"))
+          .distinct()
+          .localCheckpoint(true)
         val docAgg = base.groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_grams"))
-        val selAgg = sels.select($"doc_id", $"lang", $"sp").distinct()
+        val selAgg = pinned
           .groupBy($"lang").agg(count(lit(1)).as("n_sel"))
-        val fpAgg = sels.select($"doc_id", $"lang", $"fh").distinct()
+        val fpAgg = pinned.select($"doc_id", $"lang", $"fh").distinct()
           .groupBy($"lang", $"fh").agg(count(lit(1)).as("nd"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_distinct_fp"),

@@ -58,6 +58,7 @@ object ScaleProbe {
       case "degen" => degenProbe(spark); spark.stop(); return
       case "scans" => scanAudit(spark, sfDir); spark.stop(); return
       case "scansrt" => runtimeScanAudit(spark, sfDir); spark.stop(); return
+      case "shuffle" => shuffleAudit(spark, sfDir); spark.stop(); return
       case _ => ()
     }
 
@@ -540,6 +541,42 @@ object ScaleProbe {
     }
     println(s"""{"metric":"runtime_scan_audit","queries":${Queries.all.size},""" +
       s""""flagged":$flagged,"max_ok":$maxOk,"sf":"$sfDir"}""")
+  }
+
+  /** Runtime shuffle / spill audit over the whole query surface (see
+    * [[ShuffleAudit]] for what each metric means at 100 TB). Flags:
+    * any spill; or shuffleWrite > RATIO_MAX × input AND shuffleWrite above
+    * an absolute floor (default 64 MB — KB-scale shuffles are noise).
+    * SPARK_GRAFT_SHUFFLE_VERBOSE=1 prints every query's stats so the
+    * committed SCALING triage can rank by absolute shuffle bytes.
+    */
+  private def shuffleAudit(spark: SparkSession, sfDir: String): Unit = {
+    val ratioMax = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_RATIO", "3.0").toDouble
+    val floor = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_FLOOR",
+      (64L * 1024 * 1024).toString).toLong
+    val only = sys.env.get("SPARK_GRAFT_SHUFFLE_ONLY").map(_.split(',').toSet)
+    val verbose = sys.env.get("SPARK_GRAFT_SHUFFLE_VERBOSE").contains("1")
+    var flagged = 0
+    var spilled = 0
+    Queries.all.foreach { q =>
+      if (only.forall(_.contains(q.name))) {
+        try {
+          val s = ShuffleAudit.measured(spark)(q.fn(spark, sfDir))
+          val spill = s.memSpill > 0 || s.diskSpill > 0
+          val hot = s.shuffleWrite > floor && s.ratio > ratioMax
+          if (verbose) println(s"SHUF ${q.name}: ${s.pretty}")
+          if (spill) { spilled += 1; println(s"SPILL ${q.name}: ${s.pretty}") }
+          if (hot) { flagged += 1; println(s"FLAG ${q.name}: ${s.pretty}") }
+          spark.sharedState.cacheManager.clearCache()
+        } catch {
+          case e: Exception =>
+            println(s"ERR ${q.name}: ${e.getClass.getSimpleName}")
+        }
+      }
+    }
+    println(s"""{"metric":"runtime_shuffle_audit","queries":${Queries.all.size},""" +
+      s""""flagged":$flagged,"spilled":$spilled,"ratio_max":$ratioMax,""" +
+      s""""floor_bytes":$floor,"sf":"$sfDir"}""")
   }
 
   private def degenProbe(spark: SparkSession): Unit = {
