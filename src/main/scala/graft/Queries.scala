@@ -17883,7 +17883,84 @@ object Queries {
         |  CAST(sum(n) AS BIGINT) AS n_vertices,
         |  CAST((sum(n) * 1000000)
         |    // greatest(sum(sum(n)) OVER (), 1) AS BIGINT) AS vertex_ppm
-        |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin))
+        |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- 345. quality-proportional sampling to a token budget — the
+    //          corpus-downsampling primitive the mixing tier was missing:
+    //          q56 samples at fixed per-stratum rates and q111/q214 plan
+    //          per-domain quotas, but the practical "keep roughly B
+    //          tokens, preferring higher-quality documents" pass needs a
+    //          per-ROW probability proportional to a quality weight,
+    //          calibrated so E[kept tokens] = B. Membership is the q56
+    //          replayable-Bernoulli discipline made weighted: keep iff
+    //          h·T < w·B·2^60 with h = hash60("budget:"+doc_id),
+    //          w = 1 + type-token-ratio ‰ (integer 1..1001), and
+    //          T = Σ w·ntok the calibration total — so p = min(1, w·B/T)
+    //          and Σ ntok·p = B when nothing caps. The cross-multiply is
+    //          integer-exact DECIMAL(38,0)/HUGEINT (max ~1e30): no float
+    //          threshold to drift between engines, retries, or
+    //          partitionings. Scale shape: T is a bounded driver scalar
+    //          off one combinable pass (the PageRank-n precedent); the
+    //          sample pass is a narrow filter (no corpus shuffle) into a
+    //          |lang|-row roll-up — 2 corpus scans, ~zero shuffle. ----
+    QDef("q345_quality_budget_sample",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
+          .select($"doc_id", $"lang", size($"toks").as("ntok"),
+            expr("1 + (size(array_distinct(toks)) * 1000)" +
+              " div greatest(size(toks), 1)").as("w"))
+        val tot = base
+          .agg(sum(($"w" * $"ntok").cast("long")).as("tw"),
+            sum($"ntok".cast("long")).as("n"))
+          .collect()(0)
+        val tw = tot.getLong(0)
+        val budget = tot.getLong(1) / 10
+        base
+          .withColumn("h", TF.hash60(
+            concat(lit("budget:"), $"doc_id".cast("string"))))
+          .withColumn("keep",
+            when($"h".cast(d38) * lit(tw).cast(d38) <
+              $"w".cast(d38) * lit(budget).cast(d38) *
+                lit(1152921504606846976L).cast(d38), 1L).otherwise(0L))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_kept"),
+            sum($"ntok".cast("long")).as("tok_total"),
+            sum($"keep" * $"ntok").as("tok_kept"))
+          .select($"lang", $"n_docs", $"n_kept", $"tok_total", $"tok_kept",
+            expr("(tok_kept * 1000000) div greatest(tok_total, 1)")
+              .as("kept_tok_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> x <> '')) AS ntok,
+        |    1 + (len(list_distinct(list_filter(
+        |        string_split(coalesce(text, ''), ' '), x -> x <> ''))) * 1000)
+        |      // greatest(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |        x -> x <> '')), 1) AS w
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(CAST(w AS HUGEINT) * ntok) AS HUGEINT) AS tw,
+        |    CAST(CAST(sum(ntok) AS BIGINT) // 10 AS HUGEINT) AS budget
+        |  FROM b),
+        |k AS (SELECT b.lang, b.ntok, b.w,
+        |    CAST(('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h FROM b),
+        |f AS (SELECT k.lang, k.ntok,
+        |    CASE WHEN CAST(k.h AS HUGEINT) * t.tw
+        |        < CAST(k.w AS HUGEINT) * t.budget
+        |          * CAST(1152921504606846976 AS HUGEINT)
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM k CROSS JOIN t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(sum(ntok) AS BIGINT) AS tok_total,
+        |  CAST(sum(keep * ntok) AS BIGINT) AS tok_kept,
+        |  CAST((sum(keep * ntok) * 1000000) // greatest(sum(ntok), 1)
+        |    AS BIGINT) AS kept_tok_ppm
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
