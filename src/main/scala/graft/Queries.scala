@@ -6299,16 +6299,20 @@ object Queries {
         // tokenize→gram→md5 chain per window: measured ~150× slower on this
         // corpus), and per-doc work distributes as rows instead of living
         // inside one array expression on one core.
+        // Fused gram+hash: the positional ShingleKernel emits one hash per
+        // window in ONE compiled pass (no per-position slice/array_join
+        // string HOFs, no md5→hex→conv round-trip) — bit-identical to the
+        // composite it replaced (unit-pinned both eval modes). Docs shorter
+        // than k keep the composite's whole-doc-gram branch.
         val d0 = Tables.documents(s, dir)
           .select($"doc_id", $"lang", TF.tokens($"text").as("toks"))
           .select($"doc_id", $"lang",
             when(size($"toks") >= k,
-              transform(sequence(lit(1), size($"toks") - (k - 1)),
-                i => array_join(slice($"toks", i, lit(k)), " ")))
-            .when(size($"toks") >= 1, array(array_join($"toks", " ")))
-            .otherwise(array().cast("array<string>")).as("grams"))
-          .select($"doc_id", $"lang",
-            transform($"grams", g => TF.hash60(g)).as("hs"))
+              graft.functions.HashExpressions
+                .positionalShingleHash60($"toks", k))
+            .when(size($"toks") >= 1,
+              array(TF.hash60(array_join($"toks", " "))))
+            .otherwise(array().cast("array<long>")).as("hs"))
         // docAgg's m is pure gram-count ARITHMETIC off the token count —
         // the first cut derived it as size(hs), which re-ran the whole
         // gram+md5 build a second time just to count rows (the shuffle

@@ -38,6 +38,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          if (sys.env.get("SPARK_GRAFT_VERIFY_TRACE").contains("1"))
+            e.printStackTrace()
         }
       }
     }

@@ -571,7 +571,13 @@ object HashExpressions {
   * method — bit-identity between eval modes is structural, and the
   * scalacheck property in HashExpressionsSpec pins it anyway.
   */
-object ShingleKernel {
+// Serializable because codegen puts the module into the plan's references
+// array (`addReferenceObj` in ShingleHash60Array.doGenCode), and any stage
+// whose WholeStageCodegen factory is task-serialized writes that array out
+// — a bare Scala object is NOT Serializable and fails the whole task
+// (surfaced by q166 once the fused kernel sat inside a projection's WSC).
+// The object is stateless (defs only), so serialization is a no-op tag.
+object ShingleKernel extends Serializable {
 
   private def mdLocal = HashExpressions.mdLocal
 

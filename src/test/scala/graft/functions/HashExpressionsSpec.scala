@@ -186,4 +186,24 @@ class HashExpressionsSpec extends AnyFunSuite {
         .isEmpty, s"w=$w")
     }
   }
+
+  test("kernel survives task serialization inside whole-stage codegen") {
+    // ShingleHash60Array.doGenCode puts the ShingleKernel MODULE into the
+    // plan's references array; a stage whose WholeStageCodegen factory is
+    // task-serialized (e.g. the map side of an exchange) then writes that
+    // array out — which threw NotSerializableException until the object
+    // was marked Serializable. This is the exact shape that failed (the
+    // kernel inside a `when` projection feeding a shuffle), so keep it
+    // exercising a real exchange, not a collect-only local plan.
+    val out = docs
+      .repartition(4)
+      .select($"doc_id",
+        when(size(TF.tokens($"text")) >= 3,
+          HashExpressions.positionalShingleHash60(TF.tokens($"text"), 3))
+          .otherwise(array().cast("array<long>")).as("hs"))
+      .select(explode($"hs").as("h"))
+      .groupBy($"h").count()
+      .count()
+    assert(out > 0)
+  }
 }
