@@ -6098,9 +6098,17 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val win = 4L
+        // Hashed shingle sets (sorted longs, fused kernel) instead of the
+        // string-set composite: the exact-verify Jaccard only needs
+        // CARDINALITIES, and |sets| and |intersections| agree with the
+        // oracle's string sets under the house md5-60-bit no-collision
+        // convention (q32/q155/q167 precedent) — while the per-candidate
+        // intersect becomes one linear long-merge (SortedIntersectCount)
+        // instead of array_intersect's per-pair string hash set.
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"lang",
-            TF.shingles($"text", 3).as("sh"),
+            graft.functions.HashExpressions
+              .shingleHash60Array(TF.tokens($"text"), 3).as("sh"),
             array_join(slice(TF.tokens($"text"), 1, 3), " ").as("skey"))
         val ranked = graft.ops.PrefixSum.withRunningSum(
             docs.withColumn("one", lit(1L)),
@@ -6117,9 +6125,12 @@ object Queries {
         val shb = docs.select($"doc_id".as("doc_b"), $"sh".as("shb"))
         pairs.join(sha, "doc_a").join(shb, "doc_b")
           .select($"lang",
-            round(size(array_intersect($"sha", $"shb")).cast("double") /
-              (size($"sha") + size($"shb") -
-                size(array_intersect($"sha", $"shb"))), 6).as("jac"))
+            graft.functions.HashExpressions
+              .sortedIntersectCount($"sha", $"shb").as("inter"),
+            size($"sha").as("na"), size($"shb").as("nb"))
+          .select($"lang",
+            round($"inter".cast("double") /
+              ($"na" + $"nb" - $"inter"), 6).as("jac"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_candidates"),
             sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("n_dups"))
@@ -6427,9 +6438,17 @@ object Queries {
         // pin the canon+shingle frame (e + both verification sides) and,
         // below, the df-ordered lists (the prefix self-join replays its
         // subtree twice) — 6 plan scans of documents left lazy
+        // tset (strings) drives the df-ordered prefix — the oracle
+        // tie-breaks equal-df tokens on the STRING, so that path cannot
+        // hash; hs is the same set as sorted 60-bit hashes, so the
+        // per-candidate verify runs SortedIntersectCount's linear merge
+        // instead of array_intersect's per-pair string hash set
+        // (cardinalities agree — the q32/q155/q163 no-collision convention)
         val docs = Tables.documents(s, dir)
           .groupBy($"lang", $"text").agg(min($"doc_id").as("doc_id"))
           .select($"doc_id", $"lang", TF.shingles($"text", 3).as("tset"))
+          .select($"doc_id", $"lang", $"tset",
+            graft.functions.HashExpressions.hash60Array($"tset").as("hs"))
           .localCheckpoint()
         val e = docs.select($"doc_id", $"lang", explode($"tset").as("token"))
         val df = e.groupBy($"token").agg(count(lit(1)).as("df"))
@@ -6449,12 +6468,13 @@ object Queries {
           .select($"a.lang".as("lang"), $"a.doc_id".as("da"),
             $"b.doc_id".as("db"))
           .distinct()
-        val ta = docs.select($"doc_id".as("da"), $"tset".as("tsa"))
-        val tb = docs.select($"doc_id".as("db"), $"tset".as("tsb"))
+        val ta = docs.select($"doc_id".as("da"), $"hs".as("hsa"))
+        val tb = docs.select($"doc_id".as("db"), $"hs".as("hsb"))
         cand.join(ta, "da").join(tb, "db")
           .select($"lang",
-            size(array_intersect($"tsa", $"tsb")).as("inter"),
-            (size($"tsa") + size($"tsb")).as("ab"))
+            graft.functions.HashExpressions
+              .sortedIntersectCount($"hsa", $"hsb").as("inter"),
+            (size($"hsa") + size($"hsb")).as("ab"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_candidates"),
             sum(when($"inter" * 3 >= $"ab", 1L).otherwise(0L)).as("n_dups"))
@@ -7895,10 +7915,15 @@ object Queries {
         // one eager materialization: the df-agg branch and the per-doc
         // rejoin both read the incidence, and without the checkpoint the
         // tokenize+shingle pipeline runs twice (measured 4.0 s → 2.6 s
-        // at sf0.1 — the q187 discipline)
+        // at sf0.1 — the q187 discipline). Shingles appear ONLY as
+        // join/group keys (never in the output), so the fused kernel's
+        // 60-bit hashes replace the strings end to end: same distinct
+        // counts under the house no-collision convention, and both
+        // shuffles move 8-byte longs instead of shingle text.
         val inc = Tables.documents(s, dir)
           .select($"doc_id", $"source",
-            explode(TF.shingles($"text", 3)).as("sh"))
+            explode(graft.functions.HashExpressions
+              .shingleHash60Array(TF.tokens($"text"), 3)).as("sh"))
           .localCheckpoint(true)
         val perSource = Tables.documents(s, dir)
           .groupBy($"source").agg(count(lit(1)).as("n_docs"))
