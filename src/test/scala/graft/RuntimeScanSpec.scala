@@ -59,4 +59,54 @@ class RuntimeScanSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  // The full deliberately-over-2 set, pinned AT its measured value — the
+  // round-9 full-audit flags (50 queries, SCALING.md triage: ANN
+  // signature-build + a-side/b-side vector lookups; disjoint
+  // predicate-pushed fact splits that each read LESS than one pass after
+  // pushdown; two-batch re-ingest simulations at 6). These counts are the
+  // accepted cost model; the test exists so a plan change that silently
+  // adds a corpus pass to any of them fails CI rather than surfacing as a
+  // 100 TB fabric-bill surprise. Grouped into one test per table family to
+  // keep suite runtime bounded.
+  private val triaged: Seq[(String, String, Int)] = Seq(
+    ("q68_sql_topk_cosine", "embeddings", 3), ("q48_ivf_knn", "embeddings", 4),
+    ("q54_ivf_trained", "embeddings", 4), ("q66_cell_knn_join", "embeddings", 3),
+    ("q44_cross_batch_dup", "embeddings", 6), ("q104_ivf_recall", "embeddings", 5),
+    ("q105_semdedup", "embeddings", 3), ("q106_incremental_embed", "embeddings", 6),
+    ("q112_hard_negatives", "embeddings", 4), ("q115_random_negatives", "embeddings", 3),
+    ("q122_mmr_rerank", "embeddings", 3), ("q182_grid_density", "embeddings", 3),
+    ("q190_cluster_purity", "embeddings", 4), ("q191_knn_label_agree", "embeddings", 4),
+    ("q204_harmonic_centrality", "embeddings", 4), ("q240_ndcg", "embeddings", 4),
+    ("q318_metric_disagreement", "embeddings", 3), ("q332_nn_descent", "embeddings", 3),
+    ("q341_knn_graph_connectivity", "embeddings", 3),
+    ("q77_bm25", "documents", 3), ("q96_hybrid_rrf", "documents", 3),
+    ("q97_lm_perplexity", "documents", 3), ("q121_cooccur_lift", "documents", 3),
+    ("q154_allocation", "documents", 3), ("q172_apriori_triples", "documents", 3),
+    ("q216_importance_score", "documents", 3), ("q225_tv_drift", "documents", 3),
+    ("q267_reciprocity", "documents", 3),
+    ("q81_funnel", "events", 4), ("q94_hll_union", "events", 3),
+    ("q136_windowed_hll", "events", 3), ("q142_km_survival", "events", 3),
+    ("q157_conversion_latency", "events", 4), ("q165_ks_drift", "events", 3),
+    ("q221_nearest_event", "events", 3), ("q276_nelson_aalen", "events", 3),
+    ("q278_bitemporal_asof", "events", 3), ("q280_calendar_gaps", "events", 3),
+    // q309 already pinned individually above
+    ("q319_walkforward_folds", "events", 3),
+    ("q132_corr_grid", "lineitem", 3), ("q286_fd_audit", "lineitem", 3),
+    ("q292_encoding_estimate", "lineitem", 4), ("q242_ref_integrity", "orders", 4),
+    ("q153_sql_correlated", "orders", 3), ("q161_rfm_segments", "orders", 4),
+    ("q268_decile_lift", "orders", 3), ("q239_bloom_fpr", "customer", 4))
+
+  triaged.groupBy(_._2).foreach { case (table, rows) =>
+    test(s"triaged $table family holds its measured scan counts") {
+      rows.foreach { case (name, _, bound) =>
+        val counts = ScanAudit.measuredScans(spark)(
+          Queries.byName(name).fn(spark, sf))
+        val got = counts.getOrElse(table, 0)
+        assert(got <= bound,
+          s"$name measured $table=$got > $bound (all: $counts)")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+  }
 }
