@@ -17941,9 +17941,12 @@ object Queries {
           .select($"doc_id", $"lang", size($"toks").as("ntok"),
             expr("1 + (size(array_distinct(toks)) * 1000)" +
               " div greatest(size(toks), 1)").as("w"))
+        // coalesce: on an empty corpus both sums are NULL; tw=0/budget=0
+        // makes the keep predicate vacuously false → empty result, which
+        // is what the oracle's empty-b chain produces (degen-sweep safe)
         val tot = base
-          .agg(sum(($"w" * $"ntok").cast("long")).as("tw"),
-            sum($"ntok".cast("long")).as("n"))
+          .agg(coalesce(sum(($"w" * $"ntok").cast("long")), lit(0L)).as("tw"),
+            coalesce(sum($"ntok".cast("long")), lit(0L)).as("n"))
           .collect()(0)
         val tw = tot.getLong(0)
         val budget = tot.getLong(1) / 10
