@@ -59,6 +59,7 @@ object ScaleProbe {
       case "scans" => scanAudit(spark, sfDir); spark.stop(); return
       case "scansrt" => runtimeScanAudit(spark, sfDir); spark.stop(); return
       case "shuffle" => shuffleAudit(spark, sfDir); spark.stop(); return
+      case "fuzzy" => fuzzyProbe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -1052,6 +1053,72 @@ object ScaleProbe {
     }
     println(s"""{"metric":"fam8_probe","rep":$r,"sf":"$sfDir",""" +
       rows.mkString(",") + "}")
+  }
+
+  /** A/B of the deletion-neighborhood candidate join's key representation
+    * at the q203/q208/q220 shape (10% customer sample): the candidate
+    * equi-join currently keys on the VARIANT STRING (≈ name-length bytes
+    * per exploded row through the shuffle); hashing the variant to an
+    * xxhash64 long shrinks the shuffled key ~3× (hash collisions only add
+    * candidates, which the exact levenshtein verify already removes — the
+    * MinHashLSH bucket-key precedent from the round-8 kernel pass). Also
+    * measured: verifying BEFORE the pair distinct (false candidates leave
+    * before the 4-column distinct shuffle instead of after). min over
+    * SPARK_GRAFT_PROBE_REP passes (default 3), pair counts cross-checked.
+    */
+  private def fuzzyProbe(spark: SparkSession, sfDir: String,
+                         time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "3").toInt
+    val cust = Tables.customer(spark, sfDir).filter(col("c_custkey") % 10 < 2)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def variants = cust
+      .select(col("c_custkey").as("__id"),
+        coalesce(col("c_name"), lit("")).as("__s"))
+      .withColumn("__del", explode(concat(
+        array(col("__s")),
+        when(length(col("__s")) > 0,
+          expr("transform(sequence(1, length(__s)), i -> " +
+            "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"))
+          .otherwise(array().cast("array<string>")))))
+
+    def hashedCandidates = {
+      val v = variants.withColumn("__dh", xxhash64(col("__del")))
+      val a = v.select(col("__id").as("id_a"), col("__s").as("str_a"),
+        col("__dh"))
+      val b = v.select(col("__id").as("id_b"), col("__s").as("str_b"),
+        col("__dh"))
+      a.join(b, Seq("__dh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
+    }
+
+    def current() = graft.ops.FuzzyJoin
+      .editDistance1Pairs(cust, "c_custkey", "c_name")
+    def hashedKey() = hashedCandidates.distinct()
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") <= 1)
+    def verifyFirst() = hashedCandidates
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") <= 1).distinct()
+
+    // warm codegen/JIT on a slice before any timed pass
+    noop(current().limit(10)); noop(hashedKey().limit(10))
+    noop(verifyFirst().limit(10))
+    val nCur = current().count()
+    val nHash = hashedKey().count()
+    val nVf = verifyFirst().count()
+    def minOf(f: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to reps).map(_ => time(noop(f()))).min
+    val tCur = minOf(current _)
+    val tHash = minOf(hashedKey _)
+    val tVf = minOf(verifyFirst _)
+    println(s"""{"metric":"fuzzy_probe","sf":"$sfDir","reps":$reps,""" +
+      s""""pairs":{"current":$nCur,"hashed":$nHash,"verify_first":$nVf},""" +
+      s""""current_sec":$tCur,"hashed_sec":$tHash,"verify_first_sec":$tVf}""")
   }
 
   /** q104's gate margin: per-query recall@10 at nProbe = kCells/2, so the

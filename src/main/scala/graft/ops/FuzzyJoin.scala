@@ -42,11 +42,18 @@ object FuzzyJoin {
         expr("transform(sequence(1, length(__s)), i -> " +
           "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"))
         .otherwise(array().cast("array<string>")))))
-    val a = variants.select(col("__id").as("id_a"), col("__s").as("str_a"),
-      col("__del"))
-    val b = variants.select(col("__id").as("id_b"), col("__s").as("str_b"),
-      col("__del"))
-    a.join(b, Seq("__del"))
+    // Join on xxhash64(variant), not the variant string: the candidate
+    // equi-join shuffles |rows|·(len+1) keys, and an 8-byte long beats a
+    // name-length UTF8 key through the exchange (the MinHashLSH bucket-key
+    // device; measured −6% on the q203 shape, SCALING.md fuzzy probe).
+    // A hash collision only ADDS a candidate pair, which the exact
+    // levenshtein verify below removes — the result set is unchanged.
+    val hashed = variants.withColumn("__dh", xxhash64(col("__del")))
+    val a = hashed.select(col("__id").as("id_a"), col("__s").as("str_a"),
+      col("__dh"))
+    val b = hashed.select(col("__id").as("id_b"), col("__s").as("str_b"),
+      col("__dh"))
+    a.join(b, Seq("__dh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
       .distinct() // a pair can meet in several shared variants
