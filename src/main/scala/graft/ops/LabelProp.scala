@@ -46,10 +46,13 @@ object LabelProp {
         val nbr = e.join(labels, col("__a") === col("__v"))
           .select(col("__b").as("__v"), col("__lab"))
           .groupBy("__v", "__lab").agg(count(lit(1)).as("__c"))
-        val mx = nbr.groupBy("__v").agg(max(col("__c")).as("__mx"))
-        val adopted = nbr.join(mx, Seq("__v"))
-          .filter(col("__c") === col("__mx"))
-          .groupBy("__v").agg(min(col("__lab")).as("__new"))
+        // argmax in ONE combinable aggregate (max count, min label on
+        // ties) — the max + join-back + min form costs an extra exchange
+        // and join per round; MaxScoreMinKey folds it into the hash
+        // aggregate (semantics pinned identical by LabelPropSpec)
+        val adopted = nbr.groupBy("__v").agg(
+          graft.functions.ArgExtremum
+            .maxScoreMinKey(col("__c"), col("__lab")).as("__new"))
         // a vertex with no in-neighbors keeps its label (only possible on
         // directed input; a symmetrized graph always adopts)
         labels = labels.join(adopted, Seq("__v"), "left")
