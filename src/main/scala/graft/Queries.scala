@@ -17992,7 +17992,114 @@ object Queries {
         |  CAST(sum(keep * ntok) AS BIGINT) AS tok_kept,
         |  CAST((sum(keep * ntok) * 1000000) // greatest(sum(ntok), 1)
         |    AS BIGINT) AS kept_tok_ppm
-        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- 346. linear probe by normal equations — distributed MODEL
+    //          FITTING in one combinable pass: per language, the exact
+    //          OLS fit of n_chars on (token count, vocab size) with
+    //          intercept — the closed-form shape behind every cheap
+    //          corpus probe (fertility predictors, quality regressors,
+    //          FineWeb-style linear scorers) where features are corpus
+    //          statistics and the model is fit at ingest, not by SGD.
+    //          q126's univariate OLS generalized to d=2 + intercept:
+    //          nine moment sums (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2²,
+    //          Σx1y, Σx2y) are ONE map-side-combined aggregate — a
+    //          billion docs per language cost a combiner chain, never a
+    //          matrix library — and the 3×3 normal system solves by
+    //          Cramer's rule on the |langs|-row result in DECIMAL(38,0)/
+    //          HUGEINT (the normal matrix is PSD so det ≥ 0; det = 0 =
+    //          collinear features → NULL, the q126 zero-variance rule).
+    //          Coefficients leave as sign + |Dj|·1e6 div D (q162 device:
+    //          truncating-vs-flooring division can never diverge on a
+    //          non-negative operand). Scale check: det terms are
+    //          3-moment products ≈ n³·(x²)³ ≈ 1e32 at 100× sf0.1 —
+    //          inside DECIMAL(38,0) with six digits to spare. ----
+    QDef("q346_linear_probe",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val f = Tables.documents(s, dir)
+          .select($"lang", $"n_chars",
+            TF.tokens(coalesce($"text", lit(""))).as("toks"))
+          .select($"lang",
+            size($"toks").cast("long").as("x1"),
+            size(array_distinct($"toks")).cast("long").as("x2"),
+            $"n_chars".as("y"))
+        val m = f.groupBy($"lang").agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum($"x1".cast(d38)).as("s1"),
+          sum($"x2".cast(d38)).as("s2"),
+          sum($"y".cast(d38)).as("sy"),
+          sum($"x1".cast(d38) * $"x1".cast(d38)).as("s11"),
+          sum($"x1".cast(d38) * $"x2".cast(d38)).as("s12"),
+          sum($"x2".cast(d38) * $"x2".cast(d38)).as("s22"),
+          sum($"x1".cast(d38) * $"y".cast(d38)).as("s1y"),
+          sum($"x2".cast(d38) * $"y".cast(d38)).as("s2y"))
+        val d = m.select($"lang", $"n",
+          ($"n" * ($"s11" * $"s22" - $"s12" * $"s12")
+            - $"s1" * ($"s1" * $"s22" - $"s12" * $"s2")
+            + $"s2" * ($"s1" * $"s12" - $"s11" * $"s2")).as("det"),
+          ($"sy" * ($"s11" * $"s22" - $"s12" * $"s12")
+            - $"s1" * ($"s1y" * $"s22" - $"s12" * $"s2y")
+            + $"s2" * ($"s1y" * $"s12" - $"s11" * $"s2y")).as("d0"),
+          ($"n" * ($"s1y" * $"s22" - $"s12" * $"s2y")
+            - $"sy" * ($"s1" * $"s22" - $"s12" * $"s2")
+            + $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")).as("d1"),
+          ($"n" * ($"s11" * $"s2y" - $"s1y" * $"s12")
+            - $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2")
+            + $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")).as("d2"))
+        def signOf(c: Column): Column =
+          when($"det" === 0, lit(null).cast("long"))
+            .otherwise(when(c > 0, 1L).when(c < 0, -1L).otherwise(0L))
+        def absPpm(name: String): Column =
+          when($"det" === 0, lit(null).cast("long"))
+            .otherwise(expr(s"(abs($name) * 1000000) div det"))
+        d.select($"lang", $"n".cast("long").as("n_docs"),
+            signOf($"d0").as("sign_b0"), absPpm("d0").as("b0_abs_ppm"),
+            signOf($"d1").as("sign_b1"), absPpm("d1").as("b1_abs_ppm"),
+            signOf($"d2").as("sign_b2"), absPpm("d2").as("b2_abs_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH f AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> x <> '')) AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(list_filter(
+        |      string_split(coalesce(text, ''), ' '), x -> x <> '')))
+        |      AS BIGINT) AS x2,
+        |    n_chars AS y FROM documents),
+        |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
+        |  FROM f GROUP BY 1),
+        |d AS (SELECT lang, n,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS d0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS d1,
+        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS d2
+        |  FROM m)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d0 > 0 THEN 1
+        |    WHEN d0 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b0,
+        |  CASE WHEN det = 0 THEN NULL
+        |    ELSE CAST((abs(d0) * 1000000) // det AS BIGINT) END AS b0_abs_ppm,
+        |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d1 > 0 THEN 1
+        |    WHEN d1 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b1,
+        |  CASE WHEN det = 0 THEN NULL
+        |    ELSE CAST((abs(d1) * 1000000) // det AS BIGINT) END AS b1_abs_ppm,
+        |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d2 > 0 THEN 1
+        |    WHEN d2 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b2,
+        |  CASE WHEN det = 0 THEN NULL
+        |    ELSE CAST((abs(d2) * 1000000) // det AS BIGINT) END AS b2_abs_ppm
+        |FROM d ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
