@@ -18099,7 +18099,73 @@ object Queries {
         |    WHEN d2 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b2,
         |  CASE WHEN det = 0 THEN NULL
         |    ELSE CAST((abs(d2) * 1000000) // det AS BIGINT) END AS b2_abs_ppm
-        |FROM d ORDER BY lang""".stripMargin))
+        |FROM d ORDER BY lang""".stripMargin)),
+
+    // ---- 347. calibration audit (ECE, Naeini et al. 2015) — is a
+    //          filter score CALIBRATED against a gold label, the audit
+    //          every score-thresholded curation step (q333's operating
+    //          curve, q73's percentile gate) owes its users: bucket the
+    //          score into deciles, compare each bin's mean score to its
+    //          observed positive rate. Score = type-token ratio in ppm
+    //          (the q37 quality family); label = "document is unique"
+    //          (its exact-dup group, by md5 fingerprint, has size 1 —
+    //          ground truth the engine can compute exactly, the q36
+    //          device). Everything stays integral: a bin's mean-score
+    //          numerator Σscore and positive mass n_pos·1e6 share the
+    //          ppm·docs unit, so |gap| is exact per bin and
+    //          ECE = Σ|gap| div N needs no float. Scale shape: ONE
+    //          corpus pass carries (fp, score); the dup flag is a
+    //          40-byte/doc fp collapse re-joined on fp (one key
+    //          shuffle); bins are a 10-row combinable aggregate, the
+    //          window total a 10-row frame. ----
+    QDef("q347_calibration_ece",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", TF.fingerprint(coalesce($"text", lit("")))
+              .as("fp"),
+            TF.tokens(coalesce($"text", lit(""))).as("toks"))
+          .select($"doc_id", $"fp",
+            expr("(size(array_distinct(toks)) * 1000000)" +
+              " div greatest(size(toks), 1)").as("score_ppm"))
+        val dups = base.groupBy($"fp").agg(count(lit(1)).as("n_copies"))
+        val lab = base.join(dups, "fp")
+          .select($"score_ppm",
+            when($"n_copies" === 1, 1L).otherwise(0L).as("is_unique"),
+            expr("least((score_ppm * 10) div 1000000, 9)").as("bin"))
+        lab.groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"score_ppm").as("sum_score"),
+            sum($"is_unique").as("n_pos"))
+          .select($"bin", $"n",
+            expr("sum_score div n").as("mean_score_ppm"),
+            expr("(n_pos * 1000000) div n").as("pos_ppm"),
+            abs($"sum_score" - $"n_pos" * 1000000L).as("gap_mass"))
+          .withColumn("ece_ppm",
+            expr("sum(gap_mass) over () div sum(n) over ()"))
+          .select($"bin", $"n", $"mean_score_ppm", $"pos_ppm", $"ece_ppm")
+          .orderBy($"bin")
+      },
+      Some("""WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS fp,
+        |    (len(list_distinct(list_filter(string_split(coalesce(text, ''),
+        |      ' '), x -> x <> ''))) * 1000000)
+        |      // greatest(len(list_filter(string_split(coalesce(text, ''),
+        |      ' '), x -> x <> '')), 1) AS score_ppm
+        |  FROM documents),
+        |d AS (SELECT fp, count(*) AS n_copies FROM b GROUP BY 1),
+        |l AS (SELECT b.score_ppm,
+        |    CASE WHEN d.n_copies = 1 THEN 1 ELSE 0 END AS is_unique,
+        |    least((b.score_ppm * 10) // 1000000, 9) AS bin
+        |  FROM b JOIN d USING (fp)),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(score_ppm) AS BIGINT) AS sum_score,
+        |    CAST(sum(is_unique) AS BIGINT) AS n_pos
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n,
+        |  CAST(sum_score // n AS BIGINT) AS mean_score_ppm,
+        |  CAST((n_pos * 1000000) // n AS BIGINT) AS pos_ppm,
+        |  CAST(sum(abs(sum_score - n_pos * 1000000)) OVER ()
+        |    // sum(n) OVER () AS BIGINT) AS ece_ppm
+        |FROM g ORDER BY bin""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
