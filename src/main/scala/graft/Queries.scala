@@ -18165,7 +18165,69 @@ object Queries {
         |  CAST((n_pos * 1000000) // n AS BIGINT) AS pos_ppm,
         |  CAST(sum(abs(sum_score - n_pos * 1000000)) OVER ()
         |    // sum(n) OVER () AS BIGINT) AS ece_ppm
-        |FROM g ORDER BY bin""".stripMargin))
+        |FROM g ORDER BY bin""".stripMargin)),
+
+    // ---- 348. soft dedup (duplicate-aware downsampling) — the
+    //          SlimPajama-family alternative to hard dedup: instead of
+    //          deleting duplicates, keep each copy with probability
+    //          1/|its exact-dup group|, so every distinct text
+    //          contributes ~one expected copy and high-multiplicity
+    //          boilerplate is downweighted without a delete decision.
+    //          The draw is q56's replayable Bernoulli with the EXACT
+    //          rational rate: keep iff hash60("soft:"+id)·g < 2⁶⁰
+    //          (p = 1/g with zero ppm rounding — the predicate IS the
+    //          probability); membership is a pure function of the row
+    //          and its group size, so the sample survives retries,
+    //          repartitioning, and engine swaps bit-identically. Scale
+    //          shape: one corpus pass carries (fp, lang); group sizes
+    //          are a 40-byte/doc fp collapse re-joined on fp (one key
+    //          shuffle — the q61 collapse-first discipline); the roll-up
+    //          is |langs| rows. ----
+    QDef("q348_soft_dedup_sample",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            TF.fingerprint(coalesce($"text", lit(""))).as("fp"))
+        val sizes = base.groupBy($"fp").agg(count(lit(1)).as("g"))
+        base.join(sizes, "fp")
+          .withColumn("h", TF.hash60(
+            concat(lit("soft:"), $"doc_id".cast("string"))))
+          .withColumn("keep",
+            when($"h".cast(d38) * $"g".cast(d38) <
+              lit(1152921504606846976L).cast(d38), 1L).otherwise(0L))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct($"fp").as("n_groups"),
+            sum($"keep").as("n_kept"),
+            sum(when($"g" === 1, $"keep").otherwise(0L)).as("kept_unique"),
+            sum(when($"g" > 1, $"keep").otherwise(0L)).as("kept_dup"))
+          .select($"lang", $"n_docs", $"n_groups", $"n_kept",
+            $"kept_unique", $"kept_dup",
+            expr("(n_kept * 1000000) div greatest(n_docs, 1)")
+              .as("kept_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+        |    md5(coalesce(text, '')) AS fp FROM documents),
+        |s AS (SELECT fp, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY 1),
+        |k AS (SELECT b.lang, b.fp, s.g,
+        |    CASE WHEN CAST(CAST(('0x' || substring(md5('soft:' ||
+        |        CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS HUGEINT)
+        |        * s.g < CAST(1152921504606846976 AS HUGEINT)
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM b JOIN s USING (fp))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN g = 1 THEN keep ELSE 0 END) AS BIGINT)
+        |    AS kept_unique,
+        |  CAST(sum(CASE WHEN g > 1 THEN keep ELSE 0 END) AS BIGINT)
+        |    AS kept_dup,
+        |  CAST((sum(keep) * 1000000) // greatest(count(*), 1) AS BIGINT)
+        |    AS kept_ppm
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
