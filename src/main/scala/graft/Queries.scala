@@ -416,6 +416,54 @@ object Queries {
     * integer division per hop, so the iterative all-sources expansion
     * replays under the exact hash gate.
     */
+  /** q349's unrolled BPE-training oracle: `rounds` CTE blocks each
+    * replaying one [[graft.ops.BpeTrain]] merge round — adjacent pair
+    * counts (lead window), argmax with (weight desc, lexicographic)
+    * tie-break, and the greedy left-to-right merge via the run-parity
+    * rule (consecutive matched positions can only chain when a = b;
+    * odd run-indexes are exactly the greedy selection).
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val base = """WITH w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''),
+      |      ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
+      |s0 AS (SELECT w, cnt, i AS pos, substring(w, i, 1) AS sym
+      |  FROM w, unnest(generate_series(1, len(w))) AS g(i))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""n$r AS (SELECT w, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx FROM s$p),
+         |p$r AS (SELECT sym AS a, nx AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM n$r WHERE nx IS NOT NULL GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, pc,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p$r) AS npt
+         |  FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+         |m$r AS (SELECT n.w, n.pos FROM n$r n
+         |  JOIN t$r t ON n.sym = t.a AND n.nx = t.b),
+         |g$r AS (SELECT w, pos,
+         |    pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |  FROM m$r),
+         |e$r AS (SELECT w, pos FROM (SELECT w, pos, row_number()
+         |      OVER (PARTITION BY w, grp ORDER BY pos) AS rn FROM g$r)
+         |  WHERE rn % 2 = 1),
+         |s$r AS (SELECT s.w, s.cnt,
+         |    row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
+         |    CASE WHEN e.pos IS NOT NULL THEN (SELECT a || b FROM t$r)
+         |      ELSE s.sym END AS sym
+         |  FROM s$p s
+         |  LEFT JOIN e$r e ON s.w = e.w AND s.pos = e.pos
+         |  LEFT JOIN (SELECT w, pos + 1 AS pos FROM e$r) d
+         |    ON s.w = d.w AND s.pos = d.pos
+         |  WHERE d.pos IS NULL)""".stripMargin
+    }
+    val branches = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b," +
+        s" pc AS weight, npt AS n_pair_types FROM t$r"
+    }
+    (base +: steps).mkString(",\n") + "\n" +
+      branches.mkString("", "\nUNION ALL ", "\nORDER BY round")
+  }
+
   private def harmonicOracleSql(hops: Int): String = {
     val head =
       """WITH pts AS (SELECT
@@ -18227,7 +18275,37 @@ object Queries {
         |    AS kept_dup,
         |  CAST((sum(keep) * 1000000) // greatest(count(*), 1) AS BIGINT)
         |    AS kept_ppm
-        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // ---- 349. BPE merge training — the tokenizer-training kernel
+    //          (Sennrich et al. 2016) run DISTRIBUTED: three merge
+    //          rounds learned from the corpus, each emitting the chosen
+    //          pair, its occurrence weight, and the distinct-pair-type
+    //          count (q76 counts merge CANDIDATES; this TRAINS — the
+    //          argmax choice feeds back into the next round's state).
+    //          Scale shape is the one real trainers use: the corpus
+    //          collapses ONCE to a (word, count) table, so every round
+    //          runs on a VOCABULARY-bounded positional frame — a
+    //          trillion-token corpus costs the same per round as a
+    //          gigabyte one once word counts exist. Greedy left-to-right
+    //          merge application is the run-parity rule (adjacent
+    //          matches only chain when a = b; odd run-indexes ARE the
+    //          greedy selection) — pure windows, no fold, identical
+    //          construction on both engines (ops/BpeTrain; the oracle
+    //          unrolls the rounds as CTEs, the q116/q134 device). The
+    //          per-round argmax is a 1-row bounded driver scalar. ----
+    QDef("q349_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        val words = Tables.documents(s, dir)
+          .select(explode(TF.tokens(coalesce($"text", lit(""))))
+            .as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val (merges, _) =
+          graft.ops.BpeTrain.train(words, "w", "cnt", rounds = 3)
+        graft.ops.BpeTrain.mergesDf(s, merges).orderBy($"round")
+      },
+      Some(bpeOracleSql(rounds = 3)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
