@@ -65,16 +65,22 @@ object BpeTrain {
       val withNext = st.withColumn("nx", lead(col("sym"), 1).over(byW))
       val pc = withNext.filter(col("nx").isNotNull)
         .groupBy(col("sym"), col("nx")).agg(sum(col("cnt")).as("pc"))
-      // argmax + the distinct-pair-type count in one 2-row-bounded pass:
-      // top-1 by (pc desc, lex) plus a count over the vocab²-bounded table
-      val top = pc.orderBy(col("pc").desc, col("sym"), col("nx"))
-        .limit(1).collect()
-      if (top.isEmpty) dry = true
+      // argmax, weight, and distinct-pair-type count in ONE combinable
+      // aggregate over the vocab²-bounded pair table (no sort, no second
+      // count job): MaxScoreMinKey over a struct key is exactly the
+      // (weight desc, lexicographic) tie-break
+      val top = pc.agg(
+        graft.functions.ArgExtremum.maxScoreMinKey(col("pc"),
+          struct(col("sym"), col("nx"))).as("best"),
+        max(col("pc")).as("wgt"),
+        count(lit(1)).as("npt")).collect()
+      if (top(0).isNullAt(0)) dry = true
       else {
-        val a = top(0).getString(0)
-        val b = top(0).getString(1)
-        val wgt = top(0).getLong(2)
-        val nPt = pc.count()
+        val best = top(0).getStruct(0)
+        val a = best.getString(0)
+        val b = best.getString(1)
+        val wgt = top(0).getLong(1)
+        val nPt = top(0).getLong(2)
         merges += Merge(r, a, b, wgt, nPt)
         val matched = withNext
           .filter(col("sym") === lit(a) && col("nx") === lit(b))
