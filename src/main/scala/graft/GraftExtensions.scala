@@ -87,6 +87,8 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.LongType), k)
     })
+    once("argmax_minkey")(args =>
+      graft.functions.MaxScoreMinKey(args(0), args(1)))
   }
 }
 
@@ -157,5 +159,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.catalyst.expressions.Cast(args(1),
             org.apache.spark.sql.types.LongType), intArg(args(2), "k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("argmax_minkey"),
+      info("argmax_minkey",
+        "_FUNC_(score, key) - key at the max score, smallest key on ties"),
+      (args: Seq[Expression]) =>
+        graft.functions.MaxScoreMinKey(args(0), args(1))))
   }
 }

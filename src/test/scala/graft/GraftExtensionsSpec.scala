@@ -40,4 +40,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(a.getLong(4) === b.getLong(4))           // srp
     }
   }
+
+  test("argmax_minkey reachable from SQL and agrees with the Column API") {
+    GraftExtensions.registerAll(spark)
+    Seq(("g1", 3L, "beta"), ("g1", 3L, "alpha"), ("g1", 1L, "aa"),
+        ("g2", 5L, "only"))
+      .toDF("g", "c", "k").createOrReplaceTempView("ext_argmax")
+    val viaSql = spark.sql(
+      """SELECT g, argmax_minkey(c, k) AS k FROM ext_argmax
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    val viaApi = spark.table("ext_argmax").groupBy($"g")
+      .agg(graft.functions.ArgExtremum.maxScoreMinKey($"c", $"k").as("k"))
+      .orderBy($"g").as[(String, String)].collect().toSeq
+    assert(viaSql === Seq("g1" -> "alpha", "g2" -> "only"))
+    assert(viaSql === viaApi)
+  }
 }
