@@ -424,6 +424,38 @@ object Queries {
     * odd run-indexes are exactly the greedy selection).
     */
   private def bpeOracleSql(rounds: Int): String = {
+    val branches = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b," +
+        s" pc AS weight, npt AS n_pair_types FROM t$r"
+    }
+    bpeCtesSql(rounds) + "\n" +
+      branches.mkString("", "\nUNION ALL ", "\nORDER BY round")
+  }
+
+  /** q350's final aggregate over the post-merge state s{rounds}: fertility
+    * (symbols per occurrence / per char) by word-length bucket.
+    */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    bpeCtesSql(rounds) +
+      s""",
+         |f AS (SELECT w, any_value(cnt) AS cnt,
+         |    CAST(count(*) AS BIGINT) AS nsyms, len(w) AS nch
+         |  FROM s$rounds GROUP BY w)
+         |SELECT CAST(least(nch, 10) AS BIGINT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_word_types,
+         |  CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+         |  CAST(sum(cnt * nch) AS BIGINT) AS chars_total,
+         |  CAST(sum(cnt * nsyms) AS BIGINT) AS syms_total,
+         |  CAST((sum(cnt * nsyms) * 1000000) // sum(cnt) AS BIGINT)
+         |    AS syms_per_occ_ppm,
+         |  CAST((sum(cnt * nsyms) * 1000000) // sum(cnt * nch) AS BIGINT)
+         |    AS syms_per_char_ppm
+         |FROM f GROUP BY 1 ORDER BY len_bucket""".stripMargin
+
+  /** The shared unrolled-CTE chain: word counts, char symbolization, and
+    * `rounds` [[graft.ops.BpeTrain]] merge rounds (see bpeOracleSql).
+    */
+  private def bpeCtesSql(rounds: Int): String = {
     val base = """WITH w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''),
       |      ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
@@ -456,12 +488,7 @@ object Queries {
          |    ON s.w = d.w AND s.pos = d.pos
          |  WHERE d.pos IS NULL)""".stripMargin
     }
-    val branches = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b," +
-        s" pc AS weight, npt AS n_pair_types FROM t$r"
-    }
-    (base +: steps).mkString(",\n") + "\n" +
-      branches.mkString("", "\nUNION ALL ", "\nORDER BY round")
+    (base +: steps).mkString(",\n")
   }
 
   private def harmonicOracleSql(hops: Int): String = {
@@ -18305,7 +18332,45 @@ object Queries {
           graft.ops.BpeTrain.train(words, "w", "cnt", rounds = 3)
         graft.ops.BpeTrain.mergesDf(s, merges).orderBy($"round")
       },
-      Some(bpeOracleSql(rounds = 3)))
+      Some(bpeOracleSql(rounds = 3))),
+
+    // ---- 350. tokenizer fertility audit — APPLY q349's trained merges
+    //          and measure what they bought: symbols per occurrence and
+    //          per char, bucketed by word length (the tokens-per-word /
+    //          compression-ratio curve every tokenizer change is judged
+    //          by, and the q344 discipline of putting the production
+    //          COMPOSITION — train then apply — under the oracle, not
+    //          just the training step). The post-merge state is the
+    //          vocab-bounded positional frame BpeTrain already maintains,
+    //          so the audit costs one |vocab|-row aggregate beyond
+    //          training; corpus size only enters through the word-count
+    //          pass. ----
+    QDef("q350_bpe_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val words = Tables.documents(s, dir)
+          .select(explode(TF.tokens(coalesce($"text", lit(""))))
+            .as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val (_, st) =
+          graft.ops.BpeTrain.train(words, "w", "cnt", rounds = 3)
+        st.groupBy($"w")
+          .agg(first($"cnt").as("cnt"), count(lit(1)).as("nsyms"))
+          .withColumn("nch", length($"w").cast("long"))
+          .groupBy(least($"nch", lit(10L)).as("len_bucket"))
+          .agg(count(lit(1)).as("n_word_types"),
+            sum($"cnt").as("n_occurrences"),
+            sum($"cnt" * $"nch").as("chars_total"),
+            sum($"cnt" * $"nsyms").as("syms_total"))
+          .select($"len_bucket", $"n_word_types", $"n_occurrences",
+            $"chars_total", $"syms_total",
+            expr("(syms_total * 1000000) div n_occurrences")
+              .as("syms_per_occ_ppm"),
+            expr("(syms_total * 1000000) div chars_total")
+              .as("syms_per_char_ppm"))
+          .orderBy($"len_bucket")
+      },
+      Some(bpeFertilityOracleSql(rounds = 3)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
