@@ -452,6 +452,86 @@ object Queries {
          |    AS syms_per_char_ppm
          |FROM f GROUP BY 1 ORDER BY len_bucket""".stripMargin
 
+  /** q346/q351's shared probe features: per doc, x1 = token count,
+    * x2 = vocab size, y = n_chars.
+    */
+  private def probeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        TF.tokens(coalesce($"text", lit(""))).as("toks"))
+      .select($"doc_id", $"lang",
+        size($"toks").cast("long").as("x1"),
+        size(array_distinct($"toks")).cast("long").as("x2"),
+        $"n_chars".as("y"))
+  }
+
+  /** q346/q351's shared normal-equations fit: per lang, the nine moment
+    * sums in one combinable aggregate and the four Cramer determinants
+    * (det, d0, d1, d2) in DECIMAL(38,0) — β_j = d_j/det exactly.
+    */
+  private def probeFit(f: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val m = f.groupBy(col("lang")).agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x1").cast(d38)).as("s1"),
+      sum(col("x2").cast(d38)).as("s2"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("x1").cast(d38) * col("x1").cast(d38)).as("s11"),
+      sum(col("x1").cast(d38) * col("x2").cast(d38)).as("s12"),
+      sum(col("x2").cast(d38) * col("x2").cast(d38)).as("s22"),
+      sum(col("x1").cast(d38) * col("y").cast(d38)).as("s1y"),
+      sum(col("x2").cast(d38) * col("y").cast(d38)).as("s2y"))
+    m.select(col("lang"), col("n"),
+      (col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
+        - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+        + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+        .as("det"),
+      (col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
+        - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+        + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+        .as("d0"),
+      (col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+        - col("sy") * (col("s1") * col("s22") - col("s12") * col("s2"))
+        + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+        .as("d1"),
+      (col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+        - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+        + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2")))
+        .as("d2"))
+  }
+
+  /** The f/m/d CTE chain both probe oracles share (mirrors
+    * probeFeatures + probeFit exactly).
+    */
+  private val probeFitCtesSql: String =
+    """WITH f AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+      |      x -> x <> '')) AS BIGINT) AS x1,
+      |    CAST(len(list_distinct(list_filter(
+      |      string_split(coalesce(text, ''), ' '), x -> x <> '')))
+      |      AS BIGINT) AS x2,
+      |    n_chars AS y FROM documents),
+      |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+      |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
+      |  FROM f GROUP BY 1),
+      |d AS (SELECT lang, n,
+      |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      |      + s2*(s1*s12 - s11*s2) AS det,
+      |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+      |      + s2*(s1y*s12 - s11*s2y) AS d0,
+      |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+      |      + s2*(s1*s2y - s1y*s2) AS d1,
+      |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+      |      + sy*(s1*s12 - s11*s2) AS d2
+      |  FROM m)""".stripMargin
+
   /** The shared unrolled-CTE chain: word counts, char symbolization, and
     * `rounds` [[graft.ops.BpeTrain]] merge rounds (see bpeOracleSql).
     */
@@ -18092,37 +18172,8 @@ object Queries {
     QDef("q346_linear_probe",
       (s, dir) => {
         import s.implicits._
-        val d38 = DecimalType(38, 0)
-        val f = Tables.documents(s, dir)
-          .select($"lang", $"n_chars",
-            TF.tokens(coalesce($"text", lit(""))).as("toks"))
-          .select($"lang",
-            size($"toks").cast("long").as("x1"),
-            size(array_distinct($"toks")).cast("long").as("x2"),
-            $"n_chars".as("y"))
-        val m = f.groupBy($"lang").agg(
-          count(lit(1)).cast(d38).as("n"),
-          sum($"x1".cast(d38)).as("s1"),
-          sum($"x2".cast(d38)).as("s2"),
-          sum($"y".cast(d38)).as("sy"),
-          sum($"x1".cast(d38) * $"x1".cast(d38)).as("s11"),
-          sum($"x1".cast(d38) * $"x2".cast(d38)).as("s12"),
-          sum($"x2".cast(d38) * $"x2".cast(d38)).as("s22"),
-          sum($"x1".cast(d38) * $"y".cast(d38)).as("s1y"),
-          sum($"x2".cast(d38) * $"y".cast(d38)).as("s2y"))
-        val d = m.select($"lang", $"n",
-          ($"n" * ($"s11" * $"s22" - $"s12" * $"s12")
-            - $"s1" * ($"s1" * $"s22" - $"s12" * $"s2")
-            + $"s2" * ($"s1" * $"s12" - $"s11" * $"s2")).as("det"),
-          ($"sy" * ($"s11" * $"s22" - $"s12" * $"s12")
-            - $"s1" * ($"s1y" * $"s22" - $"s12" * $"s2y")
-            + $"s2" * ($"s1y" * $"s12" - $"s11" * $"s2y")).as("d0"),
-          ($"n" * ($"s1y" * $"s22" - $"s12" * $"s2y")
-            - $"sy" * ($"s1" * $"s22" - $"s12" * $"s2")
-            + $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")).as("d1"),
-          ($"n" * ($"s11" * $"s2y" - $"s1y" * $"s12")
-            - $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2")
-            + $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")).as("d2"))
+        val f = probeFeatures(s, dir)
+        val d = probeFit(f)
         def signOf(c: Column): Column =
           when($"det" === 0, lit(null).cast("long"))
             .otherwise(when(c > 0, 1L).when(c < 0, -1L).otherwise(0L))
@@ -18135,32 +18186,7 @@ object Queries {
             signOf($"d2").as("sign_b2"), absPpm("d2").as("b2_abs_ppm"))
           .orderBy($"lang")
       },
-      Some("""WITH f AS (SELECT lang,
-        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
-        |      x -> x <> '')) AS BIGINT) AS x1,
-        |    CAST(len(list_distinct(list_filter(
-        |      string_split(coalesce(text, ''), ' '), x -> x <> '')))
-        |      AS BIGINT) AS x2,
-        |    n_chars AS y FROM documents),
-        |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
-        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
-        |    CAST(sum(y) AS HUGEINT) AS sy,
-        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
-        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
-        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
-        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
-        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
-        |  FROM f GROUP BY 1),
-        |d AS (SELECT lang, n,
-        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
-        |      + s2*(s1*s12 - s11*s2) AS det,
-        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
-        |      + s2*(s1y*s12 - s11*s2y) AS d0,
-        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
-        |      + s2*(s1*s2y - s1y*s2) AS d1,
-        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
-        |      + sy*(s1*s12 - s11*s2) AS d2
-        |  FROM m)
+      Some(probeFitCtesSql + """
         |SELECT lang, CAST(n AS BIGINT) AS n_docs,
         |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d0 > 0 THEN 1
         |    WHEN d0 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b0,
@@ -18370,7 +18396,52 @@ object Queries {
               .as("syms_per_char_ppm"))
           .orderBy($"len_bucket")
       },
-      Some(bpeFertilityOracleSql(rounds = 3)))
+      Some(bpeFertilityOracleSql(rounds = 3))),
+
+    // ---- 351. probe-residual outlier mining — APPLY q346's fitted
+    //          probe and rank the documents its model explains worst:
+    //          the top-20 |residual| docs are the "size defies the token
+    //          stats" data-quality suspects (truncated payloads, markup
+    //          blobs, encoding damage) — the q344/q350 discipline of
+    //          putting the fit→apply production composition under the
+    //          oracle. Exactness device: the residual of doc i is
+    //          r_i = y_i − (β0 + β1·x1 + β2·x2) with β_j = D_j/D, so
+    //          r_i·D = y_i·D − D0 − D1·x1 − D2·x2 is INTEGRAL in
+    //          DECIMAL(38,0) — ranking needs the cross-language-
+    //          comparable ppm form (|r_i·D|·1e6) div D since D differs
+    //          per language. Scale shape: the fit is q346's one
+    //          combinable pass; application is a broadcast join of the
+    //          |langs|-row determinant table onto one more corpus pass;
+    //          the top-20 is TakeOrderedAndProject, never a global
+    //          sort. Collinear languages (det = 0) have no defined
+    //          residual and are excluded. ----
+    QDef("q351_probe_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val f = probeFeatures(s, dir)
+        val d = probeFit(f).filter($"det" > 0)
+        f.join(broadcast(d), "lang")
+          .withColumn("rnum",
+            $"y".cast(d38) * $"det" - $"d0"
+              - $"d1" * $"x1".cast(d38) - $"d2" * $"x2".cast(d38))
+          .select($"doc_id", $"lang", $"x1", $"x2", $"y",
+            when($"rnum" > 0, 1L).when($"rnum" < 0, -1L).otherwise(0L)
+              .as("sign_r"),
+            expr("(abs(rnum) * 1000000) div det").as("r_abs_ppm"))
+          .orderBy($"r_abs_ppm".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(probeFitCtesSql + """
+        |SELECT f.doc_id, f.lang, f.x1, f.x2, f.y,
+        |  CAST(CASE WHEN rnum > 0 THEN 1 WHEN rnum < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS sign_r,
+        |  CAST((abs(rnum) * 1000000) // det AS BIGINT) AS r_abs_ppm
+        |FROM (SELECT f.*, d.det,
+        |    CAST(f.y AS HUGEINT) * d.det - d.d0
+        |      - d.d1 * f.x1 - d.d2 * f.x2 AS rnum
+        |  FROM f JOIN d USING (lang) WHERE d.det > 0) f
+        |ORDER BY r_abs_ppm DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
