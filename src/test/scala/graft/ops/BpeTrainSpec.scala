@@ -96,4 +96,26 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(merges.size === 2)
     assert(merges(1).nPairTypes <= merges(0).nPairTypes + 2)
   }
+
+  test("property: random corpora match the sequential reference (seeded)") {
+    // deterministic seed — the property must reproduce on failure
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 8) {
+      // small alphabet maximizes a==b chains and tie collisions —
+      // exactly the branches the run-parity rule must get right
+      val alphabet = "ab" + (if (trial % 2 == 0) "c" else "")
+      val nWords = 3 + rnd.nextInt(10)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).map { case (w, ws) =>
+        w -> (ws.size.toLong * (1 + rnd.nextInt(3)))
+      }
+      val rounds = 1 + rnd.nextInt(4)
+      val (merges, _) = trainOn(words, rounds)
+      val ref = refBpe(words, rounds)
+      assert(merges.map(m => (m.round, m.symA, m.symB, m.weight)) === ref,
+        s"trial $trial words=$words rounds=$rounds")
+    }
+  }
 }
