@@ -535,36 +535,45 @@ object Queries {
   /** The shared unrolled-CTE chain: word counts, char symbolization, and
     * `rounds` [[graft.ops.BpeTrain]] merge rounds (see bpeOracleSql).
     */
-  private def bpeCtesSql(rounds: Int): String = {
-    val base = """WITH w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
+  private def bpeCtesSql(rounds: Int): String =
+    "WITH " + bpeChainSql(rounds, "", "documents")
+
+  /** One prefixed BPE CTE chain (no leading WITH): word counts from
+    * `corpusSql`'s text column, symbolization, `rounds` merge rounds —
+    * prefixing lets q352 run TWO chains (raw vs deduped corpus) in one
+    * statement.
+    */
+  private def bpeChainSql(rounds: Int, px: String, corpusSql: String)
+      : String = {
+    val base = s"""${px}w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''),
-      |      ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
-      |s0 AS (SELECT w, cnt, i AS pos, substring(w, i, 1) AS sym
-      |  FROM w, unnest(generate_series(1, len(w))) AS g(i))""".stripMargin
+      |      ' '), x -> x <> '')) AS t FROM $corpusSql) GROUP BY 1),
+      |${px}s0 AS (SELECT w, cnt, i AS pos, substring(w, i, 1) AS sym
+      |  FROM ${px}w, unnest(generate_series(1, len(w))) AS g(i))""".stripMargin
     val steps = (1 to rounds).map { r =>
       val p = r - 1
-      s"""n$r AS (SELECT w, cnt, pos, sym,
-         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx FROM s$p),
-         |p$r AS (SELECT sym AS a, nx AS b, CAST(sum(cnt) AS BIGINT) AS pc
-         |  FROM n$r WHERE nx IS NOT NULL GROUP BY 1, 2),
-         |t$r AS (SELECT a, b, pc,
-         |    (SELECT CAST(count(*) AS BIGINT) FROM p$r) AS npt
-         |  FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
-         |m$r AS (SELECT n.w, n.pos FROM n$r n
-         |  JOIN t$r t ON n.sym = t.a AND n.nx = t.b),
-         |g$r AS (SELECT w, pos,
+      s"""${px}n$r AS (SELECT w, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx FROM ${px}s$p),
+         |${px}p$r AS (SELECT sym AS a, nx AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM ${px}n$r WHERE nx IS NOT NULL GROUP BY 1, 2),
+         |${px}t$r AS (SELECT a, b, pc,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ${px}p$r) AS npt
+         |  FROM ${px}p$r ORDER BY pc DESC, a, b LIMIT 1),
+         |${px}m$r AS (SELECT n.w, n.pos FROM ${px}n$r n
+         |  JOIN ${px}t$r t ON n.sym = t.a AND n.nx = t.b),
+         |${px}g$r AS (SELECT w, pos,
          |    pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
-         |  FROM m$r),
-         |e$r AS (SELECT w, pos FROM (SELECT w, pos, row_number()
-         |      OVER (PARTITION BY w, grp ORDER BY pos) AS rn FROM g$r)
+         |  FROM ${px}m$r),
+         |${px}e$r AS (SELECT w, pos FROM (SELECT w, pos, row_number()
+         |      OVER (PARTITION BY w, grp ORDER BY pos) AS rn FROM ${px}g$r)
          |  WHERE rn % 2 = 1),
-         |s$r AS (SELECT s.w, s.cnt,
+         |${px}s$r AS (SELECT s.w, s.cnt,
          |    row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
-         |    CASE WHEN e.pos IS NOT NULL THEN (SELECT a || b FROM t$r)
+         |    CASE WHEN e.pos IS NOT NULL THEN (SELECT a || b FROM ${px}t$r)
          |      ELSE s.sym END AS sym
-         |  FROM s$p s
-         |  LEFT JOIN e$r e ON s.w = e.w AND s.pos = e.pos
-         |  LEFT JOIN (SELECT w, pos + 1 AS pos FROM e$r) d
+         |  FROM ${px}s$p s
+         |  LEFT JOIN ${px}e$r e ON s.w = e.w AND s.pos = e.pos
+         |  LEFT JOIN (SELECT w, pos + 1 AS pos FROM ${px}e$r) d
          |    ON s.w = d.w AND s.pos = d.pos
          |  WHERE d.pos IS NULL)""".stripMargin
     }
@@ -18441,7 +18450,56 @@ object Queries {
         |    CAST(f.y AS HUGEINT) * d.det - d.d0
         |      - d.d1 * f.x1 - d.d2 * f.x2 AS rnum
         |  FROM f JOIN d USING (lang) WHERE d.det > 0) f
-        |ORDER BY r_abs_ppm DESC, doc_id LIMIT 20""".stripMargin))
+        |ORDER BY r_abs_ppm DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- 352. tokenizer stability under dedup — train q349's BPE on
+    //          the RAW corpus and on the exact-deduped corpus (distinct
+    //          texts) and diff the merge lists round by round: duplicate-
+    //          heavy mass inflates pair counts multiplicatively, so a
+    //          boilerplate-dominated corpus can learn boilerplate
+    //          merges — this audit answers "does dedup change your
+    //          tokenizer" BEFORE a training run bakes it in (the reason
+    //          real pipelines dedup before tokenizer training). Two
+    //          vocab-bounded trainings; the diff is a ≤rounds-row full
+    //          outer join (dry rounds on both sides are absent on both
+    //          engines). ----
+    QDef("q352_bpe_dedup_stability",
+      (s, dir) => {
+        import s.implicits._
+        def wordsOf(df: DataFrame) = df
+          .select(explode(TF.tokens(coalesce($"text", lit(""))))
+            .as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val docs = Tables.documents(s, dir)
+        val (mr, _) = graft.ops.BpeTrain
+          .train(wordsOf(docs), "w", "cnt", rounds = 3)
+        val (md, _) = graft.ops.BpeTrain
+          .train(wordsOf(docs.select($"text").distinct()), "w", "cnt",
+            rounds = 3)
+        val rdf = graft.ops.BpeTrain.mergesDf(s, mr)
+          .select($"round", $"sym_a".as("raw_a"), $"sym_b".as("raw_b"),
+            $"weight".as("raw_weight"))
+        val ddf = graft.ops.BpeTrain.mergesDf(s, md)
+          .select($"round", $"sym_a".as("ded_a"), $"sym_b".as("ded_b"),
+            $"weight".as("ded_weight"))
+        rdf.join(ddf, Seq("round"), "full_outer")
+          .withColumn("same_pair",
+            ($"raw_a" <=> $"ded_a") && ($"raw_b" <=> $"ded_b"))
+          .orderBy($"round")
+      },
+      Some("WITH " + bpeChainSql(3, "r_", "documents") + ",\n" +
+        bpeChainSql(3, "d_",
+          "(SELECT DISTINCT text FROM documents) dd") + "\n" +
+        (1 to 3).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, r.a AS raw_a,
+             |  r.b AS raw_b, r.pc AS raw_weight, d.a AS ded_a,
+             |  d.b AS ded_b, d.pc AS ded_weight,
+             |  (r.a IS NOT DISTINCT FROM d.a
+             |    AND r.b IS NOT DISTINCT FROM d.b) AS same_pair
+             |FROM (SELECT 1 AS one) x
+             |LEFT JOIN r_t$r r ON TRUE LEFT JOIN d_t$r d ON TRUE
+             |WHERE r.a IS NOT NULL OR d.a IS NOT NULL""".stripMargin
+        }.mkString("", "\nUNION ALL ", "\nORDER BY round")))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
