@@ -18499,7 +18499,44 @@ object Queries {
              |FROM (SELECT 1 AS one) x
              |LEFT JOIN r_t$r r ON TRUE LEFT JOIN d_t$r d ON TRUE
              |WHERE r.a IS NOT NULL OR d.a IS NOT NULL""".stripMargin
-        }.mkString("", "\nUNION ALL ", "\nORDER BY round")))
+        }.mkString("", "\nUNION ALL ", "\nORDER BY round"))),
+
+    // ---- 353. SQL-surface deterministic argmax — the `argmax_minkey`
+    //          aggregate (functions/ArgExtremum, the round-9 LPA/BPE
+    //          argmax kernel) reached through pure `spark.sql` (the
+    //          q43/q67 extensibility pattern): per language, the most
+    //          frequent token with ties to the lexicographically
+    //          smallest — the query `max_by` cannot express
+    //          deterministically. One combinable (lang, token) count +
+    //          one combinable argmax; no window, no join-back, no sort
+    //          until the |langs|-row ORDER BY. ----
+    QDef("q353_sql_argmax",
+      (s, dir) => {
+        GraftExtensions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+        s.sql("""WITH tc AS (SELECT lang, t, count(*) AS c
+                |  FROM (SELECT lang, explode(filter(split(
+                |      coalesce(text, ''), ' '), x -> x != '')) AS t
+                |    FROM documents_v)
+                |  GROUP BY lang, t)
+                |SELECT lang, argmax_minkey(c, t) AS top_token,
+                |  max(c) AS top_count,
+                |  count(*) AS n_distinct_tokens
+                |FROM tc GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH tc AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(list_filter(string_split(
+        |      coalesce(text, ''), ' '), x -> x <> '')) AS t
+        |    FROM documents)
+        |  GROUP BY lang, t),
+        |mx AS (SELECT lang, max(c) AS top_count,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_tokens
+        |  FROM tc GROUP BY lang)
+        |SELECT m.lang,
+        |  (SELECT min(t) FROM tc
+        |    WHERE tc.lang = m.lang AND tc.c = m.top_count) AS top_token,
+        |  m.top_count, m.n_distinct_tokens
+        |FROM mx m ORDER BY m.lang""".stripMargin))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
