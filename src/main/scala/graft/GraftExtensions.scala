@@ -42,6 +42,11 @@ object GraftExtensions {
       if (s == null) { s = scala.collection.mutable.Set.empty[String]; registered.put(spark, s) }
       s
     }
+    // Same positional-args guard as the extensions class: fail with the
+    // usage string instead of a bare IndexOutOfBoundsException.
+    def arity(args: Seq[Expression], n: Int, usage: String): Unit =
+      if (args.length != n) throw new IllegalArgumentException(
+        s"wrong argument count for $usage: expected $n, got ${args.length}")
     def once(name: String)(builder: Seq[Expression] => Expression): Unit =
       if (mine.contains(name)) ()                    // our earlier call — no-op
       else if (reg.functionExists(FunctionIdentifier(name)))
@@ -52,8 +57,12 @@ object GraftExtensions {
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
         mine += name
       }
-    once("simhash_fingerprint")(args => HashExpressions.SimHashFingerprint(args.head))
+    once("simhash_fingerprint")(args => {
+      arity(args, 1, "simhash_fingerprint(tokens)")
+      HashExpressions.SimHashFingerprint(args.head)
+    })
     once("minhash_signature")(args => {
+      arity(args, 2, "minhash_signature(units, k)")
       val k = args(1) match {
         case Literal(v: Int, _) => v
         case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
@@ -63,20 +72,32 @@ object GraftExtensions {
       HashExpressions.MinHashSignature(args.head, k,
         MinHashLSH.A.take(k), MinHashLSH.B.take(k))
     })
-    once("cosine_sim")(args => HashExpressions.CosineSim(args(0), args(1)))
-    once("hash60_array")(args => HashExpressions.Hash60Array(args.head))
+    once("cosine_sim")(args => {
+      arity(args, 2, "cosine_sim(a, b)")
+      HashExpressions.CosineSim(args(0), args(1))
+    })
+    once("hash60_array")(args => {
+      arity(args, 1, "hash60_array(units)")
+      HashExpressions.Hash60Array(args.head)
+    })
     once("srp_signature")(args => {
+      arity(args, 2, "srp_signature(vec, nPlanes)")
       val n = args(1) match {
         case Literal(v: Int, _) => v
         case o => throw new IllegalArgumentException(s"nPlanes must be a literal, got $o")
       }
       HashExpressions.SrpSignature(args.head, n)
     })
-    once("zorder2")(args =>
-      graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1)))
-    once("damerau_levenshtein")(args =>
-      graft.functions.StringExpressions.DamerauLevenshtein(args(0), args(1)))
+    once("zorder2")(args => {
+      arity(args, 2, "zorder2(x, y)")
+      graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1))
+    })
+    once("damerau_levenshtein")(args => {
+      arity(args, 2, "damerau_levenshtein(a, b)")
+      graft.functions.StringExpressions.DamerauLevenshtein(args(0), args(1))
+    })
     once("topk_pairs")(args => {
+      arity(args, 3, "topk_pairs(score, id, k)")
       val k = args(2) match {
         case Literal(v: Int, _) => v
         case o => throw new IllegalArgumentException(s"k must be a literal, got $o")
@@ -87,8 +108,10 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.LongType), k)
     })
-    once("argmax_minkey")(args =>
-      graft.functions.MaxScoreMinKey(args(0), args(1)))
+    once("argmax_minkey")(args => {
+      arity(args, 2, "argmax_minkey(score, key)")
+      graft.functions.MaxScoreMinKey(args(0), args(1))
+    })
   }
 }
 
@@ -104,16 +127,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Positional-args guard: `args(i)` on a short Seq throws a bare
+    * IndexOutOfBoundsException with no hint at the expected signature, so
+    * every registration checks arity first and fails with the usage string.
+    */
+  private def arity(args: Seq[Expression], n: Int, usage: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"wrong argument count for $usage: expected $n, got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash_fingerprint"),
       info("simhash_fingerprint", "_FUNC_(tokens) - 60-bit SimHash of a string array"),
-      (args: Seq[Expression]) => HashExpressions.SimHashFingerprint(args.head)))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "simhash_fingerprint(tokens)")
+        HashExpressions.SimHashFingerprint(args.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "_FUNC_(units, k) - k-wide MinHash signature"),
       (args: Seq[Expression]) => {
+        arity(args, 2, "minhash_signature(units, k)")
         val k = intArg(args(1), "k")
         require(k >= 1 && k <= MinHashLSH.A.length,
           s"k must be in [1, ${MinHashLSH.A.length}], got $k")
@@ -124,47 +159,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float arrays"),
-      (args: Seq[Expression]) => HashExpressions.CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "cosine_sim(a, b)")
+        HashExpressions.CosineSim(args(0), args(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("hash60_array"),
       info("hash60_array", "_FUNC_(units) - per-element 60-bit md5-prefix hashes"),
-      (args: Seq[Expression]) => HashExpressions.Hash60Array(args.head)))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "hash60_array(units)")
+        HashExpressions.Hash60Array(args.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("srp_signature"),
       info("srp_signature", "_FUNC_(vec, nPlanes) - signed-random-projection bits"),
-      (args: Seq[Expression]) =>
-        HashExpressions.SrpSignature(args.head, intArg(args(1), "nPlanes"))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "srp_signature(vec, nPlanes)")
+        HashExpressions.SrpSignature(args.head, intArg(args(1), "nPlanes"))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("zorder2"),
       info("zorder2", "_FUNC_(x, y) - 62-bit Morton interleave of two integral coordinates"),
-      (args: Seq[Expression]) =>
-        graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "zorder2(x, y)")
+        graft.functions.ZOrderFunctions.InterleaveBits(args(0), args(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein",
         "_FUNC_(a, b) - full Damerau-Levenshtein distance (unrestricted transpositions)"),
-      (args: Seq[Expression]) =>
-        graft.functions.StringExpressions.DamerauLevenshtein(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "damerau_levenshtein(a, b)")
+        graft.functions.StringExpressions.DamerauLevenshtein(args(0), args(1))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("topk_pairs"),
       info("topk_pairs", "_FUNC_(score, id, k) - k best (score desc, id asc) pairs"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        arity(args, 3, "topk_pairs(score, id, k)")
         graft.functions.BoundedTopK(
           org.apache.spark.sql.catalyst.expressions.Cast(args(0),
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.catalyst.expressions.Cast(args(1),
-            org.apache.spark.sql.types.LongType), intArg(args(2), "k"))))
+            org.apache.spark.sql.types.LongType), intArg(args(2), "k"))
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("argmax_minkey"),
       info("argmax_minkey",
         "_FUNC_(score, key) - key at the max score, smallest key on ties"),
-      (args: Seq[Expression]) =>
-        graft.functions.MaxScoreMinKey(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "argmax_minkey(score, key)")
+        graft.functions.MaxScoreMinKey(args(0), args(1))
+      }))
   }
 }

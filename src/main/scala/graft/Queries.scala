@@ -18177,7 +18177,17 @@ object Queries {
     //          truncating-vs-flooring division can never diverge on a
     //          non-negative operand). Scale check: det terms are
     //          3-moment products ≈ n³·(x²)³ ≈ 1e32 at 100× sf0.1 —
-    //          inside DECIMAL(38,0) with six digits to spare. ----
+    //          inside DECIMAL(38,0) with six digits to spare. The ×1e6
+    //          ppm step is computed QUOTIENT-FIRST —
+    //          (|x| div D)·1e6 + ((|x| % D)·1e6) div D, an exact
+    //          identity for non-negative integers — because the naive
+    //          (|x|·1e6) div D form needs |β|·D·1e6 ≤ 1e38 headroom
+    //          that D_j ≈ β_j·D does NOT leave at the very 100× the
+    //          det budget analyzes; worse, the two engines would fail
+    //          DIFFERENTLY there (Spark non-ANSI decimal overflow →
+    //          silent NULL, DuckDB HUGEINT overflow → error). Quotient-
+    //          first keeps every intermediate ≤ max(|β|·1e6, D·1e6),
+    //          bounded by the same D ≤ 1e32 budget. ----
     QDef("q346_linear_probe",
       (s, dir) => {
         import s.implicits._
@@ -18188,7 +18198,8 @@ object Queries {
             .otherwise(when(c > 0, 1L).when(c < 0, -1L).otherwise(0L))
         def absPpm(name: String): Column =
           when($"det" === 0, lit(null).cast("long"))
-            .otherwise(expr(s"(abs($name) * 1000000) div det"))
+            .otherwise(expr(s"(abs($name) div det) * 1000000" +
+              s" + ((abs($name) % det) * 1000000) div det"))
         d.select($"lang", $"n".cast("long").as("n_docs"),
             signOf($"d0").as("sign_b0"), absPpm("d0").as("b0_abs_ppm"),
             signOf($"d1").as("sign_b1"), absPpm("d1").as("b1_abs_ppm"),
@@ -18200,15 +18211,21 @@ object Queries {
         |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d0 > 0 THEN 1
         |    WHEN d0 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b0,
         |  CASE WHEN det = 0 THEN NULL
-        |    ELSE CAST((abs(d0) * 1000000) // det AS BIGINT) END AS b0_abs_ppm,
+        |    ELSE CAST((abs(d0) // det) * 1000000
+        |      + ((abs(d0) % det) * 1000000) // det AS BIGINT)
+        |    END AS b0_abs_ppm,
         |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d1 > 0 THEN 1
         |    WHEN d1 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b1,
         |  CASE WHEN det = 0 THEN NULL
-        |    ELSE CAST((abs(d1) * 1000000) // det AS BIGINT) END AS b1_abs_ppm,
+        |    ELSE CAST((abs(d1) // det) * 1000000
+        |      + ((abs(d1) % det) * 1000000) // det AS BIGINT)
+        |    END AS b1_abs_ppm,
         |  CASE WHEN det = 0 THEN NULL ELSE CAST(CASE WHEN d2 > 0 THEN 1
         |    WHEN d2 < 0 THEN -1 ELSE 0 END AS BIGINT) END AS sign_b2,
         |  CASE WHEN det = 0 THEN NULL
-        |    ELSE CAST((abs(d2) * 1000000) // det AS BIGINT) END AS b2_abs_ppm
+        |    ELSE CAST((abs(d2) // det) * 1000000
+        |      + ((abs(d2) % det) * 1000000) // det AS BIGINT)
+        |    END AS b2_abs_ppm
         |FROM d ORDER BY lang""".stripMargin)),
 
     // ---- 347. calibration audit (ECE, Naeini et al. 2015) — is a
@@ -18417,8 +18434,10 @@ object Queries {
     //          r_i = y_i − (β0 + β1·x1 + β2·x2) with β_j = D_j/D, so
     //          r_i·D = y_i·D − D0 − D1·x1 − D2·x2 is INTEGRAL in
     //          DECIMAL(38,0) — ranking needs the cross-language-
-    //          comparable ppm form (|r_i·D|·1e6) div D since D differs
-    //          per language. Scale shape: the fit is q346's one
+    //          comparable ppm form |r_i·D|·1e6 div D since D differs
+    //          per language, computed quotient-first (the q346
+    //          headroom device: |r·D| ≈ r·det would otherwise need
+    //          r·D·1e6 ≤ 1e38 at the 100× scale the det budget covers). Scale shape: the fit is q346's one
     //          combinable pass; application is a broadcast join of the
     //          |langs|-row determinant table onto one more corpus pass;
     //          the top-20 is TakeOrderedAndProject, never a global
@@ -18437,7 +18456,8 @@ object Queries {
           .select($"doc_id", $"lang", $"x1", $"x2", $"y",
             when($"rnum" > 0, 1L).when($"rnum" < 0, -1L).otherwise(0L)
               .as("sign_r"),
-            expr("(abs(rnum) * 1000000) div det").as("r_abs_ppm"))
+            expr("(abs(rnum) div det) * 1000000" +
+              " + ((abs(rnum) % det) * 1000000) div det").as("r_abs_ppm"))
           .orderBy($"r_abs_ppm".desc, $"doc_id")
           .limit(20)
       },
@@ -18445,7 +18465,8 @@ object Queries {
         |SELECT f.doc_id, f.lang, f.x1, f.x2, f.y,
         |  CAST(CASE WHEN rnum > 0 THEN 1 WHEN rnum < 0 THEN -1 ELSE 0 END
         |    AS BIGINT) AS sign_r,
-        |  CAST((abs(rnum) * 1000000) // det AS BIGINT) AS r_abs_ppm
+        |  CAST((abs(rnum) // det) * 1000000
+        |    + ((abs(rnum) % det) * 1000000) // det AS BIGINT) AS r_abs_ppm
         |FROM (SELECT f.*, d.det,
         |    CAST(f.y AS HUGEINT) * d.det - d.d0
         |      - d.d1 * f.x1 - d.d2 * f.x2 AS rnum

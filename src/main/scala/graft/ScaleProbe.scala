@@ -1056,7 +1056,7 @@ object ScaleProbe {
   }
 
   /** A/B of the deletion-neighborhood candidate join's key representation
-    * at the q203/q208/q220 shape (10% customer sample): the candidate
+    * at the q203/q208/q220 shape (20% customer sample): the candidate
     * equi-join currently keys on the VARIANT STRING (≈ name-length bytes
     * per exploded row through the shuffle); hashing the variant to an
     * xxhash64 long shrinks the shuffled key ~3× (hash collisions only add
