@@ -22,14 +22,27 @@ import org.apache.spark.sql.functions._
   * inequality join anywhere; the wedge self-join shuffles on the pivot
   * vertex, the close join on the (v, w) pair. All skew valves are the
   * orientation itself.
+  *
+  * Peeling (k-truss) uses the SUBSET identity instead of re-enumerating:
+  * removing edges can only DESTROY triangles, never create them, so the
+  * triangles of any edge-subset graph are exactly the already-enumerated
+  * triangles whose three edges all survive. A peel round is therefore
+  * [[peelTriangles]] (drop triangles touching a removed edge) +
+  * [[edgeSupportOf]] (re-group the survivors) — O(#triangles) equi-join
+  * work against a list the first round's wedge join already paid to
+  * build, instead of a fresh O(m^1.5) enumeration per round. The
+  * retained state is the triangle list itself: the same row count the
+  * wedge join's output shuffle already carried, so checkpointing it
+  * trades no extra memory for skipping every subsequent wedge join.
   */
 object Triangles {
 
-  /** (vertex id, n_tri) for every vertex in ≥ 1 triangle. Edges may
-    * arrive in any orientation, with duplicates and self-loops (cleaned
-    * here).
+  /** Every triangle of the undirected graph exactly once, as
+    * (u, v, w) in rank (degree, id) order — the closed wedges of the
+    * degree-oriented enumeration. Edges may arrive in any orientation,
+    * with duplicates and self-loops (cleaned here).
     */
-  def perVertexSupport(edges: DataFrame, srcCol: String, dstCol: String)
+  def enumerate(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -55,12 +68,55 @@ object Triangles {
       .join(oriented.select(col("u"), col("w"), col("rw")), "u")
       .filter(col("rv") < col("rw"))
       .select(col("u"), col("v"), col("w"))
-    val closed = wedges.join(
+    wedges.join(
       oriented.select(col("u").as("v"), col("w")), Seq("v", "w"), "left_semi")
-    closed
+  }
+
+  /** (a, b, support) per canonical (min, max) edge from a triangle list —
+    * each triangle contributes its three edges once.
+    */
+  def edgeSupportOf(tri: DataFrame): DataFrame =
+    tri
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("__t"))
+      .select(col("__t.a"), col("__t.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+
+  /** Triangles that survive removing `removed` (canonical (a, b) edges):
+    * a triangle dies iff ANY of its three edges was removed. Exact for
+    * any edge-subset graph — edge removal cannot create triangles — so
+    * peel rounds never re-run the wedge enumeration.
+    */
+  def peelTriangles(tri: DataFrame, removed: DataFrame): DataFrame = {
+    val rm = removed.select(col("a").as("__ra"), col("b").as("__rb"))
+    val dead = tri
+      .select(col("u"), col("v"), col("w"), explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("__t"))
+      .join(rm, col("__t.a") === col("__ra") && col("__t.b") === col("__rb"),
+        "left_semi")
+      .select(col("u"), col("v"), col("w")).distinct()
+    tri.join(dead, Seq("u", "v", "w"), "left_anti")
+  }
+
+  /** (vertex id, n_tri) for every vertex in ≥ 1 triangle. Edges may
+    * arrive in any orientation, with duplicates and self-loops (cleaned
+    * here).
+    */
+  def perVertexSupport(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame =
+    enumerate(edges, srcCol, dstCol)
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-  }
 
   /** (a, b, support) for every undirected edge in ≥ 1 triangle, edges
     * canonical (min, max) — the EDGE-grained sibling of
@@ -71,39 +127,6 @@ object Triangles {
     * count (the property the spec pins).
     */
   def perEdgeSupport(edges: DataFrame, srcCol: String, dstCol: String)
-      : DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val withRanks = e
-      .join(deg.select(col("v").as("a"),
-        struct(col("d"), col("v").as("id")).as("ra")), "a")
-      .join(deg.select(col("v").as("b"),
-        struct(col("d"), col("v").as("id")).as("rb")), "b")
-    val oriented = withRanks.select(
-        when(col("ra") < col("rb"), struct(col("a").as("u"), col("b").as("w"),
-          col("rb").as("rw")))
-          .otherwise(struct(col("b").as("u"), col("a").as("w"),
-            col("ra").as("rw"))).as("__e"))
-      .select(col("__e.u"), col("__e.w"), col("__e.rw"))
-    val wedges = oriented.select(col("u"), col("w").as("v"), col("rw").as("rv"))
-      .join(oriented.select(col("u"), col("w"), col("rw")), "u")
-      .filter(col("rv") < col("rw"))
-      .select(col("u"), col("v"), col("w"))
-    val closed = wedges.join(
-      oriented.select(col("u").as("v"), col("w")), Seq("v", "w"), "left_semi")
-    closed
-      .select(explode(array(
-        struct(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b")),
-        struct(least(col("u"), col("w")).as("a"),
-          greatest(col("u"), col("w")).as("b")),
-        struct(least(col("v"), col("w")).as("a"),
-          greatest(col("v"), col("w")).as("b")))).as("__t"))
-      .select(col("__t.a"), col("__t.b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
-  }
+      : DataFrame =
+    edgeSupportOf(enumerate(edges, srcCol, dstCol))
 }
