@@ -452,6 +452,62 @@ object Queries {
          |    AS syms_per_char_ppm
          |FROM f GROUP BY 1 ORDER BY len_bucket""".stripMargin
 
+  /** q354's oracle: train the merge chain on the training slice
+    * (doc_id % 10 != 7), then APPLY each round's learned pair t1..t{rounds}
+    * to the held-out words (doc_id % 10 = 7) with the same run-parity
+    * construction — the SQL replay of [[graft.functions.BpeFunctions
+    * .BpeEncode]]'s greedy scan. Dry training rounds leave t$r empty, so
+    * the matching CTEs select nothing and the state passes through — the
+    * same "apply only the merges that exist" behavior as the expression's
+    * shorter merge list.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val train = "WITH " + bpeChainSql(rounds, "",
+      "(SELECT text FROM documents WHERE doc_id % 10 != 7) tr")
+    val base = """hw AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''),
+      |      ' '), x -> x <> '')) AS t FROM documents WHERE doc_id % 10 = 7)
+      |  GROUP BY 1),
+      |h0 AS (SELECT w, cnt, i AS pos, substring(w, i, 1) AS sym
+      |  FROM hw, unnest(generate_series(1, len(w))) AS g(i))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""hn$r AS (SELECT w, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx FROM h$p),
+         |hm$r AS (SELECT n.w, n.pos FROM hn$r n
+         |  JOIN t$r t ON n.sym = t.a AND n.nx = t.b),
+         |hg$r AS (SELECT w, pos,
+         |    pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |  FROM hm$r),
+         |he$r AS (SELECT w, pos FROM (SELECT w, pos, row_number()
+         |      OVER (PARTITION BY w, grp ORDER BY pos) AS rn FROM hg$r)
+         |  WHERE rn % 2 = 1),
+         |h$r AS (SELECT s.w, s.cnt,
+         |    row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS pos,
+         |    CASE WHEN e.pos IS NOT NULL THEN (SELECT a || b FROM t$r)
+         |      ELSE s.sym END AS sym
+         |  FROM h$p s
+         |  LEFT JOIN he$r e ON s.w = e.w AND s.pos = e.pos
+         |  LEFT JOIN (SELECT w, pos + 1 AS pos FROM he$r) d
+         |    ON s.w = d.w AND s.pos = d.pos
+         |  WHERE d.pos IS NULL)""".stripMargin
+    }
+    val fCte = s"""f AS (SELECT w, any_value(cnt) AS cnt,
+      |    CAST(count(*) AS BIGINT) AS nsyms,
+      |    string_agg(sym, '|' ORDER BY pos) AS enc
+      |  FROM h$rounds GROUP BY w)""".stripMargin
+    val select = """SELECT CAST(least(len(w), 10) AS BIGINT) AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_word_types,
+      |  CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+      |  CAST(sum(cnt * len(w)) AS BIGINT) AS chars_total,
+      |  CAST(sum(cnt * nsyms) AS BIGINT) AS syms_total,
+      |  CAST((sum(cnt * nsyms) * 1000000) // sum(cnt * len(w)) AS BIGINT)
+      |    AS compression_ppm,
+      |  min(enc) AS min_enc, max(enc) AS max_enc
+      |FROM f GROUP BY 1 ORDER BY len_bucket""".stripMargin
+    ((Seq(train, base) ++ steps) :+ fCte).mkString(",\n") + "\n" + select
+  }
+
   /** q346/q351's shared probe features: per doc, x1 = token count,
     * x2 = vocab size, y = n_chars.
     */
@@ -18585,7 +18641,56 @@ object Queries {
         |  (SELECT min(t) FROM tc
         |    WHERE tc.lang = m.lang AND tc.c = m.top_count) AS top_token,
         |  m.top_count, m.n_distinct_tokens
-        |FROM mx m ORDER BY m.lang""".stripMargin))
+        |FROM mx m ORDER BY m.lang""".stripMargin)),
+
+    // ---- 354. BPE encode (tokenizer inference) — the half every
+    //          tokenizer ships that q349 left out: APPLY a trained
+    //          merge list to text the trainer never saw. Train on 90%
+    //          of the corpus (doc_id % 10 != 7), encode the held-out
+    //          10%'s vocabulary with functions/BpeFunctions.BpeEncode —
+    //          the merge list is a vocab-budget-bounded driver literal
+    //          shipped inside ONE compiled expression (real doGenCode),
+    //          so inference is a single narrow map pass: no join
+    //          against a merge table, no per-row state, embarrassingly
+    //          parallel at any corpus size. Output: per word-length
+    //          bucket, fertility (syms per char, ppm) on UNSEEN words —
+    //          the generalization curve of the tokenizer — plus the
+    //          lexicographic min/max encoded sequences, which pin the
+    //          SYMBOL IDENTITY cross-engine, not just the counts.
+    //          Greedy-scan ≡ run-parity equivalence is argued in the
+    //          expression's scaladoc and pinned by BpeEncodeSpec
+    //          (encode(training corpus) ≡ the trainer's final state). ----
+    QDef("q354_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        def wordsOf(df: DataFrame) = df
+          .select(explode(TF.tokens(coalesce($"text", lit(""))))
+            .as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val (merges, _) = graft.ops.BpeTrain.train(
+          wordsOf(docs.filter($"doc_id" % 10 =!= 7)), "w", "cnt",
+          rounds = 3)
+        wordsOf(docs.filter($"doc_id" % 10 === 7))
+          .select($"w", $"cnt",
+            graft.functions.BpeFunctions.bpeEncode($"w",
+              merges.map(m => (m.symA, m.symB))).as("syms"))
+          .groupBy(least(length($"w"), lit(10)).cast("long")
+            .as("len_bucket"))
+          .agg(count(lit(1)).as("n_word_types"),
+            sum($"cnt").as("n_occurrences"),
+            sum($"cnt" * length($"w").cast("long")).as("chars_total"),
+            sum($"cnt" * size($"syms").cast("long")).as("syms_total"),
+            min(array_join($"syms", "|")).as("min_enc"),
+            max(array_join($"syms", "|")).as("max_enc"))
+          .select($"len_bucket", $"n_word_types", $"n_occurrences",
+            $"chars_total", $"syms_total",
+            expr("(syms_total * 1000000) div chars_total")
+              .as("compression_ppm"),
+            $"min_enc", $"max_enc")
+          .orderBy($"len_bucket")
+      },
+      Some(bpeEncodeOracleSql(rounds = 3)))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
