@@ -60,6 +60,7 @@ object ScaleProbe {
       case "scansrt" => runtimeScanAudit(spark, sfDir); spark.stop(); return
       case "shuffle" => shuffleAudit(spark, sfDir); spark.stop(); return
       case "fuzzy" => fuzzyProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "ktruss" => ktrussProbe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -1119,6 +1120,46 @@ object ScaleProbe {
     println(s"""{"metric":"fuzzy_probe","sf":"$sfDir","reps":$reps,""" +
       s""""pairs":{"current":$nCur,"hashed":$nHash,"verify_first":$nVf},""" +
       s""""current_sec":$tCur,"hashed_sec":$tHash,"verify_first_sec":$tVf}""")
+  }
+
+  /** A/B of q220's peel-round support recomputation: OLD = re-run the
+    * full degree-ordered wedge enumeration over the surviving edges
+    * (Triangles.perEdgeSupport(e1)); NEW = filter the checkpointed round-1
+    * triangle list by removed edges and re-group
+    * (peelTriangles + edgeSupportOf). Same e0/round-1 inputs (built once,
+    * checkpointed), result row counts cross-checked equal, min over
+    * SPARK_GRAFT_PROBE_REP passes (default 3).
+    */
+  private def ktrussProbe(spark: SparkSession, sfDir: String,
+                          time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REP", "3").toInt
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val c = Tables.customer(spark, sfDir).filter(col("c_custkey") % 10 < 2)
+    val e0 = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val tri1 = graft.ops.Triangles.enumerate(e0, "a", "b").localCheckpoint()
+    val s1 = graft.ops.Triangles.edgeSupportOf(tri1).localCheckpoint()
+    val removed = s1.filter(col("support") < 2).select(col("a"), col("b"))
+    val e1 = e0.join(s1.filter(col("support") >= 2), Seq("a", "b"),
+      "left_semi").localCheckpoint()
+    def oldRound2() = graft.ops.Triangles.perEdgeSupport(e1, "a", "b")
+      .filter(col("support") >= 2)
+    def newRound2() = graft.ops.Triangles
+      .edgeSupportOf(graft.ops.Triangles.peelTriangles(tri1, removed))
+      .filter(col("support") >= 2)
+    noop(oldRound2()); noop(newRound2())      // warm codegen/JIT
+    val nOld = oldRound2().count()
+    val nNew = newRound2().count()
+    val tOld = (1 to reps).map(_ => time(noop(oldRound2()))).min
+    val tNew = (1 to reps).map(_ => time(noop(newRound2()))).min
+    println(s"""{"metric":"ktruss_probe","sf":"$sfDir","reps":$reps,""" +
+      s""""rows":{"old":$nOld,"new":$nNew},""" +
+      s""""old_wedge_sec":$tOld,"new_peel_sec":$tNew}""")
   }
 
   /** q104's gate margin: per-query recall@10 at nProbe = kCells/2, so the

@@ -56,7 +56,12 @@ object ScanAudit {
     }
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = add(qe.executedPlan)
+                             durationNs: Long): Unit = {
+        if (sys.env.get("SPARK_GRAFT_SCAN_DEBUG").contains("1"))
+          System.err.println(s"[scan-qe] onSuccess func=$funcName qe@" +
+            Integer.toHexString(System.identityHashCode(qe)))
+        add(qe.executedPlan)
+      }
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     }
@@ -69,6 +74,8 @@ object ScanAudit {
         (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
           { while (it.hasNext) it.next(); () })
       org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+      if (sys.env.get("SPARK_GRAFT_SCAN_DEBUG").contains("2"))
+        System.err.println(qe.executedPlan.toString)
       add(qe.executedPlan)
       lock.synchronized(acc.toMap)
     } finally spark.listenerManager.unregister(listener)
@@ -100,7 +107,14 @@ object ScanAudit {
           if (visited.add(c.relation.cacheBuilder)) walk(c.relation.cachedPlan)
         case s: FileSourceScanExec =>
           val opened = s.metrics.get("numFiles").map(_.value).getOrElse(0L)
-          if (opened > 0) tableOf(s).foreach(t => counts(t) += 1)
+          if (opened > 0) tableOf(s).foreach { t =>
+            counts(t) += 1
+            // per-scan provenance for triaging WHICH split re-executed
+            if (sys.env.get("SPARK_GRAFT_SCAN_DEBUG").contains("1"))
+              System.err.println(s"[scan] $t rows=" +
+                s"${s.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)}" +
+                s" filters=${s.dataFilters.mkString(";")}")
+          }
         case other => other.children.foreach(walk)
       }
     }
