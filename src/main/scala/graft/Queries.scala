@@ -9595,9 +9595,11 @@ object Queries {
     //          edge removal cannot create triangles, so round 2's
     //          support comes from the CHECKPOINTED round-1 triangle
     //          list minus the triangles touching a removed (support<2)
-    //          edge — Triangles.peelTriangles + edgeSupportOf,
-    //          O(#triangles) equi-join work per round instead of a
-    //          fresh O(m^1.5) enumeration over the survivors. ----
+    //          edge — ops/KTruss.peel (Triangles.peelTriangles +
+    //          edgeSupportOf), O(#triangles) equi-join work per round
+    //          instead of a fresh O(m^1.5) enumeration over the
+    //          survivors; KTruss.fixpoint is the run-to-convergence
+    //          production form over the same retained list. ----
     QDef("q220_ktruss",
       (s, dir) => {
         import s.implicits._
@@ -9614,13 +9616,7 @@ object Queries {
             greatest($"id_a", $"id_b").as("b"))
           .filter($"a" =!= $"b").distinct()
           .localCheckpoint()
-        val tri1 = graft.ops.Triangles.enumerate(e0, "a", "b")
-          .localCheckpoint()
-        val removed = graft.ops.Triangles.edgeSupportOf(tri1)
-          .filter($"support" < 2).select($"a", $"b")
-        val tri2 = graft.ops.Triangles.peelTriangles(tri1, removed)
-        graft.ops.Triangles.edgeSupportOf(tri2)
-          .filter($"support" >= 2)
+        graft.ops.KTruss.peel(e0, "a", "b", k = 4, rounds = 2)
           .orderBy($"a", $"b")
       },
       Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer

@@ -36,7 +36,12 @@ class ShuffleAuditSpec extends AnyFunSuite {
     ("q131_weighted_median", 1L << 20),   // measured 226K: one range pass
     ("q172_apriori_triples", 1L << 20),   // measured 119K: heap-bounded triples
     ("q166_winnowing", 4L << 20),         // measured 896K
-    ("q01_pricing_summary", 256L << 10))  // measured 2K: partial-agg shuffle
+    ("q01_pricing_summary", 256L << 10),  // measured 2K: partial-agg shuffle
+    // round-10 shapes: triangle-list peel, shared-pass double training,
+    // train + encode composition
+    ("q220_ktruss", 1L << 20),            // measured 36K: peel = equi-joins on the retained list
+    ("q352_bpe_dedup_stability", 1L << 20), // measured 207K: one corpus pass, 2 vocab-bounded trainings
+    ("q354_bpe_encode", 1L << 20))        // measured 63K: encode is a narrow map, shuffle = training only
 
   bounds.foreach { case (name, maxShuffle) =>
     test(s"$name: zero spill, shuffleWrite <= ${maxShuffle >> 20} MB") {
