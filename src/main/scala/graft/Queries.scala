@@ -8603,8 +8603,11 @@ object Queries {
           .filter($"a" =!= $"b").distinct()
           .localCheckpoint(true)
         val m = eu.count()
+        // no distinct: eu is already distinct canonical (a < b) pairs, so
+        // the mirrored union cannot collide with the original — a dedup
+        // here would be a pure 2|E|-row shuffle for nothing (LPA's
+        // neighbor counts need duplicate-FREE edges, which this is)
         val eSym = eu.unionByName(eu.select($"b".as("a"), $"a".as("b")))
-          .distinct()
         val labels = graft.ops.LabelProp.communities(eSym, "a", "b", rounds = 3)
         val deg = eu.select(explode(array($"a", $"b")).as("v"))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
