@@ -15,9 +15,24 @@ import org.apache.spark.sql.SparkSession
   * min across ALL merged runs' mins (never "the per-query values of the
   * best-total run", which inherits that one window's bursts), `total` is
   * the sum of merged mins, and `merged_runs` counts the folded runs.
-  * Merging refuses records from a different sf or query set, and refuses
-  * contended inputs (loadavg-flagged) so a loaded window can't donate
-  * values to a quiet record.
+  * Merging refuses records from a different sf or query set, refuses
+  * contended inputs (loadavg-flagged), and refuses to fold when the
+  * CURRENT run is itself contended — so a loaded window can't donate
+  * values to a quiet record from either side. A refused merge is an
+  * explicit fact, not a stderr note: the emitted JSON carries
+  * `merge_skipped_reason` so automated flows can tell "no merge
+  * requested" (null) from "merge requested and refused" (a string).
+  *
+  * File convention (round-10 postmortem: a contended driver run
+  * overwrote the committed quiet record in place):
+  *   - `BENCH_round.json` — ALWAYS written on a full run, the
+  *     run-as-executed per-round artifact, contended or not;
+  *   - `BENCH_LOCAL.json` — the quiet gate artifact, written ONLY when
+  *     this run is quiet (not loadavg-flagged) AND any requested merge
+  *     actually folded. A contended or merge-refused run leaves the
+  *     committed record untouched.
+  *   - an explicit SPARK_GRAFT_BENCH_OUT overrides the gate path and is
+  *     written unconditionally (targeted profiling to a scratch file).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -83,10 +98,20 @@ object Bench {
       }
       (name, times.min, times)
     }
+    // Mechanical contention flag: 1-min loadavg at START above ~2 means
+    // another tenant owned cores while this record ran (this VM's driver
+    // windows have measured 3-17x tails on sub-second queries under load),
+    // so downstream tooling can filter records without reading the
+    // calibration prose in BENCH_LOCAL.md.
+    val contended =
+      try loadStart.stripPrefix("[").split(",").head.toDouble > 2.0
+      catch { case _: Throwable => false }
     // Fold a previous record's per-query mins into this run's (file-header
     // convention). Jackson ships with Spark; the record is machine-written
-    // by this main, so the shapes are fixed.
-    val (mins0, mergedRuns) = {
+    // by this main, so the shapes are fixed. A tripped guard does NOT
+    // silently degrade to an unmerged record: the refusal reason lands in
+    // the JSON (merge_skipped_reason) and blocks the gate-file write.
+    val (mins0, mergedRuns, mergeSkipped) = {
       val mine = results.map { case (k, v, _) => k -> v }.toMap
       sys.env.get("SPARK_GRAFT_BENCH_MERGE") match {
         case Some(f) =>
@@ -103,15 +128,17 @@ object Bench {
               sys.error(s"sf mismatch: $prevSf vs $sfDir")
             if (prevContended)
               sys.error("refusing a contended record as merge input")
+            if (contended)
+              sys.error("refusing to fold a contended CURRENT run")
             if (prev.keySet != mine.keySet)
               sys.error(s"query sets differ (${prev.size} vs ${mine.size})")
             (mine.map { case (k, v) => k -> math.min(v, prev(k)) },
-              node.path("merged_runs").asInt(1) + 1)
+              node.path("merged_runs").asInt(1) + 1, None)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] merge with $f skipped: ${e.getMessage}")
-            (mine, 1)
+            (mine, 1, Some(e.getMessage))
           }
-        case None => (mine, 1)
+        case None => (mine, 1, None)
       }
     }
     val qs = results.map { case (k, _, _) => "\"" + k + "\":" + mins0(k) }
@@ -121,27 +148,31 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (k, _, _) => mins0(k) }.sum
     val loadEnd = loadavg()
-    // Mechanical contention flag: 1-min loadavg at START above ~2 means
-    // another tenant owned cores while this record ran (this VM's driver
-    // windows have measured 3-17x tails on sub-second queries under load),
-    // so downstream tooling can filter records without reading the
-    // calibration prose in BENCH_LOCAL.md.
-    val contended =
-      try loadStart.stripPrefix("[").split(",").head.toDouble > 2.0
-      catch { case _: Throwable => false }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps,"merged_runs":$mergedRuns,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended}"""
+    val skippedJson = mergeSkipped
+      .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps,"merged_runs":$mergedRuns,"merge_skipped_reason":$skippedJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended}"""
     println(line)
-    // Also land the record in a file: the driver's stdout tail-capture has
+    // Land the record in files too: the driver's stdout tail-capture has
     // truncated the one-line JSON two rounds running (BENCH_r03/r04
     // "parsed": null), leaving no machine-readable per-round artifact.
-    // BENCH_round.json is a second copy for the per-round judge artifact:
-    // BENCH_LOCAL.json may be superseded by a quieter manual rerun, while
-    // BENCH_round.json always holds the latest FULL run as-executed.
-    // Filtered runs (SPARK_GRAFT_BENCH_ONLY) are targeted profiling — they
-    // must not clobber the round artifact with a partial query set.
+    // File roles per the header convention: BENCH_round.json = every full
+    // run as-executed; the gate file (BENCH_LOCAL.json) only gets a quiet,
+    // merge-clean record — a contended or merge-refused run must leave the
+    // committed record untouched (round 10's driver run overwrote the quiet
+    // record in place; this is the structural fix). Filtered runs
+    // (SPARK_GRAFT_BENCH_ONLY) are targeted profiling — they clobber
+    // neither file unless OUT names a scratch path explicitly.
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val gateOk = only.isEmpty && !contended && mergeSkipped.isEmpty
     val outFiles =
-      Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")) ++
-        (if (only.isEmpty) Seq("BENCH_round.json") else Seq.empty)
+      explicitOut.toSeq ++
+        (if (only.isEmpty) Seq("BENCH_round.json") else Seq.empty) ++
+        (if (gateOk && explicitOut.isEmpty) Seq("BENCH_LOCAL.json")
+         else Seq.empty)
+    if (!gateOk && explicitOut.isEmpty && only.isEmpty)
+      System.err.println("[bench] gate file BENCH_LOCAL.json left untouched" +
+        s" (contended=$contended, merge_skipped=${mergeSkipped.getOrElse("-")})")
     outFiles.distinct.foreach { f =>
       try {
         val out = new java.io.PrintWriter(f)

@@ -1155,6 +1155,10 @@ object ScaleProbe {
     noop(oldRound2()); noop(newRound2())      // warm codegen/JIT
     val nOld = oldRound2().count()
     val nNew = newRound2().count()
+    // the A/B is only meaningful if the two paths compute the same set —
+    // hard-fail on divergence rather than leave it to a human reading JSON
+    require(nOld == nNew,
+      s"ktruss probe paths diverge: wedge-recompute=$nOld, peel=$nNew")
     val tOld = (1 to reps).map(_ => time(noop(oldRound2()))).min
     val tNew = (1 to reps).map(_ => time(noop(newRound2()))).min
     println(s"""{"metric":"ktruss_probe","sf":"$sfDir","reps":$reps,""" +

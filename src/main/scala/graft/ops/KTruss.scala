@@ -50,6 +50,16 @@ object KTruss {
     support.filter(col("support") >= need)
   }
 
+  /** Fixpoint result: `edges` is the exact k-truss when `converged`,
+    * else the superset the `maxRounds` cap stopped at — the caller can
+    * tell the two apart instead of silently trusting a capped run.
+    * `rounds` counts peel rounds executed including the final
+    * no-removal round that witnessed convergence (so a graph already
+    * at its truss reports rounds = 1).
+    */
+  final case class FixpointResult(edges: DataFrame, converged: Boolean,
+                                  rounds: Int)
+
   /** Peel to the k-truss FIXED POINT: rounds run until no edge falls
     * below k−2 (one bounded `isEmpty` driver scalar per round — the
     * BpeTrain per-round-argmax convention), capped at `maxRounds` as a
@@ -58,8 +68,8 @@ object KTruss {
     * convention as [[KCore.peel]]). On convergence the result is the
     * exact k-truss edge set with its in-truss support.
     */
-  def fixpoint(edges: DataFrame, srcCol: String, dstCol: String,
-               k: Int, maxRounds: Int = 64): DataFrame = {
+  def fixpointState(edges: DataFrame, srcCol: String, dstCol: String,
+                    k: Int, maxRounds: Int = 64): FixpointResult = {
     require(k >= 3 && maxRounds >= 1,
       s"need k >= 3, maxRounds >= 1, got $k, $maxRounds")
     val need = (k - 2).toLong
@@ -77,6 +87,19 @@ object KTruss {
       }
       r += 1
     }
-    support.filter(col("support") >= need)
+    FixpointResult(support.filter(col("support") >= need), converged, r)
+  }
+
+  /** [[fixpointState]] keeping only the edge frame; a capped
+    * (non-converged) run is still detectable — it warns on stderr
+    * rather than silently returning the superset.
+    */
+  def fixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+               k: Int, maxRounds: Int = 64): DataFrame = {
+    val res = fixpointState(edges, srcCol, dstCol, k, maxRounds)
+    if (!res.converged)
+      System.err.println(s"[ktruss] fixpoint hit maxRounds=$maxRounds " +
+        s"without converging; result is a SUPERSET of the $k-truss")
+    res.edges
   }
 }
