@@ -508,6 +508,53 @@ object Queries {
     ((Seq(train, base) ++ steps) :+ fCte).mkString(",\n") + "\n" + select
   }
 
+  /** q356's oracle: the full tokenize→pack composition replayed. The
+    * trainer chain (bpeChainSql) runs on the full corpus, so its FINAL
+    * state `s{rounds}` already holds every word's encoded symbols —
+    * encode(training word) ≡ trainer final state is the pinned BPE
+    * equivalence (BpeEncodeSpec), so no separate encode chain is
+    * needed: per-word symbol counts come straight from the state. Doc
+    * token counts are one join + sum; packing replays as pure
+    * prefix-sum arithmetic (the SequencePack geometry: first/last
+    * sequence index per doc via floor division, with the
+    * greatest(n_tok, 1) empty-doc guard both engines share).
+    */
+  private def tokenizePackOracleSql(rounds: Int, budgets: Seq[Long])
+      : String = {
+    val head = "WITH " + bpeChainSql(rounds, "", "documents")
+    val enc =
+      s"""wn AS (SELECT w, CAST(count(*) AS BIGINT) AS nsyms
+         |  FROM s$rounds GROUP BY w),
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split(
+         |      coalesce(text, ''), ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |dsum AS (SELECT dw.doc_id, CAST(sum(wn.nsyms) AS BIGINT) AS n_tok
+         |  FROM dw JOIN wn USING (w) GROUP BY 1),
+         |dt AS (SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(ds.n_tok, 0) AS BIGINT) AS n_tok
+         |  FROM documents d LEFT JOIN dsum ds USING (doc_id)),
+         |cum AS (SELECT doc_id, lang, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+         |      - n_tok AS BIGINT) AS strt FROM dt)""".stripMargin
+    val per = budgets.map { b =>
+      s"""SELECT lang, CAST($b AS BIGINT) AS budget,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum((strt + greatest(n_tok, 1) - 1) // $b
+         |    - strt // $b + 1) AS BIGINT) AS n_slices,
+         |  CAST(max((strt + greatest(n_tok, 1) - 1) // $b) + 1 AS BIGINT)
+         |    AS n_seqs,
+         |  CAST(sum((strt + greatest(n_tok, 1) - 1) // $b
+         |    - strt // $b) AS BIGINT) AS n_cross_slices,
+         |  CAST((sum(n_tok) * 1000000)
+         |    // ((max((strt + greatest(n_tok, 1) - 1) // $b) + 1) * $b)
+         |    AS BIGINT) AS fill_ppm
+         |FROM cum GROUP BY 1""".stripMargin
+    }
+    head + ",\n" + enc + "\n" +
+      per.mkString("", "\nUNION ALL\n", "\nORDER BY lang, budget")
+  }
+
   /** q346/q351's shared probe features: per doc, x1 = token count,
     * x2 = vocab size, y = n_chars.
     */
@@ -634,6 +681,61 @@ object Queries {
          |  WHERE d.pos IS NULL)""".stripMargin
     }
     (base +: steps).mkString(",\n")
+  }
+
+  /** q355's harness scaffold — the known-depth cascade graph of
+    * [[graft.ops.KTruss.cascadeHarness]] (nChain = 16 → the fixpoint
+    * peel converges in exactly 9 rounds), computed ONCE here and fed to
+    * both engines: the Spark side as a literal frame, the oracle as a
+    * printed VALUES list (the benfordPpm device). Base 2e9 keeps the
+    * scaffold ids disjoint from every SF's custkeys.
+    */
+  private val ktrussCascade: Seq[(Long, Long)] =
+    graft.ops.KTruss.cascadeHarness(16, 2000000000L)
+  private val ktrussCascadeRounds = 9
+
+  /** q355's oracle: the KTruss.fixpoint peel unrolled to `unroll`
+    * triangle-enumeration CTE rounds (the q116/q124 replay device). The
+    * peel is deterministic and the harness pins the convergence depth
+    * at 9 rounds at EVERY SF (the data-derived fuzzy component
+    * converges in ≤ 2: its triangles live inside positional
+    * name-cliques, so one removal round settles it), so any unroll ≥
+    * the depth replays the fixpoint exactly — peeling a converged graph
+    * is the identity.
+    */
+  private def ktrussFixpointOracleSql(unroll: Int): String = {
+    require(unroll >= ktrussCascadeRounds, s"unroll $unroll < depth")
+    val vals = ktrussCascade.map { case (a, b) => s"($a,$b)" }.mkString(",")
+    val head =
+      s"""WITH c AS MATERIALIZED (SELECT c_custkey AS id, c_name AS s
+         |  FROM customer WHERE c_custkey % 10 = 5),
+         |f AS MATERIALIZED (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+         |      ON a.id < b.id AND levenshtein(a.s, b.s) <= 1),
+         |e0 AS MATERIALIZED (SELECT a, b FROM f UNION
+         |       SELECT CAST(a AS BIGINT), CAST(b AS BIGINT)
+         |       FROM (VALUES $vals) v(a, b))""".stripMargin
+    // AS MATERIALIZED on every CTE: each round references the previous
+    // round's edges THREE times and its own triangle list three more —
+    // inlined (DuckDB's default for single-reference CTEs), the plan
+    // expands 9^unroll-fold and the parquet scan under it exhausts the
+    // fd limit; materialized, each round is planned once.
+    val rounds = (1 to unroll).map { r =>
+      val p = s"e${r - 1}"
+      s"""t$r AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM $p e1 JOIN $p e2 ON e1.a = e2.a AND e1.b < e2.b
+         |      JOIN $p e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$r AS MATERIALIZED (SELECT a, b,
+         |      CAST(count(*) AS BIGINT) AS support FROM (
+         |      SELECT x AS a, y AS b FROM t$r
+         |      UNION ALL SELECT x, z FROM t$r
+         |      UNION ALL SELECT y, z FROM t$r) GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (SELECT a, b FROM s$r
+         |      WHERE support >= 2)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT a, b, support, CAST($ktrussCascadeRounds AS BIGINT)" +
+      s" AS rounds FROM s$unroll" +
+      "\nWHERE support >= 2 ORDER BY a, b"
   }
 
   private def harmonicOracleSql(hops: Int): String = {
@@ -18689,7 +18791,107 @@ object Queries {
             $"min_enc", $"max_enc")
           .orderBy($"len_bucket")
       },
-      Some(bpeEncodeOracleSql(rounds = 3)))
+      Some(bpeEncodeOracleSql(rounds = 3))),
+
+    // ---- 355. k-truss FIXPOINT — q220 pins the fixed-round peel (the
+    //          unrolled-CTE contract); this pins the PRODUCTION form,
+    //          ops/KTruss.fixpointState: peel until no edge sits below
+    //          k−2, over the same checkpointed retained-triangle list
+    //          (one wedge enumeration ever, O(#triangles) equi-joins
+    //          per round). The graph is the fuzzy-name component (a
+    //          different customer slice than q220) UNION the
+    //          known-depth cascade harness (KTruss.cascadeHarness:
+    //          supports sit exactly at threshold, so the peel cascades
+    //          one chain edge per round from both ends — 9 rounds at
+    //          nChain = 16, a fixture fact at every SF; the fuzzy
+    //          component's positional name-cliques settle in ≤ 2). The
+    //          oracle unrolls 12 re-enumeration rounds — peeling a
+    //          converged graph is the identity, so any unroll ≥ depth
+    //          replays the fixpoint EXACTLY; the `rounds` column pins
+    //          the observed convergence depth cross-engine, and the
+    //          require(converged) turns a capped superset into a hard
+    //          failure rather than a silently-wrong result. ----
+    QDef("q355_ktruss_fixpoint",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).filter($"c_custkey" % 10 === 5)
+        val fuzzy = graft.ops.FuzzyJoin
+          .editDistance1Pairs(c, "c_custkey", "c_name")
+          .select(least($"id_a", $"id_b").as("a"),
+            greatest($"id_a", $"id_b").as("b"))
+          .filter($"a" =!= $"b").distinct()
+        // scaffold ids (base 2e9) are disjoint from custkeys at every
+        // SF and both sides are internally distinct — plain union, no
+        // dedup shuffle (the q203 lesson)
+        val e0 = fuzzy.unionByName(ktrussCascade.toDF("a", "b"))
+          .localCheckpoint()
+        val res = graft.ops.KTruss.fixpointState(e0, "a", "b",
+          k = 4, maxRounds = 20)
+        require(res.converged,
+          s"q355 fixpoint capped at rounds=${res.rounds} without converging")
+        res.edges
+          .withColumn("rounds", lit(res.rounds).cast("long"))
+          .orderBy($"a", $"b")
+      },
+      Some(ktrussFixpointOracleSql(unroll = 12))),
+
+    // ---- 356. tokenize → pack, end to end — the production
+    //          pretraining data path: train BPE on the corpus (q349's
+    //          kernel), ENCODE every document with the compiled
+    //          BpeEncode expression (q354's kernel, here over full
+    //          documents: one narrow `aggregate` lambda per doc sums
+    //          |encode(word)| across its tokens — no join, no explode,
+    //          no shuffle), then SequencePack the per-doc token counts
+    //          into fixed-length training sequences at two budgets.
+    //          Output per (lang, budget): docs, token mass, slice and
+    //          sequence counts, boundary-crossing slices, and the tail
+    //          fill ratio — the tokens-per-sequence / padding-waste
+    //          curve a pack-budget decision reads. Scale shape: one
+    //          corpus scan for training word counts (vocab-bounded
+    //          rounds after), one for encode; the pack is PrefixSum's
+    //          range shuffle + narrow slice arithmetic. The oracle
+    //          reads per-word symbol counts from the trainer chain's
+    //          FINAL state (encode(training word) ≡ trainer state —
+    //          the BpeEncodeSpec equivalence), then replays packing as
+    //          window prefix sums. ----
+    QDef("q356_tokenize_pack",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val words = docs
+          .select(explode(TF.tokens(coalesce($"text", lit("")))).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val (merges, _) = graft.ops.BpeTrain.train(words, "w", "cnt",
+          rounds = 3)
+        val mseq = merges.map(m => (m.symA, m.symB))
+        val docTok = docs
+          .select($"doc_id", $"lang",
+            TF.tokens(coalesce($"text", lit(""))).as("toks"))
+          .select($"doc_id", $"lang",
+            aggregate($"toks", lit(0L), (acc, w) => acc +
+              size(graft.functions.BpeFunctions.bpeEncode(w, mseq))
+                .cast("long")).as("doc_tok"))
+        val packed = Seq(64L, 256L).map { b =>
+          graft.ops.SequencePack
+            .pack(docTok, Seq("lang"), Seq("doc_id"), "doc_tok", b)
+            .withColumn("budget", lit(b))
+        }.reduce(_ unionByName _)
+        packed.groupBy($"lang", $"budget")
+          .agg(
+            // every doc owns exactly one slice with doc_tok_start = 0
+            sum(when($"doc_tok_start" === 0L, 1L).otherwise(0L))
+              .as("n_docs"),
+            sum($"n_tok").as("tokens_total"),
+            count(lit(1)).as("n_slices"),
+            (max($"seq_id") + lit(1L)).as("n_seqs"))
+          .select($"lang", $"budget", $"n_docs", $"tokens_total",
+            $"n_slices", $"n_seqs",
+            ($"n_slices" - $"n_docs").as("n_cross_slices"),
+            expr("(tokens_total * 1000000) div (n_seqs * budget)")
+              .as("fill_ppm"))
+          .orderBy($"lang", $"budget")
+      },
+      Some(tokenizePackOracleSql(rounds = 3, budgets = Seq(64L, 256L))))
   )
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap

@@ -61,6 +61,7 @@ object ScaleProbe {
       case "shuffle" => shuffleAudit(spark, sfDir); spark.stop(); return
       case "fuzzy" => fuzzyProbe(spark, sfDir, time(_)); spark.stop(); return
       case "ktruss" => ktrussProbe(spark, sfDir, time(_)); spark.stop(); return
+      case "ktrussfix" => ktrussFixProbe(spark, sfDir, time(_)); spark.stop(); return
       case _ => ()
     }
 
@@ -1164,6 +1165,50 @@ object ScaleProbe {
     println(s"""{"metric":"ktruss_probe","sf":"$sfDir","reps":$reps,""" +
       s""""rows":{"old":$nOld,"new":$nNew},""" +
       s""""old_wedge_sec":$tOld,"new_peel_sec":$tNew}""")
+  }
+
+  /** q355's depth-vs-cost witness: KTruss.fixpointState on the q355
+    * graph (fuzzy base + cascade harness) at cascade depth ~9
+    * (nChain = 16, the query's fixture) and at ~10× the depth
+    * (nChain = 160 → 81 removal rounds + 1): the retained-triangle
+    * peel's cost should grow ~linearly in ROUNDS with a bounded
+    * per-round cost (each round is O(#triangles) equi-joins + one
+    * isEmpty scalar), never in rounds × enumeration — the scaling
+    * claim behind running tens of peel rounds on a real graph.
+    */
+  private def ktrussFixProbe(spark: SparkSession, sfDir: String,
+                             time: (=> Unit) => Double): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).filter(col("c_custkey") % 10 === 5)
+    val fuzzy = graft.ops.FuzzyJoin.editDistance1Pairs(c, "c_custkey", "c_name")
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    def run(nChain: Int): (Int, Long, Double) = {
+      val e0 = fuzzy.unionByName(
+        graft.ops.KTruss.cascadeHarness(nChain, 2000000000L).toDF("a", "b"))
+        .localCheckpoint()
+      // warm pass at a truncated cap so codegen/JIT is paid outside the
+      // timed window without running the full peel
+      graft.ops.KTruss.fixpointState(e0, "a", "b", 4, maxRounds = 2)
+      var rounds = 0; var nOut = 0L
+      val sec = time {
+        val res = graft.ops.KTruss.fixpointState(e0, "a", "b", 4,
+          maxRounds = 256)
+        require(res.converged, s"nChain=$nChain did not converge")
+        rounds = res.rounds
+        nOut = res.edges.count()
+      }
+      (rounds, nOut, sec)
+    }
+    val (r1, n1, t1) = run(16)
+    val (r2, n2, t2) = run(160)
+    println(s"""{"metric":"ktruss_fixpoint_probe","sf":"$sfDir",""" +
+      s""""depth16":{"rounds":$r1,"edges":$n1,"sec":$t1},""" +
+      s""""depth160":{"rounds":$r2,"edges":$n2,"sec":$t2},""" +
+      s""""sec_per_round_16":${t1 / r1},"sec_per_round_160":${t2 / r2}}""")
   }
 
   /** q104's gate margin: per-query recall@10 at nProbe = kCells/2, so the

@@ -90,6 +90,46 @@ object KTruss {
     FixpointResult(support.filter(col("support") >= need), converged, r)
   }
 
+  /** Known-depth 4-truss peel harness: an edge list whose fixpoint peel
+    * takes a PREDICTABLE number of rounds — the fixture q355 and the
+    * depth-vs-cost probe are built on. Construction (vertices are
+    * `base + i`):
+    *
+    *  - a chain w_0..w_n (`n = nChain`) of chain edges (w_i, w_{i+1})
+    *    and skip edges (w_i, w_{i+2});
+    *  - two anchor PAIRS, one per parity: (g_e1, g_e2) attached to every
+    *    EVEN w, (g_o1, g_o2) attached to every ODD w (anchor ids are
+    *    base+n+1 .. base+n+4).
+    *
+    * Supports under k = 4 (need ≥ 2): a chain edge joins opposite
+    * parities, so it gets NO anchor triangle — its only triangles are
+    * the two strip triangles with w_{i−1} and w_{i+2}, i.e. support
+    * exactly 2 interior and exactly 1 at the two chain ends. A skip
+    * edge joins the SAME parity, so its shared anchor pair contributes
+    * two triangles on top of the strip one (support 3, never peeled;
+    * 2 after its strip triangle dies). Attach and anchor edges sit at
+    * ≥ 2 via each other and the skips. Hence round 1 removes exactly
+    * the two end chain edges, each removal drops the NEXT chain edge
+    * from 2 to 1, and the peel cascades inward one edge per round from
+    * both ends: ⌈nChain/2⌉ removal rounds + the final no-removal round,
+    * e.g. nChain = 16 converges in exactly 9 rounds. The fixpoint truss
+    * is the anchor scaffold: all skip, attach, and anchor edges; every
+    * chain edge is peeled.
+    */
+  def cascadeHarness(nChain: Int, base: Long): Seq[(Long, Long)] = {
+    require(nChain >= 4 && nChain % 2 == 0,
+      s"even nChain >= 4 required, got $nChain")
+    def w(i: Int) = base + i
+    val Seq(ge1, ge2, go1, go2) = (1 to 4).map(j => base + nChain + j)
+    val chain = (0 until nChain).map(i => (w(i), w(i + 1)))
+    val skip = (0 to nChain - 2).map(i => (w(i), w(i + 2)))
+    val attach = (0 to nChain).flatMap { i =>
+      if (i % 2 == 0) Seq((w(i), ge1), (w(i), ge2))
+      else Seq((w(i), go1), (w(i), go2))
+    }
+    chain ++ skip ++ attach ++ Seq((ge1, ge2), (go1, go2))
+  }
+
   /** [[fixpointState]] keeping only the edge frame; a capped
     * (non-converged) run is still detectable — it warns on stderr
     * rather than silently returning the superset.

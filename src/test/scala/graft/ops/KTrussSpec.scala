@@ -118,6 +118,40 @@ class KTrussSpec extends AnyFunSuite {
     }
   }
 
+  test("cascade harness: predicted depth, truss = anchor scaffold") {
+    // the q355 fixture: nChain = 16 must peel in exactly 9 rounds
+    // (⌈16/2⌉ removal rounds + the convergence round), nChain = 8 in 5;
+    // the surviving truss is the scaffold (skip + attach + anchor
+    // edges), every chain edge peeled — all per cascadeHarness scaladoc
+    Seq(16 -> 9, 8 -> 5).foreach { case (n, depth) =>
+      val edges = KTruss.cascadeHarness(n, 100L)
+      val res = KTruss.fixpointState(edges.toDF("a", "b"), "a", "b", k = 4)
+      assert(res.converged, s"nChain=$n")
+      assert(res.rounds === depth, s"nChain=$n depth")
+      val got = res.edges.as[(Long, Long, Long)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+      assert(got === refTruss(edges.toSet, 4, None), s"nChain=$n truss")
+      val chain = (0 until n).map(i => (100L + i, 100L + i + 1)).toSet
+      assert(got.keySet.intersect(chain).isEmpty, s"nChain=$n chain peeled")
+      assert(got.keySet === edges.toSet -- chain, s"nChain=$n scaffold kept")
+      // skip edges settle at exactly the two anchor triangles
+      val skips = (0 to n - 2).map(i => (100L + i, 100L + i + 2))
+      assert(skips.forall(got(_) == 2L), s"nChain=$n skip support")
+    }
+  }
+
+  test("fixpointState reports a capped run as non-converged") {
+    val edges = KTruss.cascadeHarness(16, 100L)
+    val res = KTruss.fixpointState(edges.toDF("a", "b"), "a", "b",
+      k = 4, maxRounds = 3)
+    assert(!res.converged && res.rounds === 3)
+    // the capped result is a strict superset of the true truss
+    val capped = res.edges.as[(Long, Long, Long)].collect()
+      .map { case (a, b, _) => (a, b) }.toSet
+    val truss = refTruss(edges.toSet, 4, None).keySet
+    assert(truss.subsetOf(capped) && capped != truss)
+  }
+
   test("edge orientation, duplicates, and self-loops are cleaned") {
     val k4 = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)).toSet
     val messy = (k4.toSeq ++ k4.toSeq.map(_.swap) ++ Seq((2L, 2L))).toDF("a", "b")
