@@ -123,4 +123,21 @@ object BpeTrain {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Reload a merge list previously written via [[mergesDf]] (through
+    * the warehouse — parquet/[[graft.sources.PartitionedStore]]) back
+    * into the trainer's ORDERED form — the artifact-management half of
+    * the tokenizer lifecycle: train once, persist the merges, encode
+    * anywhere. Order comes from the `round` column, never file order
+    * (parquet readers don't preserve row order). The collect is
+    * vocab-budget-bounded (= the trained `rounds`), the same bounded
+    * driver scalar the trainer itself holds.
+    */
+  def loadMerges(df: DataFrame): Seq[Merge] =
+    df.select(col("round"), col("sym_a"), col("sym_b"), col("weight"),
+        col("n_pair_types"))
+      .collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_.round).toSeq
 }

@@ -82,6 +82,70 @@ object BpeStream {
     Dedup.keepLast(spark.read.parquet(storeDir), Seq("w"), Seq("__v"))
       .select(col("w"), col("cnt"))
 
+  /** Word store + per-batch ENCODE — the inference half composed onto
+    * the maintenance loop: each micro-batch (1) folds its word counts
+    * into the store ([[processBatch]]), (2) retrains `rounds` merges
+    * over the CURRENT store (vocab-bounded, no corpus rescan), and
+    * (3) encodes the batch's documents with the resulting merge list —
+    * one compiled [[graft.functions.BpeFunctions.BpeEncode]] pass, the
+    * narrow shuffle-free map — appending (id, enc, __v = batchId) to
+    * `encDir`. Documents keep the encoding of the tokenizer AS OF
+    * their arrival (the production convention — re-encoding history on
+    * every vocab refresh would be a full-corpus rewrite); once the
+    * store has absorbed the whole corpus the last batch's merges equal
+    * a from-scratch train (the [[trainCurrent]] equivalence), so the
+    * final batch's encodings equal the batch path's — spec-pinned.
+    * Replay safety: a replayed batch re-derives the same pre-batch
+    * store state (the `< batchId` version filter), hence the same
+    * merges and bit-identical encode rows; readers resolve keep-last.
+    */
+  def startEncode(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      idCol: String,
+      textCol: String,
+      storeDir: String,
+      encDir: String,
+      checkpointDir: String,
+      rounds: Int,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val df = batch.toDF().localCheckpoint(true)
+        processBatch(spark, df, id, textCol, storeDir)
+        val (merges, _) = trainCurrent(spark, storeDir, rounds)
+        df.select(col(idCol),
+            encodeText(col(textCol), merges).as("enc"))
+          .withColumn("__v", lit(id))
+          .write.mode("append").parquet(encDir)
+      }
+      .start()
+
+  /** Whole-document encoding as one narrow expression: per word the
+    * merge-list scan of BpeEncode, syms joined by '|', words by ' ' —
+    * the same rendering q354's min/max pins.
+    */
+  def encodeText(text: org.apache.spark.sql.Column,
+                 merges: Seq[BpeTrain.Merge]): org.apache.spark.sql.Column = {
+    val m = merges.map(x => (x.symA, x.symB))
+    array_join(transform(
+      graft.functions.TextFunctions.tokens(coalesce(text, lit(""))),
+      w => array_join(graft.functions.BpeFunctions.bpeEncode(w, m), "|")),
+      " ")
+  }
+
+  /** The live (id → enc) table: keep-last per id (replayed batches
+    * re-append identical rows; keep-last collapses them).
+    */
+  def encoded(spark: SparkSession, encDir: String, idCol: String): DataFrame =
+    Dedup.keepLast(spark.read.parquet(encDir), Seq(idCol), Seq("__v"))
+      .select(col(idCol), col("enc"))
+
   /** Retrain over the current store — vocabulary-bounded, no corpus
     * rescan; returns the learned merges and final symbol state.
     */
