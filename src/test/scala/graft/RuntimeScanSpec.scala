@@ -47,7 +47,11 @@ class RuntimeScanSpec extends AnyFunSuite {
     ("q313_skipgram_pairs", "documents", 1),
     // triaged-at-3: disjoint predicate-pushed event splits (see SCALING.md)
     ("q309_funnel_exclusion", "events", 3),
-    ("q217_bigram_fluency", "documents", 3))
+    ("q217_bigram_fluency", "documents", 3),
+    // round-11: fixpoint truss (edge build + pin, rounds read checkpoints
+    // only); tokenize→pack (one train scan + one encode scan)
+    ("q355_ktruss_fixpoint", "customer", 2),
+    ("q356_tokenize_pack", "documents", 2))
 
   bounds.foreach { case (name, table, bound) =>
     test(s"$name executes <= $bound $table scans per materialization") {

@@ -41,7 +41,11 @@ class ShuffleAuditSpec extends AnyFunSuite {
     // train + encode composition
     ("q220_ktruss", 1L << 20),            // measured 36K: peel = equi-joins on the retained list
     ("q352_bpe_dedup_stability", 1L << 20), // measured 207K: one corpus pass, 2 vocab-bounded trainings
-    ("q354_bpe_encode", 1L << 20))        // measured 63K: encode is a narrow map, shuffle = training only
+    ("q354_bpe_encode", 1L << 20),        // measured 63K: encode is a narrow map, shuffle = training only
+    // round-11 shapes: run-to-convergence peel (9 rounds over the
+    // retained triangle list), train + full-corpus encode + pack
+    ("q355_ktruss_fixpoint", 1L << 20),   // measured 118K: per-round = equi-joins on the shrinking list
+    ("q356_tokenize_pack", 1L << 20))     // measured 54K: training shuffle + PrefixSum range pass; encode narrow
 
   bounds.foreach { case (name, maxShuffle) =>
     test(s"$name: zero spill, shuffleWrite <= ${maxShuffle >> 20} MB") {
