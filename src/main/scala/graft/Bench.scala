@@ -149,7 +149,10 @@ object Bench {
     val total = results.map { case (k, _, _) => mins0(k) }.sum
     val loadEnd = loadavg()
     val skippedJson = mergeSkipped
-      .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      // control chars (a multi-line Jackson parse message, tabs) would
+      // break the one-line record consumers parse — flatten them first
+      .map(r => "\"" + r.replaceAll("\\p{Cntrl}", " ")
+        .replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .getOrElse("null")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$perRep,"sf":"$sfDir","reps":$reps,"merged_runs":$mergedRuns,"merge_skipped_reason":$skippedJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended}"""
     println(line)

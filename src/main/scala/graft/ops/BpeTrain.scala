@@ -133,11 +133,19 @@ object BpeTrain {
     * vocab-budget-bounded (= the trained `rounds`), the same bounded
     * driver scalar the trainer itself holds.
     */
-  def loadMerges(df: DataFrame): Seq[Merge] =
-    df.select(col("round"), col("sym_a"), col("sym_b"), col("weight"),
+  def loadMerges(df: DataFrame): Seq[Merge] = {
+    val out = df
+      .select(col("round"), col("sym_a"), col("sym_b"), col("weight"),
         col("n_pair_types"))
       .collect()
       .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4)))
       .sortBy(_.round).toSeq
+    // a directory that accumulated two trainings' artifacts (or a
+    // versioned append store read without keep-last) would otherwise
+    // yield a silently-corrupted merge list
+    require(out.map(_.round) == (1 to out.size),
+      s"merge artifact has duplicate/missing rounds: ${out.map(_.round)}")
+    out
+  }
 }

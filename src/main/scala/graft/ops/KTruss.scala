@@ -61,32 +61,76 @@ object KTruss {
                                   rounds: Int)
 
   /** Peel to the k-truss FIXED POINT: rounds run until no edge falls
-    * below k−2 (one bounded `isEmpty` driver scalar per round — the
-    * BpeTrain per-round-argmax convention), capped at `maxRounds` as a
-    * runaway backstop (shell depth of real similarity graphs is
-    * single-digit; the cap returns the current superset, same
-    * convention as [[KCore.peel]]). On convergence the result is the
-    * exact k-truss edge set with its in-truss support.
+    * below k−2, capped at `maxRounds` as a runaway backstop (shell
+    * depth of real similarity graphs is single-digit; the cap returns
+    * the current superset, same convention as [[KCore.peel]]). On
+    * convergence the result is the exact k-truss edge set with its
+    * in-truss support.
+    *
+    * Job shape per removal round: ONE Spark job. Both the peeled
+    * triangle list and its support re-group are marked with a LAZY
+    * `localCheckpoint(false)` (lineage truncation keeps the plan
+    * constant-size across tens of rounds, storage is the plain RDD
+    * cache — cheaper than `persist()`'s columnar re-encode), and the
+    * below-threshold `count` that decides convergence is the job that
+    * materializes them: scanning the support RDD computes its parent
+    * (the peeled triangle RDD), and the persistence layer caches both
+    * as they stream past. The round-11 shape paid three jobs here —
+    * two eager checkpoints plus a separate `isEmpty` probe. The final
+    * no-removal round costs zero jobs: its below-count was already
+    * computed when its support materialized.
+    *
+    * Loop shuffle width: a fixpoint loop re-plans its shuffles every
+    * round at the SESSION width, but iterates a frame whose size is
+    * known after the one-time enumeration — when that frame is small,
+    * tens of rounds × full-width micro-stages is pure scheduling
+    * overhead (measured: 32→8 initial partitions cut the 81-round
+    * depth probe ~25% on 32 cores; AQE coalesces the reduce side but
+    * the initial width still prices planning and map tasks). So the
+    * loop body runs under a scoped `spark.sql.shuffle.partitions`
+    * override sized from the measured triangle count (~10K
+    * triangles/partition), CAPPED at the session value — at real
+    * graph scale (billions of triangles) the formula saturates the
+    * cap and the override is a no-op. The override is restored in a
+    * `finally`; it assumes the session plans one query at a time
+    * while the loop runs (the suite's execution convention — same
+    * assumption every driver-side iterative operator here makes).
+    * AQE itself must stay ON: disabling it for the loop measured
+    * 3-4× SLOWER (the per-round tiny-side joins lean on AQE's
+    * runtime broadcast conversion).
     */
   def fixpointState(edges: DataFrame, srcCol: String, dstCol: String,
                     k: Int, maxRounds: Int = 64): FixpointResult = {
     require(k >= 3 && maxRounds >= 1,
       s"need k >= 3, maxRounds >= 1, got $k, $maxRounds")
     val need = (k - 2).toLong
-    var tri = Triangles.enumerate(edges, srcCol, dstCol).localCheckpoint(true)
-    var support = Triangles.edgeSupportOf(tri).localCheckpoint(true)
+    var tri = Triangles.enumerate(edges, srcCol, dstCol)
+      .localCheckpoint(false)
+    var support = Triangles.edgeSupportOf(tri).localCheckpoint(false)
+    var nBelow = support.filter(col("support") < need).count()
+    val spark = edges.sparkSession
+    val spKey = "spark.sql.shuffle.partitions"
+    val sessionSp =
+      try spark.conf.get(spKey).toInt catch { case _: Throwable => 200 }
+    val nTri = tri.count() // cached RDD scan — a one-time bounded scalar
+    val loopSp = math.max(1L, math.min(sessionSp.toLong,
+      nTri / 10000L + 1L)).toInt
     var r = 0
     var converged = false
-    while (!converged && r < maxRounds) {
-      val removed = support.filter(col("support") < need)
-        .select(col("a"), col("b"))
-      if (removed.isEmpty) converged = true
-      else {
-        tri = Triangles.peelTriangles(tri, removed).localCheckpoint(true)
-        support = Triangles.edgeSupportOf(tri).localCheckpoint(true)
+    if (loopSp < sessionSp) spark.conf.set(spKey, loopSp)
+    try {
+      while (!converged && r < maxRounds) {
+        if (nBelow == 0L) converged = true
+        else {
+          val removed = support.filter(col("support") < need)
+            .select(col("a"), col("b"))
+          tri = Triangles.peelTriangles(tri, removed).localCheckpoint(false)
+          support = Triangles.edgeSupportOf(tri).localCheckpoint(false)
+          nBelow = support.filter(col("support") < need).count()
+        }
+        r += 1
       }
-      r += 1
-    }
+    } finally if (loopSp < sessionSp) spark.conf.set(spKey, sessionSp)
     FixpointResult(support.filter(col("support") >= need), converged, r)
   }
 

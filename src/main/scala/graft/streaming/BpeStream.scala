@@ -95,9 +95,11 @@ object BpeStream {
     * store has absorbed the whole corpus the last batch's merges equal
     * a from-scratch train (the [[trainCurrent]] equivalence), so the
     * final batch's encodings equal the batch path's — spec-pinned.
-    * Replay safety: a replayed batch re-derives the same pre-batch
-    * store state (the `< batchId` version filter), hence the same
-    * merges and bit-identical encode rows; readers resolve keep-last.
+    * Replay safety: [[processBatch]]'s idempotent fold re-derives the
+    * same pre-batch store state and re-appends identical `__v = batchId`
+    * rows, so the POST-batch store [[trainCurrent]] reads is also
+    * identical on replay — hence the same merges and bit-identical
+    * encode rows; readers resolve keep-last.
     */
   def startEncode(
       spark: SparkSession,
