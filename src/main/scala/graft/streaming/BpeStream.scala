@@ -154,4 +154,117 @@ object BpeStream {
   def trainCurrent(spark: SparkSession, storeDir: String, rounds: Int)
       : (Seq[BpeTrain.Merge], DataFrame) =
     BpeTrain.train(wordCounts(spark, storeDir), "w", "cnt", rounds)
+
+  /** Streaming tokenize→PACK — q356's production path as a stream: each
+    * micro-batch (1) folds word counts into the store ([[processBatch]]),
+    * (2) retrains over the CURRENT store, (3) counts each batch
+    * document's tokens with the as-of-arrival tokenizer (the compiled
+    * BpeEncode inside one narrow `aggregate` lambda — q356's encode
+    * shape), and (4) packs those counts into fixed-length training
+    * sequences CONTINUING from where the previous batch stopped.
+    *
+    * The cross-batch state is ONE long per language — the running token
+    * offset, exactly [[PackStream]]'s state — held here as a versioned
+    * parquet store (the MvStream discipline) because this composition
+    * lives in `foreachBatch` for the word-store side effects, not in
+    * `flatMapGroupsWithState`. Replay safety is the [[processBatch]]
+    * argument: a replayed batch reads the pre-batch offsets
+    * (`__v < batchId` keep-last), re-derives the same merges from the
+    * idempotently re-folded store, and re-appends bit-identical slice
+    * and offset rows; readers resolve keep-last per (doc, seq) / lang.
+    * Untouched languages are never rewritten.
+    *
+    * Slice geometry is [[graft.ops.SequencePack.pack]]'s, expression for
+    * expression (floor-division sequence spans, the `greatest(ntok, 1)`
+    * zero-token-doc convention), with the batch's in-batch prefix sum
+    * (a per-lang window over BATCH rows only — bounded by batch
+    * activity) added to the stored offset. A sequence that straddles a
+    * batch boundary receives its head and tail slices from different
+    * batches under the same seq_id — the batch pack over the full log
+    * produces exactly the same rows, which is the spec's pin.
+    */
+  def startEncodePack(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      storeDir: String,
+      packDir: String,
+      offDir: String,
+      checkpointDir: String,
+      rounds: Int,
+      seqLen: Long,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val df = batch.toDF().localCheckpoint(true)
+        processBatch(spark, df, id, textCol, storeDir)
+        val (merges, _) = trainCurrent(spark, storeDir, rounds)
+        val m = merges.map(x => (x.symA, x.symB))
+        val docTok = df.select(col(langCol).as("lang"),
+            col(idCol).cast("long").as("doc_id"),
+            aggregate(graft.functions.TextFunctions
+              .tokens(coalesce(col(textCol), lit(""))), lit(0L),
+              (acc, w) => acc +
+                size(graft.functions.BpeFunctions.bpeEncode(w, m))
+                  .cast("long")).as("ntok"))
+        // pre-batch offsets: |langs|-bounded keep-last read (empty on
+        // the first batch and on a fresh offset store)
+        val pre: Map[String, Long] =
+          if (!Files.exists(Paths.get(offDir))) Map.empty
+          else Dedup.keepLast(
+              spark.read.parquet(offDir).filter(col("__v") < id),
+              Seq("lang"), Seq("__v"))
+            .select(col("lang"), col("cum"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val preOff = coalesce(
+          element_at(typedlit(pre), col("lang")), lit(0L))
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+        val withStart = docTok
+          .withColumn("__start",
+            preOff + sum(col("ntok")).over(byLang) - col("ntok"))
+        val slices = withStart
+          .withColumn("__first",
+            floor(col("__start") / lit(seqLen)).cast("long"))
+          .withColumn("__last", floor(
+            (col("__start") + greatest(col("ntok"), lit(1L)) - lit(1L)) /
+              lit(seqLen)).cast("long"))
+          .withColumn("seq_id", explode(sequence(col("__first"), col("__last"))))
+          .withColumn("__lo",
+            greatest(col("__start"), col("seq_id") * lit(seqLen)))
+          .withColumn("__hi", least(col("__start") + col("ntok"),
+            (col("seq_id") + lit(1L)) * lit(seqLen)))
+          .select(col("lang"), col("doc_id"), col("ntok"), col("seq_id"),
+            (col("__lo") - col("__start")).as("doc_tok_start"),
+            (col("__lo") - col("seq_id") * lit(seqLen)).as("seq_tok_start"),
+            (col("__hi") - col("__lo")).as("n_tok"))
+        slices.withColumn("__v", lit(id))
+          .write.mode("append").parquet(packDir)
+        docTok.groupBy(col("lang"))
+          .agg(sum(col("ntok")).as("__batch_tok"))
+          .select(col("lang"),
+            (coalesce(element_at(typedlit(pre), col("lang")), lit(0L)) +
+              col("__batch_tok")).as("cum"))
+          .withColumn("__v", lit(id))
+          .write.mode("append").parquet(offDir)
+      }
+      .start()
+  }
+
+  /** The live packed-slice table: keep-last per (doc, seq) — replayed
+    * batches re-append identical rows; keep-last collapses them.
+    */
+  def packedSlices(spark: SparkSession, packDir: String): DataFrame =
+    Dedup.keepLast(spark.read.parquet(packDir),
+        Seq("doc_id", "seq_id"), Seq("__v"))
+      .select(col("lang"), col("doc_id"), col("ntok"), col("seq_id"),
+        col("doc_tok_start"), col("seq_tok_start"), col("n_tok"))
 }

@@ -51,7 +51,11 @@ class RuntimeScanSpec extends AnyFunSuite {
     // round-11: fixpoint truss (edge build + pin, rounds read checkpoints
     // only); tokenize→pack (one train scan + one encode scan)
     ("q355_ktruss_fixpoint", "customer", 2),
-    ("q356_tokenize_pack", "documents", 2))
+    ("q356_tokenize_pack", "documents", 2),
+    // round-12: master curation chain (corpus pin + bench slice);
+    // repeated-span dedup (harness + lattice + reassembly off one pin)
+    ("q357_curation_pipeline", "documents", 2),
+    ("q358_repeated_spans", "documents", 1))
 
   bounds.foreach { case (name, table, bound) =>
     test(s"$name executes <= $bound $table scans per materialization") {

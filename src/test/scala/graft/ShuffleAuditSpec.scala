@@ -45,7 +45,10 @@ class ShuffleAuditSpec extends AnyFunSuite {
     // round-11 shapes: run-to-convergence peel (9 rounds over the
     // retained triangle list), train + full-corpus encode + pack
     ("q355_ktruss_fixpoint", 1L << 20),   // measured 118K: per-round = equi-joins on the shrinking list
-    ("q356_tokenize_pack", 1L << 20))     // measured 54K: training shuffle + PrefixSum range pass; encode narrow
+    ("q356_tokenize_pack", 1L << 20),     // measured 54K: training shuffle + PrefixSum range pass; encode narrow
+    // round-12 shapes: five-stage curation chain; window-lattice span dedup
+    ("q357_curation_pipeline", 6L << 20), // measured 1.5M: dedup buckets + stage joins + train + pack
+    ("q358_repeated_spans", 2L << 20))    // measured 477K: hash-lattice count + join-back; reassembly per-doc
 
   bounds.foreach { case (name, maxShuffle) =>
     test(s"$name: zero spill, shuffleWrite <= ${maxShuffle >> 20} MB") {
