@@ -115,12 +115,26 @@ object Tables {
     * streaming file sources need it declared up front. Pair with
     * [[withTstamp]] to normalize the time columns after the scan.
     */
+  /** Which physical generation `events.parquet` is, memoized per data
+    * directory: the sniff is a DRIVER-side footer schema inference
+    * (list + read one parquet footer, single-threaded), and 112 queries
+    * construct `events` — at 3 bench reps that is ~300 redundant footer
+    * inferences per run for a fact about an immutable input file. This
+    * caches only the file's PHYSICAL SCHEMA (metadata, the same thing
+    * Spark's own FileStatusCache holds), never data or results; the
+    * nanosAsLong conf is still (re)set on every read because the legacy
+    * reader path checks it at scan time.
+    */
+  private val eventsGen =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def eventsNativeSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events")).schema("ts").dataType match {
-      case LongType => eventsRawSchema
-      case _        => eventsTsSchema
-    }
+    eventsGen.computeIfAbsent(path(dir, "events"), p =>
+      spark.read.parquet(p).schema("ts").dataType match {
+        case LongType => eventsRawSchema
+        case _        => eventsTsSchema
+      })
   }
 
   /** Adds `ts_us` (micros long) + `tstamp` (µs TimestampType) to a DF scanned

@@ -32,8 +32,24 @@ object FuzzyJoin {
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String)
       : DataFrame = {
+    // Spread the (id, str) projection to the session shuffle width BEFORE
+    // the variant explode (guide §2.5 "input skew: repartition after the
+    // read"): the corpus arrives as however many splits the scan produced
+    // — for a small or unsplittable input that is ONE task, and the
+    // explode + per-variant hashing (the compute-dense part: len+1
+    // variants per row) serializes on one core (measured: the whole
+    // pre-exchange pipeline of the q114 graph build ran 1.5 s in a
+    // single task at sf0.1 on 32 cores). Hash-partitioning on the unique
+    // id is balanced and avoids round-robin's sort-before-repartition;
+    // the extra exchange moves only the raw (id, str) rows — ≤ 1/(len+1)
+    // of the variant shuffle the join pays anyway, so the trade holds at
+    // any scale, and the width follows spark.sql.shuffle.partitions.
+    val width =
+      try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
     val base = df.select(col(idCol).as("__id"),
       coalesce(col(strCol), lit("")).as("__s"))
+      .repartition(width, col("__id"))
     // {s} ∪ one-char deletions; sequence(1, 0) counts DOWN (the q100
     // hazard), so the empty string keeps only itself.
     val variants = base.withColumn("__del", explode(concat(
