@@ -89,6 +89,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val results = names.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
+        // guide §1.5: label jobs per query (queries with internal phases
+        // refine the label themselves; this also clears a stale label
+        // left by a previous query's construction-time phases)
+        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -39,7 +39,7 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
 
-    final case class Job(id: Int, t0: Long, var t1: Long = 0L)
+    final case class Job(id: Int, t0: Long, desc: String, var t1: Long = 0L)
     final case class Stg(id: Int, name: String, var tasks: Int = 0,
                          var runMs: Long = 0L, var shR: Long = 0L,
                          var shW: Long = 0L, var in: Long = 0L,
@@ -48,7 +48,13 @@ object StageProfile {
     val stgs = TrieMap.empty[Int, Stg]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs(e.jobId) = Job(e.jobId, e.time)
+        // job description (setJobDescription / phase label) > call site:
+        // broadcast-future jobs all share the CompletableFuture call site
+        jobs(e.jobId) = Job(e.jobId, e.time,
+          Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+            .getOrElse(""))
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.get(e.jobId).foreach(_.t1 = e.time)
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
@@ -90,7 +96,8 @@ object StageProfile {
       js.foreach { j =>
         val gap = j.t0 - prevEnd
         println(f"  job ${j.id}%3d +${(j.t0 - base) / 1e3}%7.3f s " +
-          f"dur ${(j.t1 - j.t0) / 1e3}%7.3f s gap ${gap / 1e3}%7.3f s")
+          f"dur ${(j.t1 - j.t0) / 1e3}%7.3f s gap ${gap / 1e3}%7.3f s " +
+          s" ${j.desc.take(70)}")
         prevEnd = math.max(prevEnd, j.t1)
       }
       val hot = stgs.values.toSeq.filter(s => s.done > s.sub)

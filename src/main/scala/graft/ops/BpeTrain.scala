@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE merge training — the tokenizer-training kernel (Sennrich
@@ -16,11 +15,10 @@ import org.apache.spark.sql.functions._
   *      combinable aggregate),
   *   2. picks the argmax pair — max weight, lexicographically smallest
   *      (a, b) on ties, a 1-row bounded driver scalar,
-  *   3. applies the merge GREEDILY left-to-right via the run-parity rule:
-  *      adjacent matches can only chain when a == b, so grouping matched
-  *      positions into consecutive runs and keeping odd run-indexes IS
-  *      the greedy non-overlapping selection — pure windows, no fold, and
-  *      the exact construction a SQL oracle replays as unrolled CTEs.
+  *   3. applies the merge GREEDILY left-to-right as one narrow per-word
+  *      fold over the symbol array ([[applyMergeGreedy]]) — no shuffle;
+  *      the SQL oracle replays the same selection via the equivalent
+  *      run-parity window construction as unrolled CTEs.
   *
   * Determinism: pair counts are integer sums, the argmax tie-break is
   * total, and merge application is a pure function of (state, pair) — so
@@ -49,22 +47,62 @@ object BpeTrain {
           x => x =!= lit(""))).as(Seq("p", "sym")))
       .select(col("w"), col("cnt"), (col("p") + 1).as("pos"), col("sym"))
 
+  /** Greedy left-to-right application of merge (a, b) to a symbol array,
+    * as one narrow fold: append each symbol, and when the accumulator's
+    * LAST element is `a` and the incoming symbol is `b`, replace that
+    * last element with the merged symbol instead. This is exactly the
+    * greedy non-overlapping scan — a merged tail element is `a + b`,
+    * which can never equal `a` (b is non-empty), so a just-merged pair
+    * can't chain into the next match; when a == b the merged "aa" tail
+    * likewise refuses "a"-matches until a fresh `a` is appended. Spec-
+    * pinned equivalent to the former run-parity window construction
+    * (BpeTrainSpec property tests vs the naive reference), but NARROW:
+    * no window shuffle, no join, no per-round checkpoint — the round-12
+    * job-shape fix that took train(rounds=3) from ~10 scheduled jobs
+    * (4 shuffles/round) to 1 job + 1 combinable shuffle per round.
+    * `get` (not element_at) keeps the empty-accumulator probe null-safe
+    * under ANSI mode.
+    */
+  private def applyMergeGreedy(syms: Column, a: String, b: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
   /** Run `rounds` merge rounds over (word, count) rows; returns the
     * learned merges (possibly fewer than `rounds` if pairs run dry) and
     * the final positional state.
+    *
+    * Round shape (guide §2.3/§2.4): state lives as ONE ROW PER WORD
+    * (w, cnt, syms array). Pair counting explodes adjacent pairs from
+    * the array (narrow) into a map-side-combinable sum keyed on the
+    * pair — the round's single shuffle — and the argmax is the same
+    * 1-row bounded driver scalar as before. Merge application is
+    * [[applyMergeGreedy]], a pure projection: the old positional form
+    * paid a lead() window, two windowed run-parity passes, two joins
+    * and an eager localCheckpoint per round. Rounds re-derive the
+    * current array lazily (r nested folds over the checkpointed base
+    * — vocab-bounded and narrow); a safety checkpoint every 8 rounds
+    * keeps the plan bounded for deep trainings.
     */
   def train(words: DataFrame, wordCol: String, cntCol: String, rounds: Int)
       : (Seq[Merge], DataFrame) = {
     require(rounds >= 0, s"rounds=$rounds must be >= 0")
-    var st = symbolize(words, wordCol, cntCol).localCheckpoint(true)
-    val byW = Window.partitionBy(col("w")).orderBy(col("pos"))
+    var st = words.select(col(wordCol).as("w"), col(cntCol).as("cnt"),
+        filter(split(col(wordCol), ""), x => x =!= lit("")).as("syms"))
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var dry = false
     while (r <= rounds && !dry) {
-      val withNext = st.withColumn("nx", lead(col("sym"), 1).over(byW))
-      val pc = withNext.filter(col("nx").isNotNull)
-        .groupBy(col("sym"), col("nx")).agg(sum(col("cnt")).as("pc"))
+      val prs = st.filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("sym"), y.as("nx")))).as("pr"))
+      val pc = prs.groupBy(col("pr.sym").as("sym"), col("pr.nx").as("nx"))
+        .agg(sum(col("cnt")).as("pc"))
       // argmax, weight, and distinct-pair-type count in ONE combinable
       // aggregate over the vocab²-bounded pair table (no sort, no second
       // count job): MaxScoreMinKey over a struct key is exactly the
@@ -82,29 +120,17 @@ object BpeTrain {
         val wgt = top(0).getLong(1)
         val nPt = top(0).getLong(2)
         merges += Merge(r, a, b, wgt, nPt)
-        val matched = withNext
-          .filter(col("sym") === lit(a) && col("nx") === lit(b))
-          .select(col("w"), col("pos"))
-        val runs = matched
-          .withColumn("grp", col("pos") - row_number().over(byW))
-        val sel = runs
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))))
-          .filter(col("rn") % 2 === 1).select(col("w"), col("pos"))
-        val dropped = sel.select(col("w"), (col("pos") + 1).as("pos"))
-        st = st
-          .join(sel.withColumn("mg", lit(1L)), Seq("w", "pos"), "left")
-          .join(dropped.withColumn("dp", lit(1L)), Seq("w", "pos"), "left")
-          .filter(col("dp").isNull)
-          .select(col("w"), col("cnt"), col("pos"),
-            when(col("mg") === 1L, concat(lit(a), lit(b)))
-              .otherwise(col("sym")).as("sym"))
-          .withColumn("pos", row_number().over(byW))
-          .localCheckpoint(true)
+        st = st.select(col("w"), col("cnt"),
+          applyMergeGreedy(col("syms"), a, b).as("syms"))
+        if (r % 8 == 0) st = st.localCheckpoint(true)
         r += 1
       }
     }
-    (merges.toSeq, st)
+    val positional = st
+      .select(col("w"), col("cnt"),
+        posexplode(col("syms")).as(Seq("p", "sym")))
+      .select(col("w"), col("cnt"), (col("p") + 1).as("pos"), col("sym"))
+    (merges.toSeq, positional)
   }
 
   /** The merge list as a DataFrame (round, sym_a, sym_b, weight,
