@@ -1186,29 +1186,40 @@ object ScaleProbe {
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
-    def run(nChain: Int): (Int, Long, Double) = {
+    // threshold 0 forces the distributed loop (the depth-vs-cost claim
+    // is about THAT path); the default-threshold run measures the
+    // round-12 driver peel on the same graph — the CC both-ways
+    // convention for arguing the fallback threshold from a fact
+    def run(nChain: Int, thresh: Long): (Int, Long, Double) = {
       val e0 = fuzzy.unionByName(
         graft.ops.KTruss.cascadeHarness(nChain, 2000000000L).toDF("a", "b"))
         .localCheckpoint()
       // warm pass at a truncated cap so codegen/JIT is paid outside the
       // timed window without running the full peel
-      graft.ops.KTruss.fixpointState(e0, "a", "b", 4, maxRounds = 2)
+      graft.ops.KTruss.fixpointState(e0, "a", "b", 4, maxRounds = 2,
+        driverThreshold = thresh)
       var rounds = 0; var nOut = 0L
       val sec = time {
         val res = graft.ops.KTruss.fixpointState(e0, "a", "b", 4,
-          maxRounds = 256)
+          maxRounds = 256, driverThreshold = thresh)
         require(res.converged, s"nChain=$nChain did not converge")
         rounds = res.rounds
         nOut = res.edges.count()
       }
       (rounds, nOut, sec)
     }
-    val (r1, n1, t1) = run(16)
-    val (r2, n2, t2) = run(160)
+    val (r1, n1, t1) = run(16, 0L)
+    val (r2, n2, t2) = run(160, 0L)
+    val (r1d, n1d, t1d) = run(16, graft.ops.KTruss.defaultDriverThreshold)
+    val (r2d, n2d, t2d) = run(160, graft.ops.KTruss.defaultDriverThreshold)
+    require(r1 == r1d && r2 == r2d && n1 == n1d && n2 == n2d,
+      s"ktruss driver/distributed paths diverge: " +
+        s"rounds $r1/$r1d $r2/$r2d edges $n1/$n1d $n2/$n2d")
     println(s"""{"metric":"ktruss_fixpoint_probe","sf":"$sfDir",""" +
       s""""depth16":{"rounds":$r1,"edges":$n1,"sec":$t1},""" +
       s""""depth160":{"rounds":$r2,"edges":$n2,"sec":$t2},""" +
-      s""""sec_per_round_16":${t1 / r1},"sec_per_round_160":${t2 / r2}}""")
+      s""""sec_per_round_16":${t1 / r1},"sec_per_round_160":${t2 / r2},""" +
+      s""""depth16_driver_sec":$t1d,"depth160_driver_sec":$t2d}""")
   }
 
   /** q104's gate margin: per-query recall@10 at nProbe = kCells/2, so the

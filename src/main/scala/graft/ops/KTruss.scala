@@ -26,18 +26,95 @@ import org.apache.spark.sql.functions._
   */
 object KTruss {
 
+  /** Triangle-count threshold at or below which peel rounds run on the
+    * DRIVER over the collected triangle list (the
+    * [[ConnectedComponents]] driver-union-find convention: the peel
+    * recurrence is a pure function of the bounded triangle list — a
+    * 1M-triangle list is ~24 MB — while every distributed round pays
+    * scheduled micro-stages). Both paths compute the identical integer
+    * recurrence (spec-pinned); the distributed loop remains the path
+    * for graphs whose triangle list genuinely doesn't fit one machine.
+    * Set 0 to force the distributed path (the scale-probe convention).
+    */
+  val defaultDriverThreshold: Long = 1L << 20
+
+  private def canonEdge(x: Long, y: Long): (Long, Long) =
+    if (x <= y) (x, y) else (y, x)
+
+  private def driverSupportOf(tris: Array[(Long, Long, Long)])
+      : scala.collection.mutable.HashMap[(Long, Long), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    tris.foreach { case (u, v, w) =>
+      m.updateWith(canonEdge(u, v))(c => Some(c.getOrElse(0L) + 1L))
+      m.updateWith(canonEdge(u, w))(c => Some(c.getOrElse(0L) + 1L))
+      m.updateWith(canonEdge(v, w))(c => Some(c.getOrElse(0L) + 1L))
+    }
+    m
+  }
+
+  private def driverPeelOnce(tris: Array[(Long, Long, Long)],
+                             removed: scala.collection.Set[(Long, Long)])
+      : Array[(Long, Long, Long)] =
+    tris.filterNot { case (u, v, w) =>
+      removed(canonEdge(u, v)) || removed(canonEdge(u, w)) ||
+        removed(canonEdge(v, w))
+    }
+
+  /** Long-id triangle collect for the driver path; None when the id
+    * columns aren't Long (the distributed path handles any type).
+    */
+  private def collectLongTriangles(tri: DataFrame)
+      : Option[Array[(Long, Long, Long)]] = {
+    val lt = org.apache.spark.sql.types.LongType
+    if (tri.schema.fields.take(3).forall(_.dataType == lt))
+      Some(tri.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    else None
+  }
+
+  private def supportFrame(spark: org.apache.spark.sql.SparkSession,
+                           sup: Iterable[((Long, Long), Long)]): DataFrame =
+    spark.createDataFrame(
+        sup.map { case ((a, b), s) => (a, b, s) }.toSeq)
+      .toDF("a", "b", "support")
+
   /** FIXED `rounds` of peeling at threshold k (the q124/q134/q168
     * fixed-round convention: constant job count, exactly replayable as
     * unrolled CTEs — q220's oracle). `rounds = 2` is precisely q220's
     * contract: support → remove (< k−2) → support, then the final
     * ≥ k−2 filter. A fixed-round peel is a SUPERSET of the true
     * k-truss; callers needing the fixed point use [[fixpoint]].
+    *
+    * Below `driverThreshold` triangles the rounds run on the driver
+    * (see [[defaultDriverThreshold]]); the one-time enumeration is
+    * distributed either way.
     */
   def peel(edges: DataFrame, srcCol: String, dstCol: String,
-           k: Int, rounds: Int): DataFrame = {
+           k: Int, rounds: Int,
+           driverThreshold: Long = defaultDriverThreshold): DataFrame = {
     require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1, got $k, $rounds")
     val need = (k - 2).toLong
-    var tri = Triangles.enumerate(edges, srcCol, dstCol).localCheckpoint(true)
+    val tri0 = Triangles.enumerate(edges, srcCol, dstCol)
+      .localCheckpoint(false)
+    val nTri = tri0.count()
+    if (nTri <= driverThreshold) {
+      collectLongTriangles(tri0) match {
+        case Some(arr0) =>
+          var tris = arr0
+          var support = driverSupportOf(tris)
+          var r = 1
+          while (r < rounds) {
+            val removed =
+              support.iterator.filter(_._2 < need).map(_._1).toSet
+            tris = driverPeelOnce(tris, removed)
+            support = driverSupportOf(tris)
+            r += 1
+          }
+          return supportFrame(edges.sparkSession,
+            support.filter(_._2 >= need))
+        case None => // non-Long ids: distributed below
+      }
+    }
+    var tri = tri0
     var support = Triangles.edgeSupportOf(tri)
     var r = 1
     while (r < rounds) {
@@ -67,7 +144,12 @@ object KTruss {
     * convergence the result is the exact k-truss edge set with its
     * in-truss support.
     *
-    * Job shape per removal round: ONE Spark job. Both the peeled
+    * At or below `driverThreshold` triangles (after the one-time
+    * distributed enumeration) the peel rounds run on the DRIVER over
+    * the collected list — the [[ConnectedComponents]] driver-fallback
+    * convention, measured both ways in SCALING.md round-12. The
+    * distributed loop below is the path for triangle lists that don't
+    * fit one machine; its job shape per removal round: ONE Spark job. Both the peeled
     * triangle list and its support re-group are marked with a LAZY
     * `localCheckpoint(false)` (lineage truncation keeps the plan
     * constant-size across tens of rounds, storage is the plain RDD
@@ -100,19 +182,50 @@ object KTruss {
     * runtime broadcast conversion).
     */
   def fixpointState(edges: DataFrame, srcCol: String, dstCol: String,
-                    k: Int, maxRounds: Int = 64): FixpointResult = {
+                    k: Int, maxRounds: Int = 64,
+                    driverThreshold: Long = defaultDriverThreshold)
+      : FixpointResult = {
     require(k >= 3 && maxRounds >= 1,
       s"need k >= 3, maxRounds >= 1, got $k, $maxRounds")
     val need = (k - 2).toLong
     var tri = Triangles.enumerate(edges, srcCol, dstCol)
       .localCheckpoint(false)
+    val spark = edges.sparkSession
+    val nTri = tri.count() // materializes the checkpoint; bounded scalar
+    if (nTri <= driverThreshold) {
+      collectLongTriangles(tri) match {
+        case Some(arr0) =>
+          // driver peel: the identical recurrence over the collected
+          // bounded triangle list — tens of rounds with zero scheduled
+          // jobs (measured: the 81-round nChain-160 probe drops from
+          // ~35 s of distributed micro-stages to sub-second)
+          var tris = arr0
+          var support = driverSupportOf(tris)
+          var nBelow = support.valuesIterator.count(_ < need)
+          var r = 0
+          var converged = false
+          while (!converged && r < maxRounds) {
+            if (nBelow == 0L) converged = true
+            else {
+              val removed =
+                support.iterator.filter(_._2 < need).map(_._1).toSet
+              tris = driverPeelOnce(tris, removed)
+              support = driverSupportOf(tris)
+              nBelow = support.valuesIterator.count(_ < need)
+            }
+            r += 1
+          }
+          return FixpointResult(
+            supportFrame(spark, support.filter(_._2 >= need)),
+            converged, r)
+        case None => // non-Long ids: distributed below
+      }
+    }
     var support = Triangles.edgeSupportOf(tri).localCheckpoint(false)
     var nBelow = support.filter(col("support") < need).count()
-    val spark = edges.sparkSession
     val spKey = "spark.sql.shuffle.partitions"
     val sessionSp =
       try spark.conf.get(spKey).toInt catch { case _: Throwable => 200 }
-    val nTri = tri.count() // cached RDD scan — a one-time bounded scalar
     val loopSp = math.max(1L, math.min(sessionSp.toLong,
       nTri / 10000L + 1L)).toInt
     var r = 0
