@@ -122,19 +122,29 @@ object MinHashLSH {
           .shingleHash60Array(TF.tokens(col(textCol)), w).as("__th"))
       .select(col("__id"), col("__th")))
     val e = hashed.select(col("__id"), explode(col("__th")).as("__h"))
-    // df per shingle is a light count agg (map-side partials); the kept-
-    // shingle join then feeds BOTH the postings build and the post-cut
-    // per-doc sizes — the identical e-exchange and keep-subtree in the two
-    // branches collapse via ReusedExchange, and e reads the cached hashes.
-    val keep = e.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select(col("__h"))
-    val kept = e.join(keep, "__h")
-    val postings = kept.groupBy(col("__h"))
-      .agg(sort_array(collect_list(col("__id"))).as("ds"))
-    // post-cut set size per doc: |retained shingles| — every doc appearing
-    // in any pair has ≥1 retained shingle, so the inner joins below lose
-    // nobody
-    val sz = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    // Postings + df-cut in ONE pass of the posting stream (round-12,
+    // guide §2.3/§2.4): CappedList bounds the aggregation buffer of an
+    // over-cap shingle at maxDf+1 ids — the same skew valve the former
+    // shape bought with a separate count-aggregate pass over `e` plus a
+    // kept-semi-join, which re-ran the explode subtree and its exchange
+    // three times (profiled at q61: 3 stages × ~3 s task-time each
+    // writing the identical 2.5 MB). An under-cut shingle's list is
+    // complete by construction, so the cut semantics are unchanged.
+    val postings = persistOnce(e.groupBy(col("__h"))
+      .agg(graft.functions.CappedList.cappedList(col("__id"),
+          // maxDf = Int.MaxValue means "cut off": clamp instead of overflow
+          if (maxDf >= Int.MaxValue) Int.MaxValue else maxDf + 1)
+          .as("__ds0"),
+        count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__h"), sort_array(col("__ds0")).as("ds")))
+    // post-cut set size per doc: |retained shingles| — derived from the
+    // CUT postings (≡ the former kept-rows count: each kept (doc,
+    // shingle) row appears in exactly one under-cut posting); every doc
+    // appearing in any pair has ≥1 retained shingle, so the inner joins
+    // below lose nobody
+    val sz = postings.select(explode(col("ds")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val pairs = postings
       .select(explode(graft.functions.HashExpressions.orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.doc_a"), col("p.doc_b"))
