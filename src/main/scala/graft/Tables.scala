@@ -20,6 +20,60 @@ object Tables {
 
   private def path(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Parquet layout facts (row groups, rows) per file, memoized like
+    * [[eventsGen]]: a footer read is driver-side metadata on an
+    * immutable input — the same class of fact Spark's FileStatusCache
+    * holds, never data or results.
+    */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  private def parquetLayout(spark: SparkSession, p: String): (Int, Long) =
+    layoutCache.computeIfAbsent(p, _ =>
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val fsPath = new org.apache.hadoop.fs.Path(p)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(fsPath, conf))
+        try {
+          val rgs = rdr.getRowGroups
+          (rgs.size, rdr.getRecordCount)
+        } finally rdr.close()
+      } catch {
+        // directories / exotic layouts: report "wide enough" so the
+        // spread below is skipped and the scan runs as Spark planned it
+        case _: Throwable => (Int.MaxValue, 0L)
+      })
+
+  /** Scale-adaptive scan spread (guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read"): the
+    * parquet reader parallelizes at ROW-GROUP granularity, and this
+    * harness' inputs ship as a single file with ONE row group per
+    * table, so every scan pipeline — and all compute fused into it
+    * (hashing, tokenizing, date math) — executes as one task no matter
+    * the core count (profiled: q119's whole melt ran 2.8 s on 1 task
+    * of 32). When the file layout yields fewer scan tasks than cores
+    * AND the table is big enough for balance to matter, hash-spread on
+    * the table's unique key right after the scan: deterministic under
+    * retries (no round-robin sort, SPARK-23207), balanced (unique
+    * key), and column pruning / predicate pushdown still reach the
+    * scan below the exchange. On a properly-laid-out table (many files
+    * / row groups — the 100 TB case) the condition is false and no
+    * exchange is added: the adaptivity IS the point, a constant
+    * repartition would be pure overhead at scale.
+    * `SPARK_GRAFT_SCAN_SPREAD=0` forces it off (A/B hook).
+    */
+  private def spread(spark: SparkSession, df: DataFrame, p: String,
+                     keys: Seq[String]): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SCAN_SPREAD").contains("0")) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val (rowGroups, rows) = parquetLayout(spark, p)
+    if (rowGroups < cores && rows >= 32L * cores)
+      df.repartition(cores, keys.map(col): _*)
+    else df
+  }
+
   // ---- star schema (dimension side ≈ bn_spot_symbols / bn_perp_symbols) ----
 
   val regionSchema = StructType(Seq(
@@ -92,19 +146,29 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(nationSchema).parquet(path(dir, "nation"))
   def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(customerSchema).parquet(path(dir, "customer"))
+    spread(spark, spark.read.schema(customerSchema)
+      .parquet(path(dir, "customer")), path(dir, "customer"),
+      Seq("c_custkey"))
   def supplier(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(supplierSchema).parquet(path(dir, "supplier"))
   def part(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(partSchema).parquet(path(dir, "part"))
+    spread(spark, spark.read.schema(partSchema)
+      .parquet(path(dir, "part")), path(dir, "part"), Seq("p_partkey"))
   def orders(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(ordersSchema).parquet(path(dir, "orders"))
+    spread(spark, spark.read.schema(ordersSchema)
+      .parquet(path(dir, "orders")), path(dir, "orders"), Seq("o_orderkey"))
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(lineitemSchema).parquet(path(dir, "lineitem"))
+    spread(spark, spark.read.schema(lineitemSchema)
+      .parquet(path(dir, "lineitem")), path(dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"))
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(documentsSchema).parquet(path(dir, "documents"))
+    spread(spark, spark.read.schema(documentsSchema)
+      .parquet(path(dir, "documents")), path(dir, "documents"),
+      Seq("doc_id"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(embeddingsSchema).parquet(path(dir, "embeddings"))
+    spread(spark, spark.read.schema(embeddingsSchema)
+      .parquet(path(dir, "embeddings")), path(dir, "embeddings"),
+      Seq("vec_id"))
 
   /** Events with `ts` = raw nanos (long), `ts_us` = micros (long), and
     * `tstamp` = TimestampType at micro precision for window/date functions.
@@ -158,7 +222,9 @@ object Tables {
     // Session tz is UTC, so the NTZ→TZ cast inside withTstamp is a re-label,
     // not a shift.
     val schema = eventsNativeSchema(spark, dir)
-    val df = withTstamp(spark.read.schema(schema).parquet(path(dir, "events")))
+    val df = withTstamp(spread(spark,
+      spark.read.schema(schema).parquet(path(dir, "events")),
+      path(dir, "events"), Seq("event_id")))
     if (schema eq eventsRawSchema) df
     else df
       .withColumn("ts", col("ts_us") * lit(1000L))
